@@ -1,0 +1,27 @@
+"""cholesky_tpu — a TPU-native sparse SPD direct solver (JAX/XLA/Pallas).
+
+Built from scratch with the capabilities of the Regent/Legion reference solver
+(syamajala/cholesky): nested-dissection sparse Cholesky factorization
+A = L L^T plus triangular solve, driven by precomputed separator orderings and
+cluster hierarchies, verified against SciPy golden models.
+
+Layers (TPU-first re-design of the reference's five layers, SURVEY.md §1):
+  io/        MatrixMarket + ord/clust parsing (C++ fast path in native/)
+  symbolic/  separator tree, permutation, panel layout, fill analysis -> SolvePlan
+  numeric/   batched multifrontal factor/solve in JAX (MXU kernels)
+  parallel/  jax.sharding mesh distribution of elimination subtrees
+  native/    C/C++ host runtime (parsers, ingest, planning core)
+"""
+
+__version__ = "0.1.0"
+
+
+def enable_x64() -> None:
+    """Enable float64 (required for the 1e-10 residual contract; XLA emulates
+    f64 on TPU). Call before any jax array is created."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+
+from cholesky_tpu.api import SparseCholesky, solve_spd  # noqa: E402,F401

@@ -1,0 +1,48 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding logic is
+exercised without TPU hardware (the bench/driver runs the real chip). Must be
+set before jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import cholesky_tpu  # noqa: E402
+
+cholesky_tpu.enable_x64()
+
+import pathlib  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_TESTS = pathlib.Path("/root/reference/tests")
+
+FIXTURES = {
+    "lapl_9x9": ("lapl_3_2.mtx", "lapl_3_2_ord_2.txt", "lapl_3_2_clust_2.txt", "B_9x1.mtx"),
+    "lapl_25x25": ("lapl_5_2.mtx", "lapl_5_2_ord_3.txt", "lapl_5_2_clust_3.txt", "B_25x1.mtx"),
+    "lapl_400x400": ("lapl_20_2.mtx", "lapl_20_2_ord_5.txt", "lapl_20_2_clust_5.txt", "B_400x1.mtx"),
+    "lapl_3375x3375": ("lapl_15_3.mtx", "lapl_15_3_ord_5.txt", "lapl_15_3_clust_5.txt", "B_3375x1.mtx"),
+}
+
+
+def fixture_paths(name):
+    mtx, ordf, clustf, bf = FIXTURES[name]
+    d = REFERENCE_TESTS / name
+    return {
+        "mat": str(d / mtx),
+        "separators": str(d / ordf),
+        "clusters": str(d / clustf),
+        "b": str(d / bf),
+    }
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
