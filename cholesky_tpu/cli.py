@@ -1,0 +1,165 @@
+"""Command-line driver, flag-compatible with the reference solver binary.
+
+The reference is driven as `regent.py mmat.rg -i M.mtx -s ord.txt -c clust.txt
+-b B.mtx -o sol.txt -m factor.mtx [-p perm.mtx] [-d dbgdir] [--iterations N]`
+plus Legion/Realm runtime flags (mmat.rg:1072-1093; test_matrices.py:23-35).
+This driver accepts the same flags; Legion-specific runtime flags (-ll:cpu,
+-ll:csize, -fflow, -fcuda, -lg:*) are accepted and ignored so the reference's
+test harness command lines work verbatim.
+
+Run: python -m cholesky_tpu.cli -i M.mtx -s ord.txt -c clust.txt -b B.mtx -o sol.txt
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+_LEGION_PREFIXES = ("-ll:", "-lg:", "-level", "-logfile")
+_LEGION_FLAGS_WITH_ARG = {"-fflow", "-fcuda", "-fopenmp", "-fjobs"}
+
+
+def parse_args(argv):
+    """Hand-rolled argv scan mirroring mmat.rg:1072-1093."""
+    opts = {
+        "matrix_file": "", "separator_file": "", "clusters_file": "",
+        "b_file": "", "solution_file": "", "factor_file": "",
+        "permuted_matrix_file": "", "debug_path": "", "debug": False,
+        "iterations": 1, "dtype": "float64", "devices": 0, "bench": False,
+    }
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-i":
+            opts["matrix_file"] = argv[i + 1]; i += 2
+        elif a == "-s":
+            opts["separator_file"] = argv[i + 1]; i += 2
+        elif a == "-c":
+            opts["clusters_file"] = argv[i + 1]; i += 2
+        elif a == "-m":
+            opts["factor_file"] = argv[i + 1]; i += 2
+        elif a == "-p":
+            opts["permuted_matrix_file"] = argv[i + 1]; i += 2
+        elif a == "-o":
+            opts["solution_file"] = argv[i + 1]; i += 2
+        elif a == "-b":
+            opts["b_file"] = argv[i + 1]; i += 2
+        elif a == "-d":
+            opts["debug_path"] = argv[i + 1]; opts["debug"] = True; i += 2
+        elif a == "--iterations":
+            opts["iterations"] = int(argv[i + 1]); i += 2
+        elif a == "--dtype":
+            opts["dtype"] = argv[i + 1]; i += 2
+        elif a == "--devices":
+            opts["devices"] = int(argv[i + 1]); i += 2
+        elif a == "--bench":
+            opts["bench"] = True; i += 1
+        elif a in _LEGION_FLAGS_WITH_ARG or a.startswith(_LEGION_PREFIXES):
+            # Legion runtime passthroughs — accepted, ignored
+            i += 2 if i + 1 < len(argv) else 1
+        else:
+            i += 1
+    return opts
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    opts = parse_args(argv)
+
+    import cholesky_tpu
+
+    if opts["dtype"] == "float64":
+        cholesky_tpu.enable_x64()
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/cholesky_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from cholesky_tpu import SparseCholesky
+    from cholesky_tpu.io import mmio
+
+    if not opts["matrix_file"] or not opts["separator_file"]:
+        print("usage: python -m cholesky_tpu.cli -i matrix.mtx -s ord.txt "
+              "[-c clust.txt] [-b B.mtx] [-o solution.txt] [-m factor.mtx] "
+              "[-p permuted.mtx] [-d debug_dir] [--iterations N] "
+              "[--dtype float64|float32] [--devices N]")
+        return 2
+
+    print(f"Iterations: {opts['iterations']}")
+    banner = mmio.read_banner(opts["matrix_file"])
+    print(f"M: {banner.rows} N: {banner.cols} nz: {banner.nnz} "
+          f"typecode: {banner.typecode}")
+
+    dtype = np.dtype(opts["dtype"])
+    solver = SparseCholesky.from_files(
+        opts["matrix_file"], opts["separator_file"],
+        opts["clusters_file"] or None, dtype=dtype)
+    plan = solver.plan
+    print(f"levels: {plan.levels}")
+    print(f"separators: {plan.num_separators}")
+
+    if opts["debug"]:
+        from cholesky_tpu.symbolic import fill as fillmod
+        from cholesky_tpu.verify import debuglog, schedule
+
+        fa = fillmod.analyze_fill(plan, solver.rows, solver.cols, solver.vals)
+        ops = schedule.generate_schedule(fa)
+        log_path = debuglog.write_structure_log(
+            plan, opts["debug_path"], fa, ops)
+        print(f"debug log: {log_path}")
+
+    if opts["permuted_matrix_file"]:
+        pmat = solver.permuted_dense()
+        print(f"saving matrix to: {opts['permuted_matrix_file']}\n")
+        mmio.write_dense_coo(opts["permuted_matrix_file"], pmat,
+                             symmetry=banner.symmetry)
+
+    print("Done fill.")
+
+    import jax
+
+    factor_times = []
+    for iteration in range(opts["iterations"]):
+        solver.assemble()
+        t0 = time.perf_counter()
+        panels = solver.factorize()
+        jax.block_until_ready(panels)
+        dt = time.perf_counter() - t0
+        factor_times.append(dt)
+        print(f"Done factoring Iteration: {iteration}.")
+        print(f"FACTOR: {{'op': 'factor', 'iteration': {iteration}, "
+              f"'time_s': {dt:.6f}}}")
+
+    if opts["factor_file"]:
+        ldense = solver.factor_dense()
+        print(f"saving matrix to: {opts['factor_file']}\n")
+        mmio.write_dense_coo(opts["factor_file"], ldense,
+                             symmetry=banner.symmetry)
+
+    if opts["b_file"]:
+        b = mmio.read_array(opts["b_file"]).reshape(-1)
+        t0 = time.perf_counter()
+        x = solver.solve(b)
+        solve_t = time.perf_counter() - t0
+        print("Done solve.")
+        print(f"SOLVE: {{'op': 'solve', 'time_s': {solve_t:.6f}, "
+              f"'residual': {solver.residual(b, x):.3e}}}")
+        if opts["solution_file"]:
+            print(f"Saving solution to: {opts['solution_file']}")
+            with open(opts["solution_file"], "w") as f:
+                for v in x:
+                    f.write(f"{v:.17g}\n")
+
+    if opts["bench"]:
+        import json
+
+        best = min(factor_times)
+        print(json.dumps({"metric": "factor_wall_s", "value": best,
+                          "unit": "s"}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

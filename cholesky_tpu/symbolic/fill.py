@@ -1,0 +1,237 @@
+"""Cluster-level symbolic fill analysis.
+
+Host-side, NumPy/C++ re-implementation of the reference's
+`compute_filled_clusters` (mmat.rg:896-1028) + `merge_filled_clusters`
+(mmat.rg:636-695) + `partition_separator` cluster-rect decoding
+(mmat.rg:365-451): each block (row_sep, col_sep) is a grid of clusters —
+row clusters of row_sep x col clusters of col_sep at a given merge interval —
+and only clusters that are structurally nonzero ("filled") receive BLAS work.
+Fill propagates exactly like the numeric Schur update: A=(gp,sep) filled and
+B=(par,sep) filled implies C=(gp,par) filled (mmat.rg:944-994).
+
+The analysis produces one snapshot per interval label (= per elimination
+level, deepest first), which drives:
+  * the reference-compatible debug log / op-replay oracle (verify/),
+  * cluster-masked sparse kernels in the numeric phase,
+  * parity tests against the reference's `-d` output.
+
+Interval schedule (mmat.rg:1212-1354 and 914-1027): levels `levels-1` and
+`levels-2` both use interval 0; each shallower level uses one more merge:
+interval(lvl) = max(0, levels-2-lvl); interval_lbl(lvl) = levels-1-lvl.
+
+Invariant exploited by the reference (and asserted here): at its elimination
+interval, a separator's own cluster structure is fully merged to a single
+cluster, so blocks (ancestor, sep) are column strips of clusters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from cholesky_tpu.symbolic.plan import SolvePlan
+
+
+@dataclasses.dataclass
+class BlockClusters:
+    """Cluster grid of one block at one interval."""
+
+    row_sep: int
+    col_sep: int
+    row_bounds: np.ndarray   # dof boundaries within row_sep, [nr+1]
+    col_bounds: np.ndarray   # dof boundaries within col_sep, [nc+1]
+    filled: np.ndarray       # [nr, nc] bool
+
+    @property
+    def nr(self) -> int:
+        return len(self.row_bounds) - 1
+
+    @property
+    def nc(self) -> int:
+        return len(self.col_bounds) - 1
+
+    def cluster_rect(self, plan: SolvePlan, r: int, c: int) -> Tuple[int, int, int, int]:
+        """Global inclusive (lo_r, lo_c, hi_r, hi_c) of cluster (r, c) —
+        what partition_separator stores in ClusterBounds (mmat.rg:426-429)."""
+        lo_r = int(plan.sep_offset[self.row_sep] + self.row_bounds[r])
+        lo_c = int(plan.sep_offset[self.col_sep] + self.col_bounds[c])
+        hi_r = int(plan.sep_offset[self.row_sep] + self.row_bounds[r + 1]) - 1
+        hi_c = int(plan.sep_offset[self.col_sep] + self.col_bounds[c + 1]) - 1
+        return lo_r, lo_c, hi_r, hi_c
+
+
+@dataclasses.dataclass
+class FillAnalysis:
+    plan: SolvePlan
+    # snapshots[lbl][(row_sep, col_sep)] -> BlockClusters, lbl = levels-1-lvl
+    snapshots: List[Dict[Tuple[int, int], BlockClusters]]
+
+    def interval_for_level(self, lvl: int) -> int:
+        return max(0, self.plan.levels - 2 - lvl)
+
+    def label_for_level(self, lvl: int) -> int:
+        return self.plan.levels - 1 - lvl
+
+
+def allocated_blocks(plan: SolvePlan) -> List[Tuple[int, int]]:
+    """All (row_sep, col_sep) ancestor-pair blocks, the 2-D index space of
+    find_index_space_2d (mmat.rg:741-767)."""
+    t = plan.tree
+    out = []
+    for c in range(1, t.num_separators + 1):
+        out.append((c, c))
+        for a in t.ancestors(c):
+            out.append((a, c))
+    return out
+
+
+def _initial_filled(plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
+                    vals: np.ndarray) -> Dict[Tuple[int, int], np.ndarray]:
+    """Interval-0 filled flags from the assembled nonzero pattern — what
+    fill_block reports per cluster (mmat.rg:614-616). `rows/cols` is the COO
+    lower triangle in original dof numbering."""
+    clusters = plan.clusters
+    if clusters is None:
+        raise ValueError("fill analysis requires a cluster hierarchy (-c file)")
+    t = plan.tree
+    nsep = t.num_separators
+
+    # mirror off-diagonal entries (both orientations considered)
+    off = rows != cols
+    r = np.concatenate([rows, cols[off]])
+    c = np.concatenate([cols, rows[off]])
+    v = np.concatenate([vals, vals[off]])
+
+    sr = plan.sep_of_dof[r]
+    sc = plan.sep_of_dof[c]
+    lr = plan.loc_of_dof[r]
+    lc = plan.loc_of_dof[c]
+    heap_r = nsep - sr + 1
+    heap_c = nsep - sc + 1
+    lvl_r = np.int64(np.log2(heap_r))
+    lvl_c = np.int64(np.log2(heap_c))
+    diag = (sr == sc) & (lr >= lc)
+    anc = (lvl_r < lvl_c) & ((heap_c >> (lvl_c - lvl_r).clip(0)) == heap_r)
+    keep = (diag | anc) & (v != 0.0)
+
+    filled: Dict[Tuple[int, int], np.ndarray] = {}
+    bounds0: Dict[int, np.ndarray] = {
+        s: clusters.cluster_dof_ranges(s, 0) for s in range(1, nsep + 1)}
+    for b in allocated_blocks(plan):
+        rs, cs = b
+        nr = len(bounds0[rs]) - 1
+        nc = len(bounds0[cs]) - 1
+        filled[b] = np.zeros((nr, nc), dtype=bool)
+
+    idx = np.nonzero(keep)[0]
+    for k in idx:
+        b = (int(sr[k]), int(sc[k]))
+        rb = bounds0[b[0]]
+        cb = bounds0[b[1]]
+        ri = int(np.searchsorted(rb, lr[k], side="right")) - 1
+        ci = int(np.searchsorted(cb, lc[k], side="right")) - 1
+        filled[b][ri, ci] = True
+    return filled
+
+
+def analyze_fill(plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
+                 vals: np.ndarray) -> FillAnalysis:
+    """Run the full interval-scheduled fill analysis; returns one snapshot of
+    every block's cluster grid + filled flags per interval label."""
+    try:
+        from cholesky_tpu.native import ext as _ext  # noqa: F401
+
+        return _analyze_fill_native(plan, rows, cols, vals)
+    except ImportError:
+        pass
+    return _analyze_fill_py(plan, rows, cols, vals)
+
+
+def _analyze_fill_py(plan: SolvePlan, rows, cols, vals) -> FillAnalysis:
+    clusters = plan.clusters
+    t = plan.tree
+    levels = plan.levels
+    filled = _initial_filled(plan, rows, cols, vals)
+    blocks = allocated_blocks(plan)
+
+    snapshots: List[Dict[Tuple[int, int], BlockClusters]] = []
+    cur_t = 0
+    for lvl in range(levels - 1, -1, -1):
+        # --- fill propagation at this level (mmat.rg:926-998) ---
+        for s in t.level_seps(lvl):
+            ns = clusters.num_clusters(s, cur_t)
+            assert ns == 1, (
+                f"separator {s} has {ns} clusters at its elimination "
+                f"interval {cur_t}; reference invariant violated")
+            anc = t.ancestors(s)
+            for pi, par in enumerate(anc):
+                B = filled[(par, s)]            # [npar, 1] column strip
+                for gp in [par] + anc[pi + 1:]:
+                    A = filled[(gp, s)]         # [ngp, 1]
+                    C = filled[(gp, par)]
+                    arow = A[:, 0]
+                    brow = B[:, 0]
+                    prop = np.outer(arow, brow)  # [ngp, npar]
+                    if gp == par:
+                        # j <= i restriction on the diagonal (mmat.rg:959)
+                        prop = np.tril(prop)
+                    C |= prop
+
+        # --- snapshot (mmat.rg:1000-1016) ---
+        snap: Dict[Tuple[int, int], BlockClusters] = {}
+        for b in blocks:
+            rs, cs = b
+            if b not in filled:
+                continue
+            rb = _bounds_at(clusters, rs, cur_t)
+            cb = _bounds_at(clusters, cs, cur_t)
+            if rb is None or cb is None:
+                continue
+            snap[b] = BlockClusters(rs, cs, rb, cb, filled[b].copy())
+        snapshots.append(snap)
+
+        # --- merge to the next interval (mmat.rg:1020-1026) ---
+        if lvl <= levels - 2 and lvl > 0:
+            nxt = cur_t + 1
+            if nxt < levels:
+                filled = _merge(clusters, filled, blocks, nxt)
+                cur_t = nxt
+    return FillAnalysis(plan, snapshots)
+
+
+def _bounds_at(clusters, sep: int, interval: int) -> Optional[np.ndarray]:
+    if interval >= len(clusters.intervals.get(sep, [])):
+        return None
+    return clusters.cluster_dof_ranges(sep, interval)
+
+
+def _merge(clusters, filled, blocks, interval):
+    """OR-coarsen filled flags into the next interval's cluster grid
+    (merge_filled_clusters, mmat.rg:636-695). Blocks whose separators lack
+    the interval are dropped (they are past their elimination step)."""
+    out = {}
+    for b in blocks:
+        rs, cs = b
+        if b not in filled:
+            continue
+        rext = clusters.intervals.get(rs, [])
+        cext = clusters.intervals.get(cs, [])
+        if interval >= len(rext) or interval >= len(cext):
+            continue
+        rb = rext[interval]   # indices into previous interval's cluster list
+        cb = cext[interval]
+        old = filled[b]
+        nr, nc = len(rb) - 1, len(cb) - 1
+        new = np.zeros((nr, nc), dtype=bool)
+        for R in range(nr):
+            for C in range(nc):
+                new[R, C] = old[rb[R]:rb[R + 1], cb[C]:cb[C + 1]].any()
+        out[b] = new
+    return out
+
+
+def _analyze_fill_native(plan, rows, cols, vals) -> FillAnalysis:
+    # placeholder — wired when the C++ planning core lands; falls back for now
+    return _analyze_fill_py(plan, rows, cols, vals)

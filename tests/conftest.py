@@ -17,6 +17,11 @@ import cholesky_tpu  # noqa: E402
 
 cholesky_tpu.enable_x64()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/cholesky_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pathlib  # noqa: E402
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,106 @@
+"""CLI driver tests — the reference's end-to-end harness contract
+(test_matrices.py:23-35: run the binary with -i/-s/-c/-b/-o/-m, then
+check_matrix + check_solution against SciPy)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import scipy.io
+import scipy.linalg
+
+from cholesky_tpu.io import mmio
+from tests.conftest import fixture_paths
+
+
+def run_cli(args, cwd=None):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo"
+    return subprocess.run(
+        [sys.executable, "-m", "cholesky_tpu.cli"] + args,
+        capture_output=True, text=True, env=env, cwd=cwd, timeout=600)
+
+
+def check_matrix(matrix_file, separator_file, factored_mat):
+    """verify.py:278-287 — factor file vs scipy cholesky of permuted matrix."""
+    from cholesky_tpu.io import ordering as ordio
+    from cholesky_tpu.symbolic.plan import build_plan, permute_matrix_dense
+
+    plan = build_plan(ordio.parse_ordering(separator_file))
+    a = mmio.read_dense(matrix_file)
+    pmat = permute_matrix_dense(plan, a)
+    l_numpy = scipy.linalg.cholesky(pmat + np.tril(pmat, -1).T, lower=True)
+    l_ours = np.tril(scipy.io.mmread(factored_mat).toarray())
+    return np.allclose(l_numpy, l_ours, rtol=1e-4, atol=1e-4)
+
+
+def check_solution(matrix_file, b_file, solution_file):
+    """verify.py:290-302 — solution file vs scipy solve."""
+    a = mmio.read_dense(matrix_file)
+    b = mmio.read_array(b_file)
+    sol = np.genfromtxt(solution_file).reshape(b.shape)
+    ref = scipy.linalg.solve(a, b)
+    return np.allclose(ref, sol, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("name", ["lapl_9x9", "lapl_25x25"])
+def test_cli_end_to_end(name, tmp_path):
+    p = fixture_paths(name)
+    sol = str(tmp_path / "solution.txt")
+    fac = str(tmp_path / "factored.mtx")
+    perm = str(tmp_path / "permuted.mtx")
+    # reference harness flags incl. Legion passthroughs (test_matrices.py:27)
+    r = run_cli(["-i", p["mat"], "-s", p["separators"], "-c", p["clusters"],
+                 "-b", p["b"], "-o", sol, "-m", fac, "-p", perm,
+                 "-fflow", "0", "-ll:cpu", "3", "-fcuda", "0"])
+    assert r.returncode == 0, r.stderr
+    assert "Done factoring" in r.stdout and "Done solve." in r.stdout
+    assert check_matrix(p["mat"], p["separators"], fac)
+    assert check_solution(p["mat"], p["b"], sol)
+    # permuted matrix dump equals golden permutation
+    from cholesky_tpu.io import ordering as ordio
+    from cholesky_tpu.symbolic.plan import build_plan, permute_matrix_dense
+
+    plan = build_plan(ordio.parse_ordering(p["separators"]))
+    a = mmio.read_dense(p["mat"])
+    pm = np.tril(scipy.io.mmread(perm).toarray())
+    np.testing.assert_allclose(pm, permute_matrix_dense(plan, a))
+
+
+def test_cli_iterations(tmp_path):
+    p = fixture_paths("lapl_9x9")
+    r = run_cli(["-i", p["mat"], "-s", p["separators"], "-c", p["clusters"],
+                 "--iterations", "2"])
+    assert r.returncode == 0, r.stderr
+    assert "Done factoring Iteration: 0." in r.stdout
+    assert "Done factoring Iteration: 1." in r.stdout
+
+
+def test_cli_debug_log(tmp_path):
+    p = fixture_paths("lapl_25x25")
+    dbg = str(tmp_path / "dbg")
+    r = run_cli(["-i", p["mat"], "-s", p["separators"], "-c", p["clusters"],
+                 "-d", dbg])
+    assert r.returncode == 0, r.stderr
+    log = os.path.join(dbg, "output")
+    assert os.path.exists(log)
+    # the log replays to the correct factor (the debug_factor oracle)
+    from cholesky_tpu.io import ordering as ordio
+    from cholesky_tpu.symbolic.plan import build_plan, permute_matrix_dense
+    from cholesky_tpu.verify import replay
+
+    plan = build_plan(ordio.parse_ordering(p["separators"]))
+    a = mmio.read_dense(p["mat"])
+    pmat = permute_matrix_dense(plan, a)
+    mat = replay.replay_log(pmat, log)
+    lref = scipy.linalg.cholesky(pmat + np.tril(pmat, -1).T, lower=True)
+    assert np.allclose(np.tril(mat), lref, rtol=1e-10, atol=1e-10)
+
+
+def test_cli_usage_error():
+    r = run_cli([])
+    assert r.returncode == 2
+    assert "usage:" in r.stdout
