@@ -26,18 +26,20 @@ class SparseCholesky:
     """
 
     def __init__(self, plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
-                 vals: np.ndarray, dtype=np.float64):
+                 vals: np.ndarray, dtype=np.float64, mesh=None):
         self.plan = plan
         self.rows, self.cols, self.vals = rows, cols, vals
         self.dtype = dtype
+        self.mesh = mesh            # optional jax.sharding.Mesh for multichip
         self.panels = None          # assembled (pre-factor) or factored panels
         self.factored = False
+        self._csr = None            # cached scipy CSR for residual/matvec
 
     # ------------------------------------------------------------------
     @classmethod
     def from_files(cls, matrix_file: str, separator_file: str,
                    clusters_file: Optional[str] = None, dtype=np.float64,
-                   pad_to: int = 8) -> "SparseCholesky":
+                   pad_to: int = 8, mesh=None) -> "SparseCholesky":
         ordng = ordio.parse_ordering(separator_file)
         clusters = ordio.parse_clusters(clusters_file) if clusters_file else None
         plan = build_plan(ordng, clusters, pad_to=pad_to)
@@ -49,11 +51,11 @@ class SparseCholesky:
         swap = c > r
         r2 = np.where(swap, c, r)
         c2 = np.where(swap, r, c)
-        return cls(plan, r2, c2, v, dtype=dtype)
+        return cls(plan, r2, c2, v, dtype=dtype, mesh=mesh)
 
     @classmethod
     def from_coo(cls, n: int, rows, cols, vals, ordng: ordio.Ordering,
-                 clusters=None, dtype=np.float64, pad_to: int = 8):
+                 clusters=None, dtype=np.float64, pad_to: int = 8, mesh=None):
         plan = build_plan(ordng, clusters, pad_to=pad_to)
         if plan.n != n:
             raise ValueError("ordering does not cover the matrix dimension")
@@ -63,14 +65,19 @@ class SparseCholesky:
         swap = cols > rows
         r2 = np.where(swap, cols, rows)
         c2 = np.where(swap, rows, cols)
-        return cls(plan, r2, c2, vals, dtype=dtype)
+        return cls(plan, r2, c2, vals, dtype=dtype, mesh=mesh)
 
     # ------------------------------------------------------------------
     def assemble(self) -> List[np.ndarray]:
         """(Re)build the panel buffers from the COO input (the reference's
         fill loop, mmat.rg:1175-1183; re-run per --iterations, mmat.rg:1216)."""
-        self.panels = assemble.assemble_panels(
+        panels = assemble.assemble_panels(
             self.plan, self.rows, self.cols, self.vals, dtype=self.dtype)
+        if self.mesh is not None:
+            from cholesky_tpu.parallel.mesh import distribute_panels
+
+            panels = distribute_panels(self.plan, panels, self.mesh)
+        self.panels = panels
         self.factored = False
         return self.panels
 
@@ -81,13 +88,53 @@ class SparseCholesky:
         self.factored = True
         return self.panels
 
-    def solve(self, b: np.ndarray) -> np.ndarray:
-        """Solve A x = b; b and x are in ORIGINAL dof order."""
+    def _solve_once(self, b: np.ndarray) -> np.ndarray:
         if not self.factored:
             self.factorize()
         blv = assemble.assemble_rhs(self.plan, b, dtype=self.dtype)
+        if self.mesh is not None:
+            from cholesky_tpu.parallel.mesh import distribute_rhs
+
+            blv = distribute_rhs(self.plan, blv, self.mesh)
         xlv = nfactor.solve(self.plan, self.panels, blv)
         return assemble.extract_solution(self.plan, [np.asarray(x) for x in xlv])
+
+    def solve(self, b: np.ndarray, refine: str = "auto", tol: float = 1e-12,
+              max_iter: int = 50) -> np.ndarray:
+        """Solve A x = b; b and x are in ORIGINAL dof order.
+
+        refine: 'auto' runs mixed-precision iterative refinement when the
+        factor is below float64 — the standard recipe for hitting the 1e-10
+        residual contract with a fast low-precision factorization (factor in
+        fp32 on the MXU, residual in f64, repeat). 'never' disables it,
+        'always' forces it even for f64 factors.
+        """
+        b = np.asarray(b, dtype=np.float64).reshape(-1)
+        x = self._solve_once(b).astype(np.float64)
+        want_ir = refine == "always" or (
+            refine == "auto" and np.dtype(self.dtype) != np.float64)
+        if not want_ir:
+            return x
+        a = self._matrix_csr()
+        bnorm = np.linalg.norm(b)
+        for _ in range(max_iter):
+            r = b - a @ x
+            if np.linalg.norm(r) <= tol * bnorm:
+                break
+            x = x + self._solve_once(r).astype(np.float64)
+        return x
+
+    def _matrix_csr(self):
+        if self._csr is None:
+            import scipy.sparse
+
+            off = self.rows != self.cols
+            r = np.concatenate([self.rows, self.cols[off]])
+            c = np.concatenate([self.cols, self.rows[off]])
+            v = np.concatenate([self.vals, self.vals[off]])
+            self._csr = scipy.sparse.csr_matrix(
+                (v, (r, c)), shape=(self.plan.n, self.plan.n))
+        return self._csr
 
     # ------------------------------------------------------------------
     def factor_dense(self) -> np.ndarray:
@@ -108,12 +155,8 @@ class SparseCholesky:
 
     def residual(self, b: np.ndarray, x: np.ndarray) -> float:
         """Relative residual ||Ax-b|| / ||b|| against the original COO matrix."""
-        n = self.plan.n
-        ax = np.zeros(n)
-        np.add.at(ax, self.rows, self.vals * x[self.cols])
-        off = self.rows != self.cols
-        np.add.at(ax, self.cols[off], self.vals[off] * x[self.rows[off]])
         b = np.asarray(b).reshape(-1)
+        ax = self._matrix_csr() @ np.asarray(x).reshape(-1)
         return float(np.linalg.norm(ax - b) / np.linalg.norm(b))
 
 

@@ -68,17 +68,21 @@ def factor_panels(plan: SolvePlan, panels: Sequence[jax.Array]) -> Tuple[jax.Arr
         if lvl == 0 or X is None:
             continue
 
-        # Schur update: U = X X^T over the whole ancestor path, built once.
-        U = jnp.einsum("bik,bjk->bij", X, X,
-                       preferred_element_type=X.dtype)
-
+        # Schur update, slab-wise: only the (ancestor-row, ancestor-col)
+        # block products that land in the lower triangle are computed — the
+        # full update matrix X X^T is never materialized (it would be
+        # O(B * path^2) HBM at leaf levels) and the strictly-upper block
+        # products are never built (the SYRK symmetry saving, blas.rg:187).
         slots = jnp.arange(1 << lvl)
         for lam_p in range(lvl - 1, -1, -1):      # target panel level (column sep)
             seg = slots >> (lvl - lam_p)
             co = u_off[lvl][lam_p]
+            Xp = X[:, co:co + S[lam_p], :]
             for lam_g in range(lam_p, -1, -1):    # row sep level within target panel
                 ro_u = u_off[lvl][lam_g]
-                slab = U[:, ro_u:ro_u + S[lam_g], co:co + S[lam_p]]
+                Xg = X[:, ro_u:ro_u + S[lam_g], :] if lam_g != lam_p else Xp
+                slab = jnp.einsum("bik,bjk->bij", Xg, Xp,
+                                  preferred_element_type=X.dtype)
                 contrib = jax.ops.segment_sum(
                     slab, seg, num_segments=1 << lam_p, indices_are_sorted=True)
                 if lam_g == lam_p:

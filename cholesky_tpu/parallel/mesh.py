@@ -1,0 +1,66 @@
+"""Multi-chip distribution over a jax.sharding.Mesh.
+
+TPU-native replacement for the reference's Legion mapper + Realm data
+movement (cholesky.cc:28-91 places per-block tasks; Realm moves regions).
+Here the elimination tree itself is the distribution: each level's panel
+array [2^L, H, W] is sharded over its slot (separator) axis of a 1-D device
+mesh, so independent subtrees land on different chips — the analogue of the
+reference's per-separator index launches spread across Legion processors
+(mmat.rg:1240-1294). Extend-add contributions that cross subtree boundaries
+become XLA collectives over ICI, inserted automatically by GSPMD from the
+sharding annotations (segment-sum over slots>>k in numeric/factor.py).
+
+Shallow levels (fewer separators than chips) are replicated: every chip
+redundantly factors the top fronts, which removes all communication from the
+top of the tree at the cost of duplicate FLOPs — the standard trade for
+small root fronts. (A block-cyclic collective root factorization for very
+large root fronts is the planned extension.)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cholesky_tpu.symbolic.plan import SolvePlan
+
+TREE_AXIS = "tree"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (TREE_AXIS,))
+
+
+def panel_sharding(mesh: Mesh, level: int) -> NamedSharding:
+    """Sharding for a level's [2^L, H, W] panel array: slot-sharded when the
+    level is wide enough, replicated otherwise."""
+    ndev = int(mesh.devices.size)
+    nslots = 1 << level
+    if nslots >= ndev and nslots % ndev == 0:
+        return NamedSharding(mesh, P(TREE_AXIS, None, None))
+    return NamedSharding(mesh, P(None, None, None))
+
+
+def rhs_sharding(mesh: Mesh, level: int) -> NamedSharding:
+    ndev = int(mesh.devices.size)
+    nslots = 1 << level
+    if nslots >= ndev and nslots % ndev == 0:
+        return NamedSharding(mesh, P(TREE_AXIS, None))
+    return NamedSharding(mesh, P(None, None))
+
+
+def distribute_panels(plan: SolvePlan, panels: Sequence, mesh: Mesh) -> List[jax.Array]:
+    return [jax.device_put(p, panel_sharding(mesh, lvl))
+            for lvl, p in enumerate(panels)]
+
+
+def distribute_rhs(plan: SolvePlan, b: Sequence, mesh: Mesh) -> List[jax.Array]:
+    return [jax.device_put(x, rhs_sharding(mesh, lvl))
+            for lvl, x in enumerate(b)]

@@ -7,11 +7,7 @@ set before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import cholesky_tpu  # noqa: E402
 
@@ -19,6 +15,10 @@ cholesky_tpu.enable_x64()
 
 import jax  # noqa: E402
 
+# this image's jax build force-prepends the TPU platform regardless of
+# JAX_PLATFORMS; override via config so tests run on 8 virtual CPU devices
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir", "/tmp/cholesky_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
