@@ -71,13 +71,14 @@ def read_coo(path: str):
     banner = read_banner(path)
     if banner.format != "coordinate":
         raise MMIOError(f"{path}: expected coordinate format, got {banner.format}")
-    try:
-        from cholesky_tpu.native import ext as _ext
+    if banner.field != "pattern":      # native fscanf path needs 3 columns
+        try:
+            from cholesky_tpu.native import ext as _ext
 
-        rows, cols, vals = _ext.read_coo_body(path, banner.nnz)
-        return banner, rows, cols, vals
-    except ImportError:
-        pass
+            rows, cols, vals = _ext.read_coo_body(path, banner.nnz)
+            return banner, rows, cols, vals
+        except ImportError:
+            pass
     # NumPy fallback path
     with open(path, "r") as f:
         lines = f.read().split("\n")

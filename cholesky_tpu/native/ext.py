@@ -1,0 +1,140 @@
+"""ctypes bindings for the native host runtime (libmndio.so).
+
+Importing this module raises ImportError when the library is absent and
+cannot be built — callers probe with `from cholesky_tpu.native import ext`
+and fall back to NumPy paths (the same layering as the reference, where
+Terra links libmmio.so/libcholesky.so at startup, mmat.rg:19,24).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libmndio.so")
+
+if not os.path.exists(_LIB_PATH):
+    try:
+        from cholesky_tpu.native.build import build
+
+        build()
+    except Exception as e:  # noqa: BLE001
+        raise ImportError(f"libmndio.so unavailable: {e}") from e
+
+_lib = ctypes.CDLL(_LIB_PATH)
+
+_i64 = ctypes.c_int64
+_u64 = ctypes.c_uint64
+_dbl = ctypes.c_double
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_dblp = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+_lib.mnd_hash_sax.restype = _u64
+_lib.mnd_hash_sax.argtypes = [_u64]
+_lib.mnd_hash_fnv.restype = _u64
+_lib.mnd_hash_fnv.argtypes = [_u64]
+_lib.mnd_hash_ber.restype = _u64
+_lib.mnd_hash_ber.argtypes = [_u64]
+_lib.mnd_hash_oat.restype = _u64
+_lib.mnd_hash_oat.argtypes = [_u64]
+
+_lib.mm_read_coo_body.restype = _i64
+_lib.mm_read_coo_body.argtypes = [ctypes.c_char_p, _i64, _i64p, _i64p, _dblp]
+
+_lib.mm_write_coo.restype = _i64
+_lib.mm_write_coo.argtypes = [ctypes.c_char_p, ctypes.c_char_p, _i64, _i64,
+                              _i64, _i64p, _i64p, _dblp]
+
+_lib.mnd_build_hash_table.restype = None
+_lib.mnd_build_hash_table.argtypes = [_i64p, _i64p, _dblp, _i64, _u64, _i64,
+                                      _i64p, _dblp]
+
+_lib.mnd_hash_lookup.restype = _dbl
+_lib.mnd_hash_lookup.argtypes = [_i64p, _dblp, _i64, _u64, _i64, _i64]
+
+_lib.assemble_panels.restype = None
+_lib.assemble_panels.argtypes = [_i64p, _i64p, _dblp, _i64, _i64p, _i64p,
+                                 _i64, _i64, _i64p, _i64p, _i64p,
+                                 ctypes.POINTER(ctypes.c_void_p)]
+
+
+def hash_sax(key: int) -> int:
+    return int(_lib.mnd_hash_sax(_u64(key)))
+
+
+def hash_fnv(key: int) -> int:
+    return int(_lib.mnd_hash_fnv(_u64(key)))
+
+
+def hash_ber(key: int) -> int:
+    return int(_lib.mnd_hash_ber(_u64(key)))
+
+
+def hash_oat(key: int) -> int:
+    return int(_lib.mnd_hash_oat(_u64(key)))
+
+
+def read_coo_body(path: str, nnz: int):
+    rows = np.empty(nnz, dtype=np.int64)
+    cols = np.empty(nnz, dtype=np.int64)
+    vals = np.empty(nnz, dtype=np.float64)
+    got = _lib.mm_read_coo_body(path.encode(), _i64(nnz), rows, cols, vals)
+    if got < 0:
+        raise IOError(f"cannot read {path}")
+    if got != nnz:
+        raise IOError(f"{path}: expected {nnz} entries, read {got}")
+    return rows, cols, vals
+
+
+def write_coo(path: str, banner: str, m: int, n: int, rows, cols, vals):
+    got = _lib.mm_write_coo(path.encode(), banner.encode(), _i64(m), _i64(n),
+                            _i64(len(vals)), rows, cols, vals)
+    if got < 0:
+        raise IOError(f"cannot write {path}")
+
+
+def build_hash_table(rows, cols, vals, ncols: int, capacity: int):
+    """The reference's open-addressing COO table (mnd.c:152-199): returns
+    (tbl_idx [cap,2], tbl_val [cap]) with hash_sax + linear probing."""
+    tbl_idx = np.empty((capacity, 2), dtype=np.int64)
+    tbl_val = np.empty(capacity, dtype=np.float64)
+    _lib.mnd_build_hash_table(
+        np.ascontiguousarray(rows, np.int64),
+        np.ascontiguousarray(cols, np.int64),
+        np.ascontiguousarray(vals, np.float64),
+        _i64(len(vals)), _u64(ncols), _i64(capacity),
+        tbl_idx.reshape(-1), tbl_val)
+    return tbl_idx, tbl_val
+
+
+def hash_lookup(tbl_idx, tbl_val, ncols: int, i: int, j: int) -> float:
+    """Probe the table (search, mmat.rg:502-527)."""
+    return float(_lib.mnd_hash_lookup(
+        np.ascontiguousarray(tbl_idx.reshape(-1), np.int64),
+        np.ascontiguousarray(tbl_val, np.float64),
+        _i64(len(tbl_val)), _u64(ncols), _i64(i), _i64(j)))
+
+
+def assemble_panels(rows, cols, vals, sep_of, loc_of, nsep, levels, row_off,
+                    panels) -> None:
+    """Scatter COO entries into the per-level panel buffers in place."""
+    ptrs = (ctypes.c_void_p * len(panels))()
+    H = np.empty(len(panels), dtype=np.int64)
+    S = np.empty(len(panels), dtype=np.int64)
+    for i, p in enumerate(panels):
+        assert p.dtype == np.float64 and p.flags["C_CONTIGUOUS"]
+        ptrs[i] = p.ctypes.data_as(ctypes.c_void_p)
+        H[i] = p.shape[1]
+        S[i] = p.shape[2]
+    _lib.assemble_panels(
+        np.ascontiguousarray(rows, np.int64),
+        np.ascontiguousarray(cols, np.int64),
+        np.ascontiguousarray(vals, np.float64),
+        _i64(len(vals)),
+        np.ascontiguousarray(sep_of, np.int64),
+        np.ascontiguousarray(loc_of, np.int64),
+        _i64(int(nsep)), _i64(int(levels)),
+        np.ascontiguousarray(row_off, np.int64), H, S, ptrs)

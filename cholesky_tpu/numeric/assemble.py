@@ -67,7 +67,14 @@ def assemble_panels(plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
         return panels
     except ImportError:
         pass
+    return assemble_panels_numpy(plan, rows, cols, vals, dtype=dtype,
+                                 check_structure=check_structure)
 
+
+def assemble_panels_numpy(plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
+                          vals: np.ndarray, dtype=np.float64,
+                          check_structure: bool = False) -> List[np.ndarray]:
+    """Pure-NumPy assembly (fallback and parity oracle for the native path)."""
     off = rows != cols
     r = np.concatenate([rows, cols[off]])
     c = np.concatenate([cols, rows[off]])

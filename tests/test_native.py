@@ -1,0 +1,106 @@
+"""Native C++ host-runtime tests: hash parity, MatrixMarket parsing parity,
+hashed-COO-table semantics (mnd.c:152-199), and assembly parity with the
+NumPy oracle."""
+
+import math
+
+import numpy as np
+import pytest
+
+try:
+    from cholesky_tpu.native import ext
+except ImportError:                                  # toolchain missing
+    ext = None
+
+pytestmark = pytest.mark.skipif(ext is None, reason="native ext unavailable")
+
+from cholesky_tpu.io import mmio, ordering as ordio
+from cholesky_tpu.numeric import assemble as asm
+from cholesky_tpu.symbolic.plan import build_plan
+from cholesky_tpu.utils.laplacian import generate_problem
+from tests.conftest import fixture_paths
+
+
+def hash_sax_py(key: int) -> int:
+    """Reference model of uthash.h HASH_SAX over the 8 key bytes."""
+    h = 0
+    for i in range(8):
+        b = (key >> (8 * i)) & 0xFF
+        h = (h ^ ((h << 5) + (h >> 2) + b)) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def hash_ber_py(key: int) -> int:
+    h = 0
+    for i in range(8):
+        h = (h * 33 + ((key >> (8 * i)) & 0xFF)) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+@pytest.mark.parametrize("key", [0, 1, 7, 12345, 2**40 + 17, 2**63 - 1])
+def test_hash_functions_match_models(key):
+    assert ext.hash_sax(key) == hash_sax_py(key)
+    assert ext.hash_ber(key) == hash_ber_py(key)
+
+
+def test_read_coo_matches_python():
+    p = fixture_paths("lapl_400x400")["mat"]
+    banner = mmio.read_banner(p)
+    r, c, v = ext.read_coo_body(p, banner.nnz)
+    # numpy fallback path (bypass native)
+    with open(p) as f:
+        lines = f.read().split("\n")
+    i = 0
+    while lines[i].startswith("%"):
+        i += 1
+    data = np.loadtxt(lines[i + 1:i + 1 + banner.nnz])
+    np.testing.assert_array_equal(r, data[:, 0].astype(np.int64) - 1)
+    np.testing.assert_array_equal(c, data[:, 1].astype(np.int64) - 1)
+    np.testing.assert_allclose(v, data[:, 2])
+
+
+def test_write_coo_roundtrip(tmp_path):
+    rows = np.array([0, 2, 5], dtype=np.int64)
+    cols = np.array([0, 1, 5], dtype=np.int64)
+    vals = np.array([1.5, -2.25, 1e-17])
+    f = str(tmp_path / "w.mtx")
+    ext.write_coo(f, "%%MatrixMarket matrix coordinate real hermitian",
+                  6, 6, rows, cols, vals)
+    banner, r, c, v = mmio.read_coo(f)
+    np.testing.assert_array_equal(r, rows)
+    np.testing.assert_array_equal(c, cols)
+    np.testing.assert_allclose(v, vals)
+
+
+def test_hash_table_reference_semantics():
+    """Build the open-addressing table exactly as mnd.c does and probe it
+    exactly as mmat.rg's search() does — every original entry retrievable,
+    absent entries return 0."""
+    p = fixture_paths("lapl_25x25")["mat"]
+    banner, r, c, v = mmio.read_coo(p)
+    cap = int(math.ceil(banner.nnz / 0.75))          # mmat.rg:1125
+    ti, tv = ext.build_hash_table(r, c, v, banner.cols, cap)
+    for i, j, val in zip(r, c, v):
+        assert ext.hash_lookup(ti, tv, banner.cols, int(i), int(j)) == val
+    assert ext.hash_lookup(ti, tv, banner.cols, 0, 25 - 1) == 0.0
+
+
+@pytest.mark.parametrize("name", ["lapl_9x9", "lapl_400x400"])
+def test_assembly_parity_fixture(name):
+    p = fixture_paths(name)
+    o = ordio.parse_ordering(p["separators"])
+    plan = build_plan(o)
+    _, r, c, v = mmio.read_coo(p["mat"])
+    native = asm.assemble_panels(plan, r, c, v)
+    numpy_ = asm.assemble_panels_numpy(plan, r, c, v)
+    for a, b in zip(native, numpy_):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_assembly_parity_generated():
+    n, r, c, v, o, cl, _ = generate_problem((13, 11, 7), 5)
+    plan = build_plan(o, cl)
+    native = asm.assemble_panels(plan, r, c, v)
+    numpy_ = asm.assemble_panels_numpy(plan, r, c, v)
+    for a, b in zip(native, numpy_):
+        np.testing.assert_array_equal(a, b)
