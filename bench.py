@@ -68,8 +68,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from cholesky_tpu import SparseCholesky
-    from cholesky_tpu.numeric import assemble as asm
-    from cholesky_tpu.numeric.factor import _plan_key, factor_panels
+    from cholesky_tpu.numeric import frontal
     from cholesky_tpu.symbolic import fill as fillmod
     from cholesky_tpu.utils.laplacian import generate_problem
     from cholesky_tpu.verify import schedule as schedmod
@@ -113,21 +112,25 @@ def main(argv=None):
                           "wall_s": round(dt, 3)}))
         return 0
 
-    # --- assemble and ship to device ---
+    # --- frontal symbolic plan, assemble, ship to device ---
     t0 = time.time()
-    panels = asm.assemble_panels(plan, solver.rows, solver.cols, solver.vals,
-                                 dtype=dtype)
-    panels = tuple(jax.device_put(jnp.asarray(p)) for p in panels)
-    jax.block_until_ready(panels)
-    print(f"# assemble+transfer {time.time()-t0:.1f}s", file=sys.stderr)
-
-    meta = _plan_key(plan)
+    fp = solver.fplan
+    fronts = frontal.assemble_fronts(fp, solver.rows, solver.cols,
+                                     solver.vals, dtype=dtype)
+    front_bytes = sum(f.nbytes for f in fronts)
+    print(f"# frontal plan+assemble {time.time()-t0:.1f}s, "
+          f"front buffers {front_bytes/2**30:.2f} GiB "
+          f"(F per level: {list(fp.F)})", file=sys.stderr)
+    t0 = time.time()
+    fronts = tuple(jax.device_put(jnp.asarray(f)) for f in fronts)
+    jax.block_until_ready(fronts)
+    print(f"# transfer {time.time()-t0:.1f}s", file=sys.stderr)
 
     @jax.jit
-    def factor_checksum(ps):
+    def factor_checksum(fs):
         # the checksum must touch EVERY output element, otherwise XLA
         # dead-code-eliminates whole subtrees of the factorization
-        out = factor_panels(plan, ps)
+        out = frontal.frontal_factor(fp, fs)
         return sum(jnp.sum(p.astype(jnp.float32)) for p in out)
 
     @jax.jit
@@ -136,7 +139,7 @@ def main(argv=None):
 
     # warm up (compile)
     t0 = time.time()
-    float(factor_checksum(panels))
+    float(factor_checksum(fronts))
     print(f"# factor compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
 
     floors = []
@@ -150,7 +153,7 @@ def main(argv=None):
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        float(factor_checksum(panels))
+        float(factor_checksum(fronts))
         times.append(time.perf_counter() - t0)
     t_factor = max(min(times) - floor, 1e-9)
 

@@ -26,20 +26,26 @@ class SparseCholesky:
     """
 
     def __init__(self, plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
-                 vals: np.ndarray, dtype=np.float64, mesh=None):
+                 vals: np.ndarray, dtype=np.float64, mesh=None,
+                 engine: str = "frontal"):
+        if engine not in ("frontal", "panels"):
+            raise ValueError(f"unknown engine {engine!r}")
         self.plan = plan
         self.rows, self.cols, self.vals = rows, cols, vals
         self.dtype = dtype
         self.mesh = mesh            # optional jax.sharding.Mesh for multichip
+        self.engine = engine
         self.panels = None          # assembled (pre-factor) or factored panels
         self.factored = False
         self._csr = None            # cached scipy CSR for residual/matvec
+        self._fplan = None          # frontal symbolic plan (engine='frontal')
 
     # ------------------------------------------------------------------
     @classmethod
     def from_files(cls, matrix_file: str, separator_file: str,
                    clusters_file: Optional[str] = None, dtype=np.float64,
-                   pad_to: int = 8, mesh=None) -> "SparseCholesky":
+                   pad_to: int = 8, mesh=None,
+                   engine: str = "frontal") -> "SparseCholesky":
         ordng = ordio.parse_ordering(separator_file)
         clusters = ordio.parse_clusters(clusters_file) if clusters_file else None
         plan = build_plan(ordng, clusters, pad_to=pad_to)
@@ -51,11 +57,12 @@ class SparseCholesky:
         swap = c > r
         r2 = np.where(swap, c, r)
         c2 = np.where(swap, r, c)
-        return cls(plan, r2, c2, v, dtype=dtype, mesh=mesh)
+        return cls(plan, r2, c2, v, dtype=dtype, mesh=mesh, engine=engine)
 
     @classmethod
     def from_coo(cls, n: int, rows, cols, vals, ordng: ordio.Ordering,
-                 clusters=None, dtype=np.float64, pad_to: int = 8, mesh=None):
+                 clusters=None, dtype=np.float64, pad_to: int = 8, mesh=None,
+                 engine: str = "frontal"):
         plan = build_plan(ordng, clusters, pad_to=pad_to)
         if plan.n != n:
             raise ValueError("ordering does not cover the matrix dimension")
@@ -65,32 +72,60 @@ class SparseCholesky:
         swap = cols > rows
         r2 = np.where(swap, cols, rows)
         c2 = np.where(swap, rows, cols)
-        return cls(plan, r2, c2, vals, dtype=dtype, mesh=mesh)
+        return cls(plan, r2, c2, vals, dtype=dtype, mesh=mesh, engine=engine)
 
     # ------------------------------------------------------------------
+    @property
+    def fplan(self):
+        if self._fplan is None:
+            from cholesky_tpu.numeric import frontal
+
+            self._fplan = frontal.build_frontal_plan(
+                self.plan, self.rows, self.cols)
+        return self._fplan
+
     def assemble(self) -> List[np.ndarray]:
-        """(Re)build the panel buffers from the COO input (the reference's
+        """(Re)build the numeric buffers from the COO input (the reference's
         fill loop, mmat.rg:1175-1183; re-run per --iterations, mmat.rg:1216)."""
-        panels = assemble.assemble_panels(
-            self.plan, self.rows, self.cols, self.vals, dtype=self.dtype)
+        if self.engine == "frontal":
+            from cholesky_tpu.numeric import frontal
+
+            buffers = frontal.assemble_fronts(
+                self.fplan, self.rows, self.cols, self.vals, dtype=self.dtype)
+        else:
+            buffers = assemble.assemble_panels(
+                self.plan, self.rows, self.cols, self.vals, dtype=self.dtype)
         if self.mesh is not None:
             from cholesky_tpu.parallel.mesh import distribute_panels
 
-            panels = distribute_panels(self.plan, panels, self.mesh)
-        self.panels = panels
+            buffers = distribute_panels(self.plan, buffers, self.mesh)
+        self.panels = buffers
         self.factored = False
         return self.panels
 
     def factorize(self):
         if self.panels is None or self.factored:
             self.assemble()
-        self.panels = nfactor.factor(self.plan, self.panels)
+        if self.engine == "frontal":
+            from cholesky_tpu.numeric import frontal
+
+            self.panels = frontal.factor(self.fplan, self.panels)
+        else:
+            self.panels = nfactor.factor(self.plan, self.panels)
         self.factored = True
         return self.panels
 
     def _solve_once(self, b: np.ndarray) -> np.ndarray:
         if not self.factored:
             self.factorize()
+        if self.engine == "frontal":
+            from cholesky_tpu.numeric import frontal
+
+            bp = np.asarray(b, dtype=self.dtype).reshape(-1)[self.plan.perm]
+            x_perm = np.asarray(frontal.solve(self.fplan, self.panels, bp))
+            x = np.empty(self.plan.n, dtype=x_perm.dtype)
+            x[self.plan.perm] = x_perm
+            return x
         blv = assemble.assemble_rhs(self.plan, b, dtype=self.dtype)
         if self.mesh is not None:
             from cholesky_tpu.parallel.mesh import distribute_rhs
@@ -141,6 +176,10 @@ class SparseCholesky:
         """The factor L as a dense lower-triangular array in permuted coords."""
         if not self.factored:
             self.factorize()
+        if self.engine == "frontal":
+            from cholesky_tpu.numeric import frontal
+
+            return frontal.extract_factor_dense(self.fplan, self.panels)
         return assemble.extract_factor_dense(
             self.plan, [np.asarray(p) for p in self.panels])
 

@@ -68,29 +68,26 @@ def factor_panels(plan: SolvePlan, panels: Sequence[jax.Array]) -> Tuple[jax.Arr
         if lvl == 0 or X is None:
             continue
 
-        # Schur update, slab-wise: only the (ancestor-row, ancestor-col)
-        # block products that land in the lower triangle are computed — the
-        # full update matrix X X^T is never materialized (it would be
-        # O(B * path^2) HBM at leaf levels) and the strictly-upper block
-        # products are never built (the SYRK symmetry saving, blas.rg:187).
+        # Schur update. Key layout property: a panel's rows are ordered
+        # [own, parent, grandparent, ..., root] and X's rows are ordered
+        # [parent, grandparent, ..., root], so for a target ancestor at
+        # level lam the contribution X[:, u_off(lam):, :] @ X_lam^T is a
+        # [B, H(lam), S(lam)] block that aligns with the ENTIRE target panel
+        # contiguously — one batched matmul + segment-sum + subtract per
+        # ancestor level, no slicing or scatter. The full update matrix
+        # X X^T is never materialized and strictly-upper block products are
+        # never computed (the SYRK saving, blas.rg:187).
         slots = jnp.arange(1 << lvl)
-        for lam_p in range(lvl - 1, -1, -1):      # target panel level (column sep)
-            seg = slots >> (lvl - lam_p)
-            co = u_off[lvl][lam_p]
-            Xp = X[:, co:co + S[lam_p], :]
-            for lam_g in range(lam_p, -1, -1):    # row sep level within target panel
-                ro_u = u_off[lvl][lam_g]
-                Xg = X[:, ro_u:ro_u + S[lam_g], :] if lam_g != lam_p else Xp
-                slab = jnp.einsum("bik,bjk->bij", Xg, Xp,
-                                  preferred_element_type=X.dtype)
-                contrib = jax.ops.segment_sum(
-                    slab, seg, num_segments=1 << lam_p, indices_are_sorted=True)
-                if lam_g == lam_p:
-                    dst_r = 0          # diagonal block of the ancestor panel
-                else:
-                    dst_r = row_off[lam_p][lam_g]
-                panels[lam_p] = panels[lam_p].at[
-                    :, dst_r:dst_r + S[lam_g], :].add(-contrib)
+        for lam in range(lvl - 1, -1, -1):        # target ancestor level
+            co = u_off[lvl][lam]
+            Xp = X[:, co:co + S[lam], :]
+            tail = X[:, co:, :]                    # rows for levels lam..0
+            contrib = jnp.einsum("bik,bjk->bij", tail, Xp,
+                                 preferred_element_type=X.dtype)
+            seg = slots >> (lvl - lam)
+            contrib = jax.ops.segment_sum(
+                contrib, seg, num_segments=1 << lam, indices_are_sorted=True)
+            panels[lam] = panels[lam] - contrib
 
     return tuple(panels)
 

@@ -1,0 +1,340 @@
+"""Batched multifrontal engine with exact row-level boundary structure.
+
+This is the production numeric engine. Where `factor.py`'s panel engine
+stores each separator against its FULL ancestor path (dense rows, zero-padded
+— simple but O(path) memory and FLOPs), this engine builds classical
+multifrontal *fronts*: for separator s, the dense square matrix over
+
+    front(s) = dofs(s)  ∪  bnd(s)
+
+where bnd(s) — the boundary — is the exact set of ancestor rows structurally
+nonzero in L's columns dofs(s): orig nonzeros of the (ancestor, s) strips
+unioned with the children's boundaries (the standard elimination-tree
+recurrence). Contributions flow one level at a time: each front's Schur
+complement U = X X^T − T (T = accumulated children updates in the trailing
+block) is *extend-added* into the parent's front through precomputed
+position maps — the TPU version of the reference's SYRK/GEMM accumulation
+chain (mmat.rg:1293-1346), with Legion's region movement replaced by static
+gathers + a sibling segment-sum.
+
+Everything is batched per tree level over [2^L, F, *] arrays with padded
+buckets; gathers/scatters use CONSTANT index arrays baked at trace time
+(sentinel index n routes padding to a dummy slot). Cluster-level sparsity is
+thus exploited at row granularity — tighter than the reference's cluster
+masks (blas.rg fused_* skip whole clusters; here every structurally-zero row
+is dropped from the front).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from cholesky_tpu.symbolic.plan import SolvePlan
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-max(x, 1) // m) * m
+
+
+@dataclasses.dataclass
+class FrontalPlan:
+    plan: SolvePlan
+    W: Tuple[int, ...]                 # padded pivot width per level (= plan.S)
+    F: Tuple[int, ...]                 # padded front size per level
+    front_rows: List[np.ndarray]       # per level: [B, F] global permuted row
+                                       # ids (pivot rows first, then sorted
+                                       # boundary), sentinel = n
+    inv_child: List[Optional[np.ndarray]]
+                                       # per level L: [B, F(L-1)] mapping each
+                                       # parent-front position to this child's
+                                       # boundary position, or bndK sentinel
+
+    @property
+    def levels(self) -> int:
+        return self.plan.levels
+
+    def key(self):
+        return (self.levels, self.W, self.F, self.plan.n)
+
+
+_FPLAN_CACHE = {}
+
+
+def build_frontal_plan(plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
+                       pad_to: int = 8) -> FrontalPlan:
+    """Symbolic frontal analysis: exact boundaries, front row lists, and
+    extend-add maps. `rows/cols` is the COO lower triangle in ORIGINAL dof
+    numbering (values not needed — this is structure only)."""
+    t = plan.tree
+    n = plan.n
+    nsep = t.num_separators
+
+    # permuted coordinates, lower triangle
+    pr = plan.iperm[rows]
+    pc = plan.iperm[cols]
+    swap = pc > pr
+    pr2 = np.where(swap, pc, pr)
+    pc2 = np.where(swap, pr, pc)
+
+    # separator of each permuted index
+    sep_of_perm = np.empty(n, dtype=np.int64)
+    for s in range(1, nsep + 1):
+        off = int(plan.sep_offset[s])
+        sep_of_perm[off:off + int(plan.sep_sizes[s])] = s
+
+    col_sep = sep_of_perm[pc2]
+    # original below-diagonal rows per column-separator
+    orig_rows = {s: [] for s in range(1, nsep + 1)}
+    for s in range(1, nsep + 1):
+        m = col_sep == s
+        rr = pr2[m]
+        hi = int(plan.sep_offset[s] + plan.sep_sizes[s])
+        orig_rows[s] = np.unique(rr[rr >= hi])
+
+    # bottom-up boundary recurrence (children have smaller sep numbers)
+    bnd = {}
+    for s in range(1, nsep + 1):
+        h = t.heap_of(s)
+        parts = [orig_rows[s]]
+        if 2 * h <= nsep:                       # internal node: two children
+            parts.append(bnd[t.sep_of(2 * h)])
+            parts.append(bnd[t.sep_of(2 * h + 1)])
+        u = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        hi = int(plan.sep_offset[s] + plan.sep_sizes[s])
+        bnd[s] = u[u >= hi]
+
+    levels = plan.levels
+    W = tuple(int(s) for s in plan.S)
+    F_list = []
+    front_rows = []
+    for lvl in range(levels):
+        B = 1 << lvl
+        bndK = max((len(bnd[t.sep_at(lvl, sl)]) for sl in range(B)),
+                   default=0)
+        Fl = W[lvl] + _round_up(bndK, pad_to) if bndK else W[lvl]
+        fr = np.full((B, Fl), n, dtype=np.int64)
+        for sl in range(B):
+            s = t.sep_at(lvl, sl)
+            off = int(plan.sep_offset[s])
+            sz = int(plan.sep_sizes[s])
+            fr[sl, :sz] = np.arange(off, off + sz)
+            bs = bnd[s]
+            fr[sl, W[lvl]:W[lvl] + len(bs)] = bs
+        F_list.append(Fl)
+        front_rows.append(fr)
+
+    inv_child: List[Optional[np.ndarray]] = [None] * levels
+    for lvl in range(1, levels):
+        B = 1 << lvl
+        Fp = F_list[lvl - 1]
+        bndK = F_list[lvl] - W[lvl]
+        inv = np.full((B, Fp), bndK, dtype=np.int32)
+        for sl in range(B):
+            s = t.sep_at(lvl, sl)
+            c_bnd = bnd[s]
+            if len(c_bnd) == 0:
+                continue
+            prow = front_rows[lvl - 1][sl >> 1]
+            # position of each parent-front row in this child's boundary
+            pos = np.searchsorted(c_bnd, prow)
+            pos_ok = pos < len(c_bnd)
+            hit = np.zeros(Fp, dtype=bool)
+            hit[pos_ok] = c_bnd[pos[pos_ok]] == prow[pos_ok]
+            inv[sl, hit] = pos[hit]
+            # every child boundary row must appear in the parent front
+            assert hit.sum() == len(c_bnd), (
+                f"extend-add: child sep {s} boundary not covered by parent front")
+        inv_child[lvl] = inv
+
+    fp = FrontalPlan(plan, W, tuple(F_list), front_rows, inv_child)
+    _FPLAN_CACHE[fp.key()] = fp
+    return fp
+
+
+# ---------------------------------------------------------------------------
+# Host assembly
+
+
+def assemble_fronts(fp: FrontalPlan, rows: np.ndarray, cols: np.ndarray,
+                    vals: np.ndarray, dtype=np.float32) -> List[np.ndarray]:
+    """Scatter original entries into the pivot-column slabs [B, F, W] of each
+    level's fronts (original entries only ever live in pivot columns; the
+    trailing block is filled by extend-add on device). Padded pivot diagonal
+    entries are set to 1 (well-posed Cholesky under padding)."""
+    plan = fp.plan
+    t = plan.tree
+    pr = plan.iperm[rows]
+    pc = plan.iperm[cols]
+    swap = pc > pr
+    pr2 = np.where(swap, pc, pr)
+    pc2 = np.where(swap, pr, pc)
+
+    out = []
+    for lvl in range(plan.levels):
+        B = 1 << lvl
+        Fl, Wl = fp.F[lvl], fp.W[lvl]
+        arr = np.zeros((B, Fl, Wl), dtype=dtype)
+        for sl in range(B):
+            s = t.sep_at(lvl, sl)
+            off = int(plan.sep_offset[s])
+            sz = int(plan.sep_sizes[s])
+            m = (pc2 >= off) & (pc2 < off + sz)
+            if m.any():
+                fr = fp.front_rows[lvl][sl]
+                pos = np.searchsorted(fr[Wl:], pr2[m])
+                in_piv = pr2[m] < off + sz
+                rpos = np.where(in_piv, pr2[m] - off, Wl + pos)
+                arr[sl, rpos, pc2[m] - off] = vals[m]
+            if sz < Wl:
+                idx = np.arange(sz, Wl)
+                arr[sl, idx, idx] = 1.0
+        out.append(arr)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Device factor / solve
+
+
+def _expand_child_updates(fp: FrontalPlan, U, child_lvl: int):
+    """Gather each child's padded update matrix into the parent front index
+    space and sum sibling pairs: [2B, K, K] -> [B, F(parent), F(parent)]."""
+    inv = jnp.asarray(fp.inv_child[child_lvl])            # [2B, Fp]
+    Upad = jnp.pad(U, ((0, 0), (0, 1), (0, 1)))           # sentinel row/col
+    e1 = jnp.take_along_axis(Upad, inv[:, :, None], axis=1)
+    e = jnp.take_along_axis(e1, inv[:, None, :], axis=2)  # [2B, Fp, Fp]
+    seg = jnp.arange(inv.shape[0]) >> 1
+    return jax.ops.segment_sum(e, seg, num_segments=inv.shape[0] // 2,
+                               indices_are_sorted=True)
+
+
+def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array]
+                   ) -> Tuple[jax.Array, ...]:
+    """Factor all fronts level by level; returns per-level [B, F, W] factors
+    (pivot Cholesky stacked over the solved boundary strip)."""
+    levels = fp.levels
+    out: List[jax.Array] = [None] * levels
+    U = None
+    for lvl in range(levels - 1, -1, -1):
+        Wl, Fl = fp.W[lvl], fp.F[lvl]
+        piv = fronts[lvl]                                  # [B, F, W]
+        B = piv.shape[0]
+        if U is not None:
+            esum = _expand_child_updates(fp, U, lvl + 1)   # [B, F, F]
+            full = jnp.concatenate(
+                [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2) - esum
+        else:
+            full = jnp.concatenate(
+                [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2)
+        Ld = lax.linalg.cholesky(full[:, :Wl, :Wl], symmetrize_input=False)
+        if Fl > Wl:
+            X = lax.linalg.triangular_solve(
+                Ld, full[:, Wl:, :Wl], left_side=False, lower=True,
+                transpose_a=True)
+            out[lvl] = jnp.concatenate([Ld, X], axis=1)
+            if lvl > 0:
+                U = jnp.einsum("bik,bjk->bij", X, X,
+                               preferred_element_type=X.dtype) \
+                    - full[:, Wl:, Wl:]
+        else:
+            out[lvl] = Ld
+            if lvl > 0:
+                U = jnp.zeros((B, 0, 0), piv.dtype)
+    return tuple(out)
+
+
+def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
+                  b_perm: jax.Array) -> jax.Array:
+    """Forward + backward substitution against the frontal factors. `b_perm`
+    is the RHS in PERMUTED order, [n]; returns x in permuted order."""
+    plan = fp.plan
+    n = plan.n
+    levels = fp.levels
+    bg = jnp.concatenate([b_perm, jnp.zeros((1,), b_perm.dtype)])
+
+    piv_idx = [jnp.asarray(fp.front_rows[l][:, :fp.W[l]]) for l in range(levels)]
+    bnd_idx = [jnp.asarray(fp.front_rows[l][:, fp.W[l]:]) for l in range(levels)]
+
+    for lvl in range(levels - 1, -1, -1):
+        Wl, Fl = fp.W[lvl], fp.F[lvl]
+        Ld = factors[lvl][:, :Wl, :]
+        bp = bg[piv_idx[lvl]]                              # [B, W]
+        y = lax.linalg.triangular_solve(
+            Ld, bp[..., None], left_side=True, lower=True)[..., 0]
+        bg = bg.at[piv_idx[lvl]].set(y, mode="drop",
+                                     indices_are_sorted=False)
+        if Fl > Wl:
+            X = factors[lvl][:, Wl:, :]
+            contrib = jnp.einsum("bij,bj->bi", X, y,
+                                 preferred_element_type=y.dtype)
+            bg = bg.at[bnd_idx[lvl]].add(-contrib)
+
+    for lvl in range(levels):
+        Wl, Fl = fp.W[lvl], fp.F[lvl]
+        Ld = factors[lvl][:, :Wl, :]
+        rhs = bg[piv_idx[lvl]]
+        if Fl > Wl:
+            X = factors[lvl][:, Wl:, :]
+            z = bg[bnd_idx[lvl]]                           # ancestor solutions
+            rhs = rhs - jnp.einsum("bij,bi->bj", X, z,
+                                   preferred_element_type=z.dtype)
+        x = lax.linalg.triangular_solve(
+            Ld, rhs[..., None], left_side=True, lower=True,
+            transpose_a=True)[..., 0]
+        bg = bg.at[piv_idx[lvl]].set(x)
+
+    return bg[:n]
+
+
+# ---------------------------------------------------------------------------
+# JIT wrappers
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def _factor_jit(key, fronts):
+    return frontal_factor(_FPLAN_CACHE[key], fronts)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _solve_jit(key, factors, b_perm):
+    return frontal_solve(_FPLAN_CACHE[key], factors, b_perm)
+
+
+def factor(fp: FrontalPlan, fronts) -> Tuple[jax.Array, ...]:
+    return _factor_jit(fp.key(), tuple(jnp.asarray(f) for f in fronts))
+
+
+def solve(fp: FrontalPlan, factors, b_perm) -> jax.Array:
+    return _solve_jit(fp.key(), tuple(factors), jnp.asarray(b_perm))
+
+
+# ---------------------------------------------------------------------------
+# Extraction (verification / .mtx output)
+
+
+def extract_factor_dense(fp: FrontalPlan, factors: Sequence) -> np.ndarray:
+    """Materialize L (permuted coordinates, lower triangular)."""
+    plan = fp.plan
+    L = np.zeros((plan.n, plan.n))
+    t = plan.tree
+    for lvl in range(fp.levels):
+        arr = np.asarray(factors[lvl], dtype=np.float64)
+        Wl = fp.W[lvl]
+        for sl in range(1 << lvl):
+            s = t.sep_at(lvl, sl)
+            off = int(plan.sep_offset[s])
+            sz = int(plan.sep_sizes[s])
+            fr = fp.front_rows[lvl][sl]
+            cols = np.arange(off, off + sz)
+            L[np.ix_(cols, cols)] = np.tril(arr[sl][:sz, :sz])
+            bnd = fr[Wl:]
+            bv = bnd < plan.n
+            L[np.ix_(bnd[bv], cols)] = arr[sl][Wl:, :sz][bv]
+    return L

@@ -1,0 +1,80 @@
+"""Capacity planning: tree-depth / leaf-size / memory / FLOP trade-offs.
+
+Parity with the reference's utils.py:6-21 (depth, leaf_size, subregions for a
+target dof count — used to pick nested-dissection depth for a 50^3 problem,
+utils.py:43-56), extended with the panel-memory and FLOP estimators that
+matter on TPU (HBM is the binding constraint, not task counts).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+
+
+def depth(dim: int, max_size: int = 64) -> int:
+    """Tree depth so leaf blocks are at most `max_size` dofs (utils.py:6-8)."""
+    return int(math.ceil(math.log2(dim / max_size))) + 1
+
+
+def leaf_size(dim: int, levels: int) -> float:
+    """Expected leaf dof count at a given depth (utils.py:10-12)."""
+    return dim / (2 ** (levels - 1))
+
+
+def subregions(levels: int) -> int:
+    """Total separators in a complete tree of `levels` (utils.py:14-16)."""
+    return (1 << levels) - 1
+
+
+def plan_memory_bytes(plan, dtype_bytes: int = 4) -> int:
+    """HBM footprint of the panel buffers for a SolvePlan."""
+    total = 0
+    for lvl in range(plan.levels):
+        b, h, w = plan.panel_shape(lvl)
+        total += b * h * w * dtype_bytes
+    return total
+
+
+def plan_flops(plan) -> float:
+    """Dense-path factorization FLOPs (what the batched kernels execute,
+    before cluster masking; unpadded sizes)."""
+    t = plan.tree
+    total = 0.0
+    for lvl in range(plan.levels):
+        for slot in range(1 << lvl):
+            s = t.sep_at(lvl, slot)
+            n_s = int(plan.sep_sizes[s])
+            m = sum(int(plan.sep_sizes[a]) for a in t.ancestors(s))
+            total += n_s ** 3 / 3 + m * n_s * n_s + (m * (m + 1) / 2) * n_s * 2
+    return total
+
+
+def grid_plan_table(shape: Tuple[int, ...], levels_range=None,
+                    dtype_bytes: int = 4):
+    """Tabulate depth choices for a grid problem: (levels, leaf_dofs,
+    separators, panel_GiB, dense_GFLOP). The TPU analogue of the reference's
+    plotly figure (utils.py:21-62)."""
+    from cholesky_tpu.symbolic.plan import build_plan
+    from cholesky_tpu.utils.laplacian import nested_dissection
+
+    dim = int(np.prod(shape))
+    if levels_range is None:
+        d = depth(dim)
+        levels_range = range(max(2, d - 3), d + 2)
+    rows = []
+    for lv in levels_range:
+        if (1 << (lv - 1)) > dim:
+            break
+        o, cl = nested_dissection(shape, lv)
+        plan = build_plan(o, cl)
+        rows.append({
+            "levels": lv,
+            "leaf_dofs": leaf_size(dim, lv),
+            "separators": subregions(lv),
+            "panel_gib": plan_memory_bytes(plan, dtype_bytes) / 2 ** 30,
+            "dense_gflop": plan_flops(plan) / 1e9,
+        })
+    return rows

@@ -1,0 +1,109 @@
+"""Multifrontal engine tests: boundary structure, extend-add maps, engine
+equivalence with the panel engine, and end-to-end correctness."""
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+from cholesky_tpu import SparseCholesky
+from cholesky_tpu.io import mmio
+from cholesky_tpu.numeric import frontal
+from cholesky_tpu.symbolic.plan import permute_matrix_dense
+from cholesky_tpu.utils.laplacian import generate_problem
+from tests.conftest import fixture_paths
+
+
+def test_boundary_structure_9x9():
+    p = fixture_paths("lapl_9x9")
+    s = SparseCholesky.from_files(p["mat"], p["separators"], p["clusters"])
+    fp = s.fplan
+    # leaf seps 1,2 couple to the root separator (sep 3, rows 6..8)
+    fr_leaf = fp.front_rows[1]     # level 1 = leaves for levels=2
+    assert fp.levels == 2
+    for sl in range(2):
+        bnd = fr_leaf[sl][fp.W[1]:]
+        real = bnd[bnd < s.plan.n]
+        assert set(real).issubset(set(range(6, 9)))
+    # root has no boundary
+    assert fp.F[0] == fp.W[0]
+
+
+def test_front_sizes_beat_panels():
+    """Fronts must be no larger than the dense ancestor-path panels, and
+    strictly smaller on 3-D problems (the entire point of the engine)."""
+    n, r, c, v, o, cl, b = generate_problem((15, 15, 15), 5)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    fp = s.fplan
+    fsz = sum((1 << l) * fp.F[l] * fp.W[l] for l in range(fp.levels))
+    psz = sum((1 << l) * int(s.plan.H[l]) * int(s.plan.S[l])
+              for l in range(fp.levels))
+    assert fsz < 0.7 * psz
+
+
+def test_extend_add_maps_cover_children():
+    n, r, c, v, o, cl, b = generate_problem((21, 17), 5)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    fp = s.fplan
+    for lvl in range(1, fp.levels):
+        inv = fp.inv_child[lvl]
+        bndK = fp.F[lvl] - fp.W[lvl]
+        assert inv.shape == (1 << lvl, fp.F[lvl - 1])
+        # each child's real boundary rows all appear exactly once
+        for sl in range(1 << lvl):
+            real = fp.front_rows[lvl][sl][fp.W[lvl]:]
+            nreal = int((real < s.plan.n).sum())
+            hits = inv[sl][inv[sl] < bndK]
+            assert len(np.unique(hits)) == len(hits)
+            assert len(hits) == nreal
+
+
+@pytest.mark.parametrize("name", ["lapl_9x9", "lapl_25x25", "lapl_400x400"])
+def test_frontal_factor_matches_scipy(name):
+    p = fixture_paths(name)
+    s = SparseCholesky.from_files(p["mat"], p["separators"], p["clusters"],
+                                  engine="frontal")
+    s.factorize()
+    a = mmio.read_dense(p["mat"])
+    pmat = permute_matrix_dense(s.plan, a)
+    lref = scipy.linalg.cholesky(pmat + np.tril(pmat, -1).T, lower=True)
+    assert np.allclose(s.factor_dense(), lref, rtol=1e-9, atol=1e-9)
+
+
+def test_engines_agree():
+    n, r, c, v, o, cl, b = generate_problem((14, 14, 14), 4)
+    xs = {}
+    for engine in ("frontal", "panels"):
+        s = SparseCholesky.from_coo(n, r, c, v, o, cl, engine=engine)
+        xs[engine] = s.solve(b)
+        assert s.residual(b, xs[engine]) <= 1e-10
+    np.testing.assert_allclose(xs["frontal"], xs["panels"],
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_frontal_fp32_ir():
+    n, r, c, v, o, cl, b = generate_problem((20, 20, 10), 5)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    x = s.solve(b)
+    assert s.residual(b, x) <= 1e-10
+
+
+def test_frontal_distributed():
+    from cholesky_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    n, r, c, v, o, cl, b = generate_problem((24, 24), 5)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, mesh=mesh)
+    s.factorize()
+    assert len(s.panels[4].sharding.device_set) == 8
+    x = s.solve(b)
+    assert s.residual(b, x) <= 1e-10
+
+
+def test_frontal_irregular_shapes():
+    """Odd grid shapes produce ragged separator sizes and empty corners —
+    the padding/sentinel machinery must absorb them."""
+    for shape, levels in [((7, 5), 4), ((11, 3, 2), 4), ((30, 1), 3)]:
+        n, r, c, v, o, cl, b = generate_problem(shape, levels)
+        s = SparseCholesky.from_coo(n, r, c, v, o, cl)
+        x = s.solve(b)
+        assert s.residual(b, x) <= 1e-10, (shape, levels)
