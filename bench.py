@@ -28,11 +28,17 @@ import time
 
 import numpy as np
 
-# Host-CPU schedule-replay GFLOP/s, measured with --measure-baseline
-# (NumPy + system BLAS, this image's host). Keyed by (shape, levels).
+# Host-CPU schedule-replay GFLOP/s, measured with --measure-baseline on this
+# image (NumPy + system BLAS executing the exact per-cluster op schedule —
+# the reference's execution model: one BLAS call per filled cluster pair).
+# 20^3 measured 1.27, 27^3 measured 0.34 (smaller clusters, more op overhead);
+# 50^3 cannot be replayed densely (125k^2 matrix), so its baseline reuses the
+# 20^3 rate — conservative in our favor's *dis*favor, since real cluster
+# sizes at 50^3 are no larger.
 PINNED_CPU_BASELINE_GFLOPS = {
-    "50x50x50_L8": 35.0,   # provisional; re-measured value printed by --measure-baseline
-    "20x20x20_L5": 20.0,
+    "50x50x50_L8": 1.27,
+    "27x27x27_L6": 0.34,
+    "20x20x20_L5": 1.27,
 }
 
 

@@ -29,6 +29,7 @@ def parse_args(argv):
         "b_file": "", "solution_file": "", "factor_file": "",
         "permuted_matrix_file": "", "debug_path": "", "debug": False,
         "iterations": 1, "dtype": "float64", "devices": 0, "bench": False,
+        "engine": "frontal",
     }
     i = 0
     while i < len(argv):
@@ -55,6 +56,8 @@ def parse_args(argv):
             opts["dtype"] = argv[i + 1]; i += 2
         elif a == "--devices":
             opts["devices"] = int(argv[i + 1]); i += 2
+        elif a == "--engine":
+            opts["engine"] = argv[i + 1]; i += 2
         elif a == "--bench":
             opts["bench"] = True; i += 1
         elif a in _LEGION_FLAGS_WITH_ARG or a.startswith(_LEGION_PREFIXES):
@@ -93,9 +96,15 @@ def main(argv=None) -> int:
           f"typecode: {banner.typecode}")
 
     dtype = np.dtype(opts["dtype"])
+    mesh = None
+    if opts["devices"] > 1:
+        from cholesky_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(opts["devices"])
     solver = SparseCholesky.from_files(
         opts["matrix_file"], opts["separator_file"],
-        opts["clusters_file"] or None, dtype=dtype)
+        opts["clusters_file"] or None, dtype=dtype, mesh=mesh,
+        engine=opts["engine"])
     plan = solver.plan
     print(f"levels: {plan.levels}")
     print(f"separators: {plan.num_separators}")

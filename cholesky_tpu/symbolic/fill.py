@@ -125,14 +125,26 @@ def _initial_filled(plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
         nc = len(bounds0[cs]) - 1
         filled[b] = np.zeros((nr, nc), dtype=bool)
 
+    # vectorized cluster routing: searchsorted per separator, grouped
+    ri = np.empty(len(r), dtype=np.int64)
+    ci = np.empty(len(c), dtype=np.int64)
+    for s in range(1, nsep + 1):
+        m = sr == s
+        if m.any():
+            ri[m] = np.searchsorted(bounds0[s], lr[m], side="right") - 1
+        m = sc == s
+        if m.any():
+            ci[m] = np.searchsorted(bounds0[s], lc[m], side="right") - 1
     idx = np.nonzero(keep)[0]
-    for k in idx:
-        b = (int(sr[k]), int(sc[k]))
-        rb = bounds0[b[0]]
-        cb = bounds0[b[1]]
-        ri = int(np.searchsorted(rb, lr[k], side="right")) - 1
-        ci = int(np.searchsorted(cb, lc[k], side="right")) - 1
-        filled[b][ri, ci] = True
+    order = np.lexsort((sc[idx], sr[idx]))
+    idx = idx[order]
+    bl_r, bl_c = sr[idx], sc[idx]
+    cuts = np.nonzero((np.diff(bl_r) != 0) | (np.diff(bl_c) != 0))[0] + 1
+    for grp in np.split(idx, cuts):
+        if len(grp) == 0:
+            continue
+        b = (int(sr[grp[0]]), int(sc[grp[0]]))
+        filled[b][ri[grp], ci[grp]] = True
     return filled
 
 
