@@ -60,6 +60,21 @@ class SparseCholesky:
         return cls(plan, r2, c2, v, dtype=dtype, mesh=mesh, engine=engine)
 
     @classmethod
+    def from_matrix(cls, n: int, rows, cols, vals, levels=None,
+                    dtype=np.float64, mesh=None, engine: str = "frontal"):
+        """Solve an arbitrary SPD matrix with NO precomputed ordering: a
+        nested-dissection ordering is computed from the sparsity graph
+        (symbolic/nd.py). The reference has no equivalent — it requires
+        offline ord/clust files."""
+        from cholesky_tpu.symbolic.nd import nested_dissection_graph
+
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        ordng, clusters = nested_dissection_graph(n, rows, cols, levels)
+        return cls.from_coo(n, rows, cols, vals, ordng, clusters,
+                            dtype=dtype, mesh=mesh, engine=engine)
+
+    @classmethod
     def from_coo(cls, n: int, rows, cols, vals, ordng: ordio.Ordering,
                  clusters=None, dtype=np.float64, pad_to: int = 8, mesh=None,
                  engine: str = "frontal"):

@@ -1,0 +1,156 @@
+"""General-graph nested dissection ordering.
+
+The reference consumes orderings computed offline by external tools (its
+`*_ord_*.txt` fixtures; SURVEY.md: "ordering computed offline"). For
+standalone operation on arbitrary SPD matrices — SuiteSparse-style inputs
+with no precomputed ordering — this module computes a complete-binary-tree
+nested dissection directly from the sparsity graph:
+
+  * recursive two-way partition by BFS level sets from a pseudo-peripheral
+    vertex (the classic Gibbs-Poole-Stockmeyer-style heuristic),
+  * vertex separator = the frontier of side A adjacent to side B,
+  * recursion to a fixed depth, tolerating empty parts (empty separators
+    are legal throughout the solver).
+
+Output is a standard `Ordering` (+ single-cluster `ClusterHierarchy`), so
+everything downstream — plan, fill, frontal engine, CLI, file writers — is
+unchanged. Quality is heuristic (minimal separators are not guaranteed), but
+the separator property (removing S disconnects A from B) is, which is what
+correctness requires; fill quality only affects speed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from cholesky_tpu.io.ordering import ClusterHierarchy, Ordering
+from cholesky_tpu.utils.laplacian import make_clusters
+
+
+def _build_adjacency(n: int, rows: np.ndarray, cols: np.ndarray):
+    """CSR adjacency (symmetric, no self loops) from COO structure."""
+    m = rows != cols
+    r = np.concatenate([rows[m], cols[m]])
+    c = np.concatenate([cols[m], rows[m]])
+    order = np.argsort(r, kind="stable")
+    r, c = r[order], c[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, r + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return indptr, c
+
+
+def _bfs_levels(indptr, indices, mask: np.ndarray, start: int) -> np.ndarray:
+    """BFS level of every vertex in the masked subgraph (-1 = unreached)."""
+    n = len(mask)
+    level = np.full(n, -1, dtype=np.int64)
+    level[start] = 0
+    frontier = np.array([start], dtype=np.int64)
+    d = 0
+    while len(frontier):
+        d += 1
+        nbrs = np.concatenate([indices[indptr[v]:indptr[v + 1]]
+                               for v in frontier]) if len(frontier) else []
+        nbrs = np.unique(nbrs)
+        nbrs = nbrs[mask[nbrs] & (level[nbrs] < 0)]
+        level[nbrs] = d
+        frontier = nbrs
+    return level
+
+
+def _pseudo_peripheral(indptr, indices, verts: np.ndarray, mask) -> int:
+    """A vertex of near-maximal eccentricity in the masked subgraph."""
+    v = int(verts[0])
+    for _ in range(3):
+        lv = _bfs_levels(indptr, indices, mask, v)
+        reach = verts[lv[verts] >= 0]
+        far = reach[np.argmax(lv[reach])]
+        if lv[far] == 0:
+            break
+        v = int(far)
+    return v
+
+
+def _split(indptr, indices, verts: np.ndarray
+           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Partition `verts` into (A, B, S): S is a vertex separator such that no
+    edge joins A and B."""
+    if len(verts) <= 1:
+        return verts, np.empty(0, np.int64), np.empty(0, np.int64)
+    n = int(indices.max(initial=0) + 1) if len(indices) else len(verts)
+    n = max(n, int(verts.max()) + 1)
+    mask = np.zeros(n, dtype=bool)
+    mask[verts] = True
+    src = _pseudo_peripheral(indptr, indices, verts, mask)
+    lv = _bfs_levels(indptr, indices, mask, src)
+    reach = verts[lv[verts] >= 0]
+    unreach = verts[lv[verts] < 0]        # disconnected pieces -> side B
+    if len(reach) == 0:
+        half = len(verts) // 2
+        return verts[:half], verts[half:], np.empty(0, np.int64)
+    # split level sets at the median vertex
+    order = np.argsort(lv[reach], kind="stable")
+    sorted_r = reach[order]
+    cut = len(sorted_r) // 2
+    cut_level = lv[sorted_r[min(cut, len(sorted_r) - 1)]]
+    a_side = reach[lv[reach] < cut_level]
+    rest = reach[lv[reach] >= cut_level]
+    if len(a_side) == 0:                  # degenerate: one level dominates
+        a_side = reach[: len(reach) // 2]
+        rest = reach[len(reach) // 2:]
+        in_a = np.zeros(n, dtype=bool)
+        in_a[a_side] = True
+        sep_mask = np.zeros(n, dtype=bool)
+        for v in rest:
+            if in_a[indices[indptr[v]:indptr[v + 1]]].any():
+                sep_mask[v] = True
+        sep = rest[sep_mask[rest]]
+        b = rest[~sep_mask[rest]]
+        return a_side, np.concatenate([b, unreach]), sep
+    # separator: vertices of `rest` adjacent to a_side
+    in_a = np.zeros(n, dtype=bool)
+    in_a[a_side] = True
+    sep_list = []
+    for v in rest:
+        if in_a[indices[indptr[v]:indptr[v + 1]]].any():
+            sep_list.append(v)
+    sep = np.array(sorted(sep_list), dtype=np.int64)
+    sep_mask = np.zeros(n, dtype=bool)
+    sep_mask[sep] = True
+    b = rest[~sep_mask[rest]]
+    return a_side, np.concatenate([b, unreach]), sep
+
+
+def nested_dissection_graph(n: int, rows: np.ndarray, cols: np.ndarray,
+                            levels: Optional[int] = None,
+                            leaf_target: int = 96
+                            ) -> Tuple[Ordering, ClusterHierarchy]:
+    """Compute a nested-dissection Ordering for an arbitrary symmetric
+    sparsity structure. `levels=None` picks depth so leaves are around
+    `leaf_target` dofs (utils.py:6's heuristic)."""
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    if levels is None:
+        levels = max(1, int(np.ceil(np.log2(max(n / leaf_target, 1)))) + 1)
+    nsep = (1 << levels) - 1
+    indptr, indices = _build_adjacency(n, rows, cols)
+
+    boxes: Dict[int, np.ndarray] = {1: np.arange(n, dtype=np.int64)}
+    dofs: Dict[int, np.ndarray] = {}
+    for h in range(1, nsep + 1):
+        verts = boxes[h]
+        if h < (1 << (levels - 1)):
+            a, b, s = _split(indptr, indices, verts)
+            dofs[h] = s
+            boxes[2 * h] = a
+            boxes[2 * h + 1] = b
+        else:
+            dofs[h] = np.sort(verts)
+
+    ordering = Ordering(
+        levels=levels, num_separators=nsep,
+        dofs={nsep - h + 1: dofs[h] for h in range(1, nsep + 1)})
+    clusters = make_clusters(ordering, None)
+    return ordering, clusters
