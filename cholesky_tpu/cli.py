@@ -29,7 +29,7 @@ def parse_args(argv):
         "b_file": "", "solution_file": "", "factor_file": "",
         "permuted_matrix_file": "", "debug_path": "", "debug": False,
         "iterations": 1, "dtype": "float64", "devices": 0, "bench": False,
-        "engine": "frontal",
+        "engine": "frontal", "profile": False,
     }
     i = 0
     while i < len(argv):
@@ -58,6 +58,8 @@ def parse_args(argv):
             opts["devices"] = int(argv[i + 1]); i += 2
         elif a == "--engine":
             opts["engine"] = argv[i + 1]; i += 2
+        elif a == "--profile":
+            opts["profile"] = True; i += 1
         elif a == "--bench":
             opts["bench"] = True; i += 1
         elif a in _LEGION_FLAGS_WITH_ARG or a.startswith(_LEGION_PREFIXES):
@@ -128,6 +130,24 @@ def main(argv=None) -> int:
     print("Done fill.")
 
     import jax
+
+    if opts["profile"]:
+        from cholesky_tpu.numeric import profile as prof
+
+        if opts["engine"] == "frontal":
+            from cholesky_tpu.numeric import frontal
+
+            fronts = frontal.assemble_fronts(
+                solver.fplan, solver.rows, solver.cols, solver.vals,
+                dtype=dtype)
+            prof.profile_frontal(solver.fplan, fronts)
+        else:
+            from cholesky_tpu.numeric import assemble as asm
+
+            panels = asm.assemble_panels(
+                solver.plan, solver.rows, solver.cols, solver.vals,
+                dtype=dtype)
+            prof.profile_factor(solver.plan, panels)
 
     factor_times = []
     for iteration in range(opts["iterations"]):

@@ -39,6 +39,86 @@ def _rpc_floor(iters: int = 5) -> float:
     return min(ts)
 
 
+def profile_frontal(fp, fronts: Sequence, iters: int = 3,
+                    emit=print) -> List[dict]:
+    """Stage-by-stage timing of the multifrontal engine (extend-add, POTRF,
+    TRSM, Schur per level)."""
+    from cholesky_tpu.numeric import frontal as fr
+
+    floor = _rpc_floor()
+    records = []
+
+    def timed(fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        _sync_scalar(out if not isinstance(out, tuple) else out[0])
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            _sync_scalar(out if not isinstance(out, tuple) else out[0])
+            ts.append(time.perf_counter() - t0)
+        return out, max(min(ts) - floor, 0.0)
+
+    fronts = [jnp.asarray(f) for f in fronts]
+    U = None
+    for lvl in range(fp.levels - 1, -1, -1):
+        Wl, Fl = fp.W[lvl], fp.F[lvl]
+        B = 1 << lvl
+        piv = fronts[lvl]
+        if U is not None:
+            expand = jax.jit(lambda u: fr._expand_child_updates(fp, u, lvl + 1))
+            esum, t = timed(expand, U)
+            rec = {"op": "EXTEND_ADD", "level": lvl, "batch": B,
+                   "time_us": int(t * 1e6)}
+            records.append(rec)
+            emit(f"BLAS: {{'op': 'EXTADD', 'Level': {lvl}, 'Batch': {B}, "
+                 f"'F': {Fl}, 'Time': {rec['time_us']}}}")
+            full = jnp.concatenate(
+                [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2) - esum
+        else:
+            full = jnp.concatenate(
+                [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2)
+
+        potrf = jax.jit(lambda a: lax.linalg.cholesky(
+            a[:, :Wl, :Wl], symmetrize_input=False))
+        Ld, t = timed(potrf, full)
+        fl = B * Wl ** 3 / 3
+        rec = {"op": "POTRF", "level": lvl, "batch": B, "n": Wl,
+               "time_us": int(t * 1e6), "gflops": fl / max(t, 1e-12) / 1e9}
+        records.append(rec)
+        emit(f"BLAS: {{'op': 'POTRF', 'Level': {lvl}, 'Batch': {B}, "
+             f"'N': {Wl}, 'Time': {rec['time_us']}}}")
+
+        if Fl > Wl:
+            trsm = jax.jit(lambda ld, a: lax.linalg.triangular_solve(
+                ld, a[:, Wl:, :Wl], left_side=False, lower=True,
+                transpose_a=True))
+            X, t = timed(trsm, Ld, full)
+            m = Fl - Wl
+            rec = {"op": "TRSM", "level": lvl, "batch": B, "m": m, "n": Wl,
+                   "time_us": int(t * 1e6),
+                   "gflops": B * m * Wl * Wl / max(t, 1e-12) / 1e9}
+            records.append(rec)
+            emit(f"BLAS: {{'op': 'TRSM', 'Level': {lvl}, 'Batch': {B}, "
+                 f"'M': {m}, 'N': {Wl}, 'Time': {rec['time_us']}}}")
+            if lvl > 0:
+                schur = jax.jit(lambda x, f: jnp.einsum(
+                    "bik,bjk->bij", x, x,
+                    preferred_element_type=x.dtype) - f[:, Wl:, Wl:])
+                U, t = timed(schur, X, full)
+                m = Fl - Wl
+                rec = {"op": "SYRK", "level": lvl, "batch": B, "m": m,
+                       "k": Wl, "time_us": int(t * 1e6),
+                       "gflops": B * m * m * Wl / max(t, 1e-12) / 1e9}
+                records.append(rec)
+                emit(f"BLAS: {{'op': 'SYRK', 'Level': {lvl}, 'Batch': {B}, "
+                     f"'M': {m}, 'K': {Wl}, 'Time': {rec['time_us']}}}")
+        elif lvl > 0:
+            U = jnp.zeros((B, 0, 0), piv.dtype)
+    return records
+
+
 def profile_factor(plan: SolvePlan, panels: Sequence, iters: int = 3,
                    emit=print) -> List[dict]:
     """Run the factorization stage by stage, timing each; returns records and

@@ -5,7 +5,10 @@ import numpy as np
 import pytest
 
 from cholesky_tpu.io import mmio, ordering as ordio
-from tests.conftest import FIXTURES, fixture_paths
+from tests.conftest import FIXTURES, HAS_REFERENCE, fixture_paths
+
+needs_reference = pytest.mark.skipif(
+    not HAS_REFERENCE, reason="reference fixture values")
 
 
 def test_banner_9x9():
@@ -33,6 +36,7 @@ def test_read_dense_symmetrizes():
     assert a[0, 0] == 4.0 and a[0, 1] == -1.0 and a[1, 0] == -1.0
 
 
+@needs_reference
 def test_read_array_rhs():
     p = fixture_paths("lapl_9x9")
     b = mmio.read_array(p["b"])
@@ -75,6 +79,7 @@ def test_parse_ordering(name):
     assert sorted(alldofs) == list(range(n))
 
 
+@needs_reference
 def test_parse_ordering_values():
     p = fixture_paths("lapl_9x9")
     o = ordio.parse_ordering(p["separators"])
@@ -84,6 +89,7 @@ def test_parse_ordering_values():
     np.testing.assert_array_equal(o.dofs[3], [1, 4, 7])
 
 
+@needs_reference
 def test_parse_clusters_25():
     p = fixture_paths("lapl_25x25")
     c = ordio.parse_clusters(p["clusters"])
