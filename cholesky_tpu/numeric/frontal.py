@@ -55,6 +55,11 @@ class FrontalPlan:
                                        # per level L: [B, F(L-1)] mapping each
                                        # parent-front position to this child's
                                        # boundary position, or bndK sentinel
+    fwd_child: List[Optional[np.ndarray]] = None
+                                       # per level L: [B, bndK] mapping each
+                                       # child boundary position to its parent
+                                       # front position, or F(L-1) sentinel
+                                       # (strictly increasing per slot)
 
     @property
     def levels(self) -> int:
@@ -153,7 +158,19 @@ def build_frontal_plan(plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
                 f"extend-add: child sep {s} boundary not covered by parent front")
         inv_child[lvl] = inv
 
-    fp = FrontalPlan(plan, W, tuple(F_list), front_rows, inv_child)
+    fwd_child: List[Optional[np.ndarray]] = [None] * levels
+    for lvl in range(1, levels):
+        B = 1 << lvl
+        Fp = F_list[lvl - 1]
+        bndK = F_list[lvl] - W[lvl]
+        fwd = np.full((B, bndK), Fp, dtype=np.int32)
+        inv = inv_child[lvl]
+        for sl in range(B):
+            js = np.nonzero(inv[sl] != bndK)[0]
+            fwd[sl, inv[sl][js]] = js
+        fwd_child[lvl] = fwd
+
+    fp = FrontalPlan(plan, W, tuple(F_list), front_rows, inv_child, fwd_child)
     _FPLAN_CACHE[fp.key()] = fp
     return fp
 
@@ -204,14 +221,27 @@ def assemble_fronts(fp: FrontalPlan, rows: np.ndarray, cols: np.ndarray,
 
 
 def _expand_child_updates(fp: FrontalPlan, U, child_lvl: int):
-    """Gather each child's padded update matrix into the parent front index
-    space and sum sibling pairs: [2B, K, K] -> [B, F(parent), F(parent)]."""
-    inv = jnp.asarray(fp.inv_child[child_lvl])            # [2B, Fp]
-    Upad = jnp.pad(U, ((0, 0), (0, 1), (0, 1)))           # sentinel row/col
-    e1 = jnp.take_along_axis(Upad, inv[:, :, None], axis=1)
-    e = jnp.take_along_axis(e1, inv[:, None, :], axis=2)  # [2B, Fp, Fp]
-    seg = jnp.arange(inv.shape[0]) >> 1
-    return jax.ops.segment_sum(e, seg, num_segments=inv.shape[0] // 2,
+    """Scatter each child's update matrix into the parent front index space
+    and sum sibling pairs: [2B, K, K] -> [B, F(parent), F(parent)].
+
+    Scatter-based (not gather-based): the forward map child-boundary-pos ->
+    parent-front-pos is strictly increasing and unique per slot, which XLA
+    lowers efficiently — and the intermediates stay [2B, F, K] instead of
+    [2B, F, F] (very large gathers also trip TPU kernel faults at big F)."""
+    fwd = jnp.asarray(fp.fwd_child[child_lvl])            # [2B, K]
+    B2, K = fwd.shape
+    Fp = fp.F[child_lvl - 1]
+    bidx = jnp.arange(B2)[:, None]
+    # rows: child row k -> parent row fwd[k]   ([2B, Fp+1, K], sentinel row Fp)
+    e1 = jnp.zeros((B2, Fp + 1, K), U.dtype).at[bidx, fwd, :].set(
+        U, indices_are_sorted=True, unique_indices=True)[:, :Fp, :]
+    # cols: same map on the trailing axis (scatter on axis 1 of the transpose)
+    e1t = jnp.swapaxes(e1, 1, 2)                           # [2B, K, Fp]
+    e = jnp.zeros((B2, Fp + 1, Fp), U.dtype).at[bidx, fwd, :].set(
+        e1t, indices_are_sorted=True, unique_indices=True)[:, :Fp, :]
+    e = jnp.swapaxes(e, 1, 2)                              # [2B, Fp, Fp]
+    seg = jnp.arange(B2) >> 1
+    return jax.ops.segment_sum(e, seg, num_segments=B2 // 2,
                                indices_are_sorted=True)
 
 
