@@ -132,11 +132,15 @@ def main(argv=None):
     jax.block_until_ready(fronts)
     print(f"# transfer {time.time()-t0:.1f}s", file=sys.stderr)
 
+    import os
+
+    extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "scatter")
+
     @jax.jit
     def factor_checksum(fs):
         # the checksum must touch EVERY output element, otherwise XLA
         # dead-code-eliminates whole subtrees of the factorization
-        out = frontal.frontal_factor(fp, fs)
+        out = frontal.frontal_factor(fp, fs, extadd=extadd)
         return sum(jnp.sum(p.astype(jnp.float32)) for p in out)
 
     @jax.jit

@@ -116,14 +116,29 @@ def build_frontal_plan(plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
         bnd[s] = u[u >= hi]
 
     levels = plan.levels
-    W = tuple(int(s) for s in plan.S)
+    W_list = []
     F_list = []
     front_rows = []
     for lvl in range(levels):
         B = 1 << lvl
+        max_sz = max(int(plan.sep_sizes[t.sep_at(lvl, sl)]) for sl in range(B))
         bndK = max((len(bnd[t.sep_at(lvl, sl)]) for sl in range(B)),
                    default=0)
-        Fl = W[lvl] + _round_up(bndK, pad_to) if bndK else W[lvl]
+        # Pivot width: pad to 128 when the Pallas front-factor kernel is
+        # enabled and the [F, W] slab fits its VMEM budget; else 8. (The
+        # kernel is opt-in via CHOLESKY_TPU_PALLAS=1 — XLA's batched path
+        # currently wins on this backend, see pallas_kernels.py.)
+        import os
+
+        Wl = _round_up(max_sz, pad_to)
+        if os.environ.get("CHOLESKY_TPU_PALLAS") == "1":
+            from cholesky_tpu.numeric.pallas_kernels import VMEM_BUDGET
+
+            w128 = _round_up(max_sz, 128)
+            f128 = w128 + (_round_up(bndK, pad_to) if bndK else 0)
+            if f128 * w128 * 4 <= VMEM_BUDGET:
+                Wl = w128
+        Fl = Wl + _round_up(bndK, pad_to) if bndK else Wl
         fr = np.full((B, Fl), n, dtype=np.int64)
         for sl in range(B):
             s = t.sep_at(lvl, sl)
@@ -131,9 +146,11 @@ def build_frontal_plan(plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
             sz = int(plan.sep_sizes[s])
             fr[sl, :sz] = np.arange(off, off + sz)
             bs = bnd[s]
-            fr[sl, W[lvl]:W[lvl] + len(bs)] = bs
+            fr[sl, Wl:Wl + len(bs)] = bs
+        W_list.append(Wl)
         F_list.append(Fl)
         front_rows.append(fr)
+    W = tuple(W_list)
 
     inv_child: List[Optional[np.ndarray]] = [None] * levels
     for lvl in range(1, levels):
@@ -220,6 +237,22 @@ def assemble_fronts(fp: FrontalPlan, rows: np.ndarray, cols: np.ndarray,
 # Device factor / solve
 
 
+def _expand_child_updates_matmul(fp: FrontalPlan, U, child_lvl: int):
+    """Matmul-based expansion: E = S U S^T with S the one-hot selection
+    matrix built from the forward map — puts the extend-add on the MXU
+    instead of scatter hardware. Wins when scatter bandwidth dominates."""
+    fwd = jnp.asarray(fp.fwd_child[child_lvl])            # [2B, K]
+    B2, K = fwd.shape
+    Fp = fp.F[child_lvl - 1]
+    rows = lax.broadcasted_iota(jnp.int32, (Fp, 1), 0)
+    S = (fwd[:, None, :] == rows[None, :, :]).astype(U.dtype)  # [2B, Fp, K]
+    US = jnp.einsum("bkj,bfj->bkf", U, S, preferred_element_type=U.dtype)
+    E = jnp.einsum("bfk,bkg->bfg", S, US, preferred_element_type=U.dtype)
+    seg = jnp.arange(B2) >> 1
+    return jax.ops.segment_sum(E, seg, num_segments=B2 // 2,
+                               indices_are_sorted=True)
+
+
 def _expand_child_updates(fp: FrontalPlan, U, child_lvl: int):
     """Scatter each child's update matrix into the parent front index space
     and sum sibling pairs: [2B, K, K] -> [B, F(parent), F(parent)].
@@ -245,10 +278,15 @@ def _expand_child_updates(fp: FrontalPlan, U, child_lvl: int):
                                indices_are_sorted=True)
 
 
-def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array]
-                   ) -> Tuple[jax.Array, ...]:
+def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
+                   extadd: str = "scatter") -> Tuple[jax.Array, ...]:
     """Factor all fronts level by level; returns per-level [B, F, W] factors
     (pivot Cholesky stacked over the solved boundary strip)."""
+    def expand(fp_, U_, child_lvl):
+        if extadd == "matmul" or (
+                extadd == "hybrid" and U_.shape[0] <= 16):
+            return _expand_child_updates_matmul(fp_, U_, child_lvl)
+        return _expand_child_updates(fp_, U_, child_lvl)
     levels = fp.levels
     out: List[jax.Array] = [None] * levels
     U = None
@@ -257,12 +295,26 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array]
         piv = fronts[lvl]                                  # [B, F, W]
         B = piv.shape[0]
         if U is not None:
-            esum = _expand_child_updates(fp, U, lvl + 1)   # [B, F, F]
+            esum = expand(fp, U, lvl + 1)                  # [B, F, F]
             full = jnp.concatenate(
                 [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2) - esum
         else:
             full = jnp.concatenate(
                 [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2)
+        if _use_pallas(Fl, Wl, piv.dtype):
+            from cholesky_tpu.numeric.pallas_kernels import front_factor_small
+
+            fac = front_factor_small(full[:, :, :Wl], Fl, Wl)
+            out[lvl] = fac
+            if lvl > 0:
+                if Fl > Wl:
+                    X = fac[:, Wl:, :]
+                    U = jnp.einsum("bik,bjk->bij", X, X,
+                                   preferred_element_type=X.dtype) \
+                        - full[:, Wl:, Wl:]
+                else:
+                    U = jnp.zeros((B, 0, 0), piv.dtype)
+            continue
         Ld = lax.linalg.cholesky(full[:, :Wl, :Wl], symmetrize_input=False)
         if Fl > Wl:
             X = lax.linalg.triangular_solve(
@@ -278,6 +330,20 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array]
             if lvl > 0:
                 U = jnp.zeros((B, 0, 0), piv.dtype)
     return tuple(out)
+
+
+def _use_pallas(F: int, W: int, dtype) -> bool:
+    import os
+
+    import jax as _jax
+
+    if os.environ.get("CHOLESKY_TPU_PALLAS") != "1":
+        return False
+    if _jax.default_backend() != "tpu":
+        return False
+    from cholesky_tpu.numeric.pallas_kernels import pallas_eligible
+
+    return pallas_eligible(F, W, dtype)
 
 
 def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
@@ -327,9 +393,9 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
 # JIT wrappers
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def _factor_jit(key, fronts):
-    return frontal_factor(_FPLAN_CACHE[key], fronts)
+@functools.partial(jax.jit, static_argnums=(0, 2), donate_argnums=1)
+def _factor_jit(key, fronts, extadd):
+    return frontal_factor(_FPLAN_CACHE[key], fronts, extadd=extadd)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -337,8 +403,14 @@ def _solve_jit(key, factors, b_perm):
     return frontal_solve(_FPLAN_CACHE[key], factors, b_perm)
 
 
-def factor(fp: FrontalPlan, fronts) -> Tuple[jax.Array, ...]:
-    return _factor_jit(fp.key(), tuple(jnp.asarray(f) for f in fronts))
+def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None
+           ) -> Tuple[jax.Array, ...]:
+    import os
+
+    if extadd is None:
+        extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "scatter")
+    return _factor_jit(fp.key(), tuple(jnp.asarray(f) for f in fronts),
+                       extadd)
 
 
 def solve(fp: FrontalPlan, factors, b_perm) -> jax.Array:
