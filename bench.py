@@ -134,7 +134,7 @@ def main(argv=None):
 
     import os
 
-    extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "scatter")
+    extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "fused")
 
     @jax.jit
     def factor_checksum(fs):

@@ -253,6 +253,90 @@ def _expand_child_updates_matmul(fp: FrontalPlan, U, child_lvl: int):
                                indices_are_sorted=True)
 
 
+def _apply_child_updates_fused(fp: FrontalPlan, full, U, child_lvl: int):
+    """Subtract both children's updates directly into the parent's full
+    fronts [B, Fp, Fp] in one gather + one scatter-add:
+
+      * columns: minor-axis gather from the (small) padded child update,
+        putting each child row into parent column coordinates;
+      * rows: scatter-add the child rows at their parent positions, siblings
+        combined by duplicate batch indices.
+
+    Avoids materializing the expanded [2B, Fp, Fp] update, both transposes,
+    and the separate segment-sum + subtract passes of the standalone
+    expansion (~2.5x less HBM traffic)."""
+    inv = jnp.asarray(fp.inv_child[child_lvl]).astype(jnp.int32)   # [2B, Fp]
+    fwd = jnp.asarray(fp.fwd_child[child_lvl]).astype(jnp.int32)   # [2B, K]
+    B2, K = fwd.shape
+    Fp = fp.F[child_lvl - 1]
+    Upad = jnp.pad(U, ((0, 0), (0, 0), (0, 1)))                    # col sentinel
+    e1 = _minor_gather(Upad, inv)                                  # [2B, K, Fp]
+    seg = (jnp.arange(B2) >> 1)[:, None]
+    fullpad = jnp.pad(full, ((0, 0), (0, 1), (0, 0)))              # row sentinel
+    # NOTE: deliberately no indices_are_sorted/unique hints — sibling pairs
+    # share a batch index, and the TPU scatter lowering drops duplicate
+    # contributions when the hints claim uniqueness. (Splitting into two
+    # hinted scatters is correct but slower: two full passes.)
+    fullpad = fullpad.at[seg, fwd, :].add(-e1)
+    return fullpad[:, :Fp, :]
+
+
+_MINOR_CHUNK = 2048
+
+
+def _minor_gather(arr, idx):
+    """take_along_axis(arr, idx[:, None, :], axis=2), chunked over the
+    operand's minor axis: gathers whose operand minor dimension exceeds
+    ~2048 lanes fault this TPU backend, so wide operands are processed in
+    masked 2048-column chunks."""
+    Kc = arr.shape[2]
+    if Kc <= _MINOR_CHUNK:
+        return jnp.take_along_axis(arr, idx[:, None, :], axis=2)
+    out = None
+    for base in range(0, Kc, _MINOR_CHUNK):
+        size = min(_MINOR_CHUNK, Kc - base)
+        part = arr[:, :, base:base + size]
+        local = idx - base
+        mask = (local >= 0) & (local < size)
+        g = jnp.take_along_axis(
+            part, jnp.clip(local, 0, size - 1)[:, None, :], axis=2)
+        g = jnp.where(mask[:, None, :], g, 0.0)
+        out = g if out is None else out + g
+    return out
+
+
+_GATHER_CHUNK = 1024
+
+
+def _chunked_row_gather(arr, idx):
+    """take_along_axis(arr, idx[:, :, None], axis=1), with the output rows
+    chunked so no single gather op exceeds ~_GATHER_CHUNK rows (very large
+    gathers fault the TPU backend)."""
+    Fp = idx.shape[1]
+    if Fp <= _GATHER_CHUNK:
+        return jnp.take_along_axis(arr, idx[:, :, None], axis=1)
+    parts = []
+    for c0 in range(0, Fp, _GATHER_CHUNK):
+        part_idx = idx[:, c0:c0 + _GATHER_CHUNK]
+        parts.append(jnp.take_along_axis(arr, part_idx[:, :, None], axis=1))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _expand_child_updates_gather(fp: FrontalPlan, U, child_lvl: int):
+    """Gather-based expansion (chunked): parent-position -> child-position
+    maps drive row/column gathers from the zero-padded child update. Gathers
+    run near memory bandwidth on TPU where scatters serialize."""
+    inv = jnp.asarray(fp.inv_child[child_lvl]).astype(jnp.int32)  # [2B, Fp]
+    Upad = jnp.pad(U, ((0, 0), (0, 1), (0, 1)))
+    e1 = _chunked_row_gather(Upad, inv)                   # [2B, Fp, K+1]
+    e1t = jnp.swapaxes(e1, 1, 2)                          # [2B, K+1, Fp]
+    e = _chunked_row_gather(e1t, inv)                     # [2B, Fp, Fp]
+    e = jnp.swapaxes(e, 1, 2)
+    seg = jnp.arange(inv.shape[0]) >> 1
+    return jax.ops.segment_sum(e, seg, num_segments=inv.shape[0] // 2,
+                               indices_are_sorted=True)
+
+
 def _expand_child_updates(fp: FrontalPlan, U, child_lvl: int):
     """Scatter each child's update matrix into the parent front index space
     and sum sibling pairs: [2B, K, K] -> [B, F(parent), F(parent)].
@@ -279,13 +363,15 @@ def _expand_child_updates(fp: FrontalPlan, U, child_lvl: int):
 
 
 def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
-                   extadd: str = "scatter") -> Tuple[jax.Array, ...]:
+                   extadd: str = "fused") -> Tuple[jax.Array, ...]:
     """Factor all fronts level by level; returns per-level [B, F, W] factors
     (pivot Cholesky stacked over the solved boundary strip)."""
     def expand(fp_, U_, child_lvl):
         if extadd == "matmul" or (
                 extadd == "hybrid" and U_.shape[0] <= 16):
             return _expand_child_updates_matmul(fp_, U_, child_lvl)
+        if extadd == "gather":
+            return _expand_child_updates_gather(fp_, U_, child_lvl)
         return _expand_child_updates(fp_, U_, child_lvl)
     levels = fp.levels
     out: List[jax.Array] = [None] * levels
@@ -294,13 +380,13 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
         Wl, Fl = fp.W[lvl], fp.F[lvl]
         piv = fronts[lvl]                                  # [B, F, W]
         B = piv.shape[0]
+        full = jnp.concatenate(
+            [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2)
         if U is not None:
-            esum = expand(fp, U, lvl + 1)                  # [B, F, F]
-            full = jnp.concatenate(
-                [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2) - esum
-        else:
-            full = jnp.concatenate(
-                [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2)
+            if extadd == "fused":
+                full = _apply_child_updates_fused(fp, full, U, lvl + 1)
+            else:
+                full = full - expand(fp, U, lvl + 1)
         if _use_pallas(Fl, Wl, piv.dtype):
             from cholesky_tpu.numeric.pallas_kernels import front_factor_small
 
@@ -408,7 +494,7 @@ def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None
     import os
 
     if extadd is None:
-        extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "scatter")
+        extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "fused")
     return _factor_jit(fp.key(), tuple(jnp.asarray(f) for f in fronts),
                        extadd)
 
