@@ -134,7 +134,7 @@ def main(argv=None):
 
     import os
 
-    extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "fused")
+    extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "hybrid2")
 
     @jax.jit
     def factor_checksum(fs):

@@ -363,7 +363,7 @@ def _expand_child_updates(fp: FrontalPlan, U, child_lvl: int):
 
 
 def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
-                   extadd: str = "fused") -> Tuple[jax.Array, ...]:
+                   extadd: str = "hybrid2") -> Tuple[jax.Array, ...]:
     """Factor all fronts level by level; returns per-level [B, F, W] factors
     (pivot Cholesky stacked over the solved boundary strip)."""
     def expand(fp_, U_, child_lvl):
@@ -383,7 +383,9 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
         full = jnp.concatenate(
             [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2)
         if U is not None:
-            if extadd == "fused":
+            if extadd == "hybrid2" and U.shape[0] >= 16:
+                full = full - _expand_child_updates_matmul(fp, U, lvl + 1)
+            elif extadd in ("fused", "hybrid2"):
                 full = _apply_child_updates_fused(fp, full, U, lvl + 1)
             else:
                 full = full - expand(fp, U, lvl + 1)
@@ -494,7 +496,7 @@ def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None
     import os
 
     if extadd is None:
-        extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "fused")
+        extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "hybrid2")
     return _factor_jit(fp.key(), tuple(jnp.asarray(f) for f in fronts),
                        extadd)
 
