@@ -124,7 +124,8 @@ class SparseCholesky:
         if self.engine == "frontal":
             from cholesky_tpu.numeric import frontal
 
-            self.panels = frontal.factor(self.fplan, self.panels)
+            self.panels = frontal.factor(self.fplan, self.panels,
+                                         root_mesh=self.mesh)
         else:
             self.panels = nfactor.factor(self.plan, self.panels)
         self.factored = True

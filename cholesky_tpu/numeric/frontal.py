@@ -362,8 +362,12 @@ def _expand_child_updates(fp: FrontalPlan, U, child_lvl: int):
                                indices_are_sorted=True)
 
 
+ROOT_DIST_MIN = 2048   # min root-front size for the collective factorization
+
+
 def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
-                   extadd: str = "hybrid2") -> Tuple[jax.Array, ...]:
+                   extadd: str = "hybrid2",
+                   root_mesh=None) -> Tuple[jax.Array, ...]:
     """Factor all fronts level by level; returns per-level [B, F, W] factors
     (pivot Cholesky stacked over the solved boundary strip)."""
     def expand(fp_, U_, child_lvl):
@@ -403,7 +407,16 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
                 else:
                     U = jnp.zeros((B, 0, 0), piv.dtype)
             continue
-        Ld = lax.linalg.cholesky(full[:, :Wl, :Wl], symmetrize_input=False)
+        if (lvl == 0 and root_mesh is not None and Wl >= ROOT_DIST_MIN
+                and B == 1):
+            # collective root-front factorization over the ICI mesh
+            from cholesky_tpu.parallel.dist_cholesky import (
+                distributed_cholesky)
+
+            Ld = distributed_cholesky(full[0, :Wl, :Wl], root_mesh)[None]
+        else:
+            Ld = lax.linalg.cholesky(full[:, :Wl, :Wl],
+                                     symmetrize_input=False)
         if Fl > Wl:
             X = lax.linalg.triangular_solve(
                 Ld, full[:, Wl:, :Wl], left_side=False, lower=True,
@@ -481,9 +494,10 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
 # JIT wrappers
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2), donate_argnums=1)
-def _factor_jit(key, fronts, extadd):
-    return frontal_factor(_FPLAN_CACHE[key], fronts, extadd=extadd)
+@functools.partial(jax.jit, static_argnums=(0, 2, 3), donate_argnums=1)
+def _factor_jit(key, fronts, extadd, root_mesh):
+    return frontal_factor(_FPLAN_CACHE[key], fronts, extadd=extadd,
+                          root_mesh=root_mesh)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -491,14 +505,17 @@ def _solve_jit(key, factors, b_perm):
     return frontal_solve(_FPLAN_CACHE[key], factors, b_perm)
 
 
-def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None
-           ) -> Tuple[jax.Array, ...]:
+def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
+           root_mesh=None) -> Tuple[jax.Array, ...]:
     import os
 
     if extadd is None:
         extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "hybrid2")
+    dist_min = int(os.environ.get("CHOLESKY_TPU_ROOT_DIST_MIN", ROOT_DIST_MIN))
+    if root_mesh is not None and fp.W[0] < dist_min:
+        root_mesh = None
     return _factor_jit(fp.key(), tuple(jnp.asarray(f) for f in fronts),
-                       extadd)
+                       extadd, root_mesh)
 
 
 def solve(fp: FrontalPlan, factors, b_perm) -> jax.Array:

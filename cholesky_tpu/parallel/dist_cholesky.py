@@ -36,56 +36,58 @@ def _round_up(x: int, m: int) -> int:
 def distributed_cholesky(a: jax.Array, mesh: Mesh, block: int = 256) -> jax.Array:
     """Cholesky of an SPD matrix [F, F] (lower triangle referenced), computed
     cooperatively over `mesh`'s TREE_AXIS with column-block sharding.
-    Returns L (lower triangular, zero above) with the same sharding."""
+    Returns L (lower triangular, zero above). jit-composable: sharding is
+    applied with with_sharding_constraint, so this can be called inside a
+    larger jitted program (the frontal engine's root-front path)."""
     ndev = int(mesh.devices.size)
     F = a.shape[0]
     Fp = _round_up(F, ndev * block)
     if Fp != F:
         pad = Fp - F
         a = jnp.pad(a, ((0, pad), (0, pad)))
-        a = a.at[jnp.arange(F, Fp), jnp.arange(F, Fp)].set(1.0)
+        diag = jnp.arange(F, Fp)
+        a = a.at[diag, diag].set(1.0)
     cols_per_dev = Fp // ndev
     nb = Fp // block
 
-    a = jax.device_put(a, NamedSharding(mesh, P(None, TREE_AXIS)))
+    a = jax.lax.with_sharding_constraint(
+        a, NamedSharding(mesh, P(None, TREE_AXIS)))
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=P(None, TREE_AXIS),
         out_specs=P(None, TREE_AXIS))
     def _chol(local):                      # local: [Fp, cols_per_dev]
-        d = lax.axis_index(TREE_AXIS)
-        col0 = d * cols_per_dev            # global index of my first column
+        d = lax.axis_index(TREE_AXIS).astype(jnp.int32)
+        col0 = d * jnp.int32(cols_per_dev)  # global index of my first column
         rows = lax.broadcasted_iota(jnp.int32, (Fp, 1), 0)
 
         def step(k, local):
-            kb = k * block
+            kb = (k * block).astype(jnp.int32) if hasattr(k, 'astype') else jnp.int32(k * block)
             # 1) broadcast the current block column: owner contributes
             owner = (kb // cols_per_dev) == d
-            loc_off = kb - col0
-            my_panel = lax.dynamic_slice(
-                local, (0, jnp.clip(loc_off, 0, cols_per_dev - block)),
-                (Fp, block))
+            loc_off = (kb - col0).astype(jnp.int32)
+            zero = jnp.int32(0)
+            safe_off = jnp.clip(loc_off, 0, cols_per_dev - block).astype(jnp.int32)
+            my_panel = lax.dynamic_slice(local, (zero, safe_off), (Fp, block))
             panel = lax.psum(
                 jnp.where(owner, my_panel, jnp.zeros_like(my_panel)),
                 TREE_AXIS)                  # [Fp, block], pre-update col k
             # 2) redundant small factorization of the diagonal block
-            dblk = lax.dynamic_slice(panel, (kb, 0), (block, block))
+            dblk = lax.dynamic_slice(panel, (kb, zero), (block, block))
             ld = lax.linalg.cholesky(dblk, symmetrize_input=False)
             below = jnp.where(rows >= kb + block, panel, 0.0)
             x = lax.linalg.triangular_solve(
                 ld, below, left_side=False, lower=True, transpose_a=True)
             lpanel = x + jnp.where(
                 (rows >= kb) & (rows < kb + block),
-                lax.dynamic_update_slice(jnp.zeros_like(panel), ld, (kb, 0)),
+                lax.dynamic_update_slice(jnp.zeros_like(panel), ld, (kb, zero)),
                 0.0)
             # 3) owner stores the factored panel into its local columns
-            stored = lax.dynamic_update_slice(
-                local, lpanel,
-                (0, jnp.clip(loc_off, 0, cols_per_dev - block)))
+            stored = lax.dynamic_update_slice(local, lpanel, (zero, safe_off))
             local = jnp.where(owner, stored, local)
             # 4) trailing update of my columns: A[:, j] -= X row_j . X^T
             #    row of the panel corresponding to each of my columns
-            xj = lax.dynamic_slice(x, (col0, 0), (cols_per_dev, block))
+            xj = lax.dynamic_slice(x, (col0, zero), (cols_per_dev, block))
             cols_glob = col0 + lax.broadcasted_iota(
                 jnp.int32, (1, cols_per_dev), 1)
             active = cols_glob >= kb + block       # columns right of panel
@@ -93,7 +95,7 @@ def distributed_cholesky(a: jax.Array, mesh: Mesh, block: int = 256) -> jax.Arra
             local = local - jnp.where(active, upd, 0.0)
             return local
 
-        local = lax.fori_loop(0, nb, step, local)
+        local = lax.fori_loop(jnp.int32(0), jnp.int32(nb), step, local)
         # zero strict upper triangle of my columns
         cols_glob = col0 + lax.broadcasted_iota(jnp.int32, (1, cols_per_dev), 1)
         return jnp.where(rows >= cols_glob, local, 0.0)
