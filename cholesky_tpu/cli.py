@@ -85,11 +85,14 @@ def main(argv=None) -> int:
     from cholesky_tpu import SparseCholesky
     from cholesky_tpu.io import mmio
 
-    if not opts["matrix_file"] or not opts["separator_file"]:
-        print("usage: python -m cholesky_tpu.cli -i matrix.mtx -s ord.txt "
+    if not opts["matrix_file"]:
+        print("usage: python -m cholesky_tpu.cli -i matrix.mtx [-s ord.txt] "
               "[-c clust.txt] [-b B.mtx] [-o solution.txt] [-m factor.mtx] "
               "[-p permuted.mtx] [-d debug_dir] [--iterations N] "
-              "[--dtype float64|float32] [--devices N]")
+              "[--dtype float64|float32] [--devices N] "
+              "[--engine frontal|panels] [--profile]\n"
+              "Without -s, a nested-dissection ordering is computed from the "
+              "matrix sparsity graph.")
         return 2
 
     print(f"Iterations: {opts['iterations']}")
@@ -103,10 +106,19 @@ def main(argv=None) -> int:
         from cholesky_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(opts["devices"])
-    solver = SparseCholesky.from_files(
-        opts["matrix_file"], opts["separator_file"],
-        opts["clusters_file"] or None, dtype=dtype, mesh=mesh,
-        engine=opts["engine"])
+    if opts["separator_file"]:
+        solver = SparseCholesky.from_files(
+            opts["matrix_file"], opts["separator_file"],
+            opts["clusters_file"] or None, dtype=dtype, mesh=mesh,
+            engine=opts["engine"])
+    else:
+        # no ordering provided: compute nested dissection from the sparsity
+        # graph (capability beyond the reference, which requires ord files)
+        print("No separator file; computing nested-dissection ordering.")
+        _, r, c_, v = mmio.read_coo(opts["matrix_file"])
+        solver = SparseCholesky.from_matrix(
+            banner.rows, r, c_, v, dtype=dtype, mesh=mesh,
+            engine=opts["engine"])
     plan = solver.plan
     print(f"levels: {plan.levels}")
     print(f"separators: {plan.num_separators}")
