@@ -199,6 +199,21 @@ class SparseCholesky:
         return assemble.extract_factor_dense(
             self.plan, [np.asarray(p) for p in self.panels])
 
+    def factor_coo(self):
+        """The factor L as COO (0-based permuted coordinates, lower
+        triangle) — scales to problems where a dense n^2 factor is
+        infeasible."""
+        if not self.factored:
+            self.factorize()
+        if self.engine == "frontal":
+            from cholesky_tpu.numeric import frontal
+
+            return frontal.extract_factor_coo(self.fplan, self.panels)
+        ldense = assemble.extract_factor_dense(
+            self.plan, [np.asarray(p) for p in self.panels])
+        r, c = np.nonzero(ldense)
+        return r, c, ldense[r, c]
+
     def permuted_dense(self) -> np.ndarray:
         """The permuted (unfactored) matrix as written by -p (mmat.rg:1187-1189)."""
         panels = assemble.assemble_panels(

@@ -174,10 +174,10 @@ def main(argv=None) -> int:
               f"'time_s': {dt:.6f}}}")
 
     if opts["factor_file"]:
-        ldense = solver.factor_dense()
+        fr, fc, fv = solver.factor_coo()
         print(f"saving matrix to: {opts['factor_file']}\n")
-        mmio.write_dense_coo(opts["factor_file"], ldense,
-                             symmetry=banner.symmetry)
+        mmio.write_coo(opts["factor_file"], fr, fc, fv,
+                       (banner.rows, banner.cols), symmetry=banner.symmetry)
 
     if opts["b_file"]:
         b = mmio.read_array(opts["b_file"]).reshape(-1)

@@ -210,6 +210,14 @@ def assemble_fronts(fp: FrontalPlan, rows: np.ndarray, cols: np.ndarray,
     pr2 = np.where(swap, pc, pr)
     pc2 = np.where(swap, pr, pc)
 
+    # group entries by column separator once (one sort) instead of masking
+    # the whole entry array per slot
+    col_sep = plan.sep_of_dof[plan.perm[pc2]]
+    order = np.argsort(col_sep, kind="stable")
+    starts = np.searchsorted(col_sep[order],
+                             np.arange(1, plan.num_separators + 2))
+    starts = np.concatenate([[0], starts])
+
     out = []
     for lvl in range(plan.levels):
         B = 1 << lvl
@@ -219,13 +227,14 @@ def assemble_fronts(fp: FrontalPlan, rows: np.ndarray, cols: np.ndarray,
             s = t.sep_at(lvl, sl)
             off = int(plan.sep_offset[s])
             sz = int(plan.sep_sizes[s])
-            m = (pc2 >= off) & (pc2 < off + sz)
-            if m.any():
+            grp = order[starts[s]:starts[s + 1]]
+            if len(grp):
+                rr = pr2[grp]
                 fr = fp.front_rows[lvl][sl]
-                pos = np.searchsorted(fr[Wl:], pr2[m])
-                in_piv = pr2[m] < off + sz
-                rpos = np.where(in_piv, pr2[m] - off, Wl + pos)
-                arr[sl, rpos, pc2[m] - off] = vals[m]
+                pos = np.searchsorted(fr[Wl:], rr)
+                in_piv = rr < off + sz
+                rpos = np.where(in_piv, rr - off, Wl + pos)
+                arr[sl, rpos, pc2[grp] - off] = vals[grp]
             if sz < Wl:
                 idx = np.arange(sz, Wl)
                 arr[sl, idx, idx] = 1.0
@@ -524,6 +533,39 @@ def solve(fp: FrontalPlan, factors, b_perm) -> jax.Array:
 
 # ---------------------------------------------------------------------------
 # Extraction (verification / .mtx output)
+
+
+def extract_factor_coo(fp: FrontalPlan, factors: Sequence,
+                       drop_tol: float = 0.0):
+    """Extract the factor L as COO (permuted coordinates, lower triangle) —
+    the scalable form of the reference's factored-matrix dump (write_matrix,
+    mmat.rg:103-147, which walks its dense region). Returns (rows, cols,
+    vals) with 0-based permuted indices."""
+    plan = fp.plan
+    t = plan.tree
+    out_r, out_c, out_v = [], [], []
+    for lvl in range(fp.levels):
+        arr = np.asarray(factors[lvl], dtype=np.float64)
+        Wl = fp.W[lvl]
+        for sl in range(1 << lvl):
+            s = t.sep_at(lvl, sl)
+            off = int(plan.sep_offset[s])
+            sz = int(plan.sep_sizes[s])
+            fr = fp.front_rows[lvl][sl]
+            piv = np.tril(arr[sl][:sz, :sz])
+            pr_, pc_ = np.nonzero(np.abs(piv) > drop_tol)
+            out_r.append(pr_ + off)
+            out_c.append(pc_ + off)
+            out_v.append(piv[pr_, pc_])
+            bnd = fr[Wl:]
+            bv = bnd < plan.n
+            strip = arr[sl][Wl:, :sz][bv]
+            br, bc = np.nonzero(np.abs(strip) > drop_tol)
+            out_r.append(bnd[bv][br])
+            out_c.append(bc + off)
+            out_v.append(strip[br, bc])
+    return (np.concatenate(out_r), np.concatenate(out_c),
+            np.concatenate(out_v))
 
 
 def extract_factor_dense(fp: FrontalPlan, factors: Sequence) -> np.ndarray:
