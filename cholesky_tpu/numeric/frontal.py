@@ -499,6 +499,42 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
     return bg[:n]
 
 
+def solve_refined(fp: FrontalPlan, factors: Sequence[jax.Array],
+                  b_perm: jax.Array, a_rows: jax.Array, a_cols: jax.Array,
+                  a_vals: jax.Array, tol: float = 1e-12,
+                  max_iter: int = 40):
+    """Device-resident mixed-precision iterative refinement: the whole loop
+    (low-precision triangular solves + f64 sparse residuals via segment-sum
+    matvec) runs in one XLA while_loop — no host round trips per iteration.
+    `a_rows/a_cols/a_vals` is the SYMMETRIZED matrix in PERMUTED coordinates.
+    Returns (x_perm[f64], final relative residual)."""
+    n = fp.plan.n
+    b64 = b_perm.astype(jnp.float64)
+    bnorm = jnp.linalg.norm(b64)
+    ftype = factors[0].dtype
+
+    def matvec(x):
+        return jax.ops.segment_sum(a_vals * x[a_cols], a_rows,
+                                   num_segments=n)
+
+    def cond(state):
+        i, x, rnorm = state
+        return (i < max_iter) & (rnorm > tol * bnorm)
+
+    def body(state):
+        i, x, _ = state
+        r = b64 - matvec(x)
+        dx = frontal_solve(fp, factors, r.astype(ftype))
+        x = x + dx.astype(jnp.float64)
+        r2 = b64 - matvec(x)
+        return i + 1, x, jnp.linalg.norm(r2)
+
+    x0 = frontal_solve(fp, factors, b_perm.astype(ftype)).astype(jnp.float64)
+    r0 = jnp.linalg.norm(b64 - matvec(x0))
+    i, x, rnorm = lax.while_loop(cond, body, (0, x0, r0))
+    return x, rnorm / bnorm
+
+
 # ---------------------------------------------------------------------------
 # JIT wrappers
 
@@ -507,6 +543,22 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
 def _factor_jit(key, fronts, extadd, root_mesh):
     return frontal_factor(_FPLAN_CACHE[key], fronts, extadd=extadd,
                           root_mesh=root_mesh)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _solve_refined_jit(key, factors, b_perm, acoo, tol, max_iter):
+    a_rows, a_cols, a_vals = acoo
+    return solve_refined(_FPLAN_CACHE[key], factors, b_perm, a_rows, a_cols,
+                         a_vals, tol=tol, max_iter=max_iter)
+
+
+def solve_refined_device(fp: FrontalPlan, factors, b_perm, a_rows, a_cols,
+                         a_vals, tol: float = 1e-12, max_iter: int = 40):
+    acoo = (jnp.asarray(a_rows), jnp.asarray(a_cols),
+            jnp.asarray(a_vals, jnp.float64))
+    return _solve_refined_jit(fp.key(), tuple(factors),
+                              jnp.asarray(b_perm), acoo, float(tol),
+                              int(max_iter))
 
 
 @functools.partial(jax.jit, static_argnums=0)
