@@ -137,7 +137,15 @@ class SparseCholesky:
         if self.engine == "frontal":
             from cholesky_tpu.numeric import frontal
 
-            bp = np.asarray(b, dtype=self.dtype).reshape(-1)[self.plan.perm]
+            b = np.asarray(b, dtype=self.dtype)
+            if b.ndim == 2:
+                bp = b[self.plan.perm, :]
+                x_perm = np.asarray(
+                    frontal.solve_multi(self.fplan, self.panels, bp))
+                x = np.empty_like(x_perm)
+                x[self.plan.perm, :] = x_perm
+                return x
+            bp = b.reshape(-1)[self.plan.perm]
             x_perm = np.asarray(frontal.solve(self.fplan, self.panels, bp))
             x = np.empty(self.plan.n, dtype=x_perm.dtype)
             x[self.plan.perm] = x_perm
@@ -160,7 +168,9 @@ class SparseCholesky:
         fp32 on the MXU, residual in f64, repeat). 'never' disables it,
         'always' forces it even for f64 factors.
         """
-        b = np.asarray(b, dtype=np.float64).reshape(-1)
+        b = np.asarray(b, dtype=np.float64)
+        if b.ndim == 1 or b.shape[1] == 1:
+            b = b.reshape(-1)
         want_ir = refine == "always" or (
             refine == "auto" and np.dtype(self.dtype) != np.float64)
         if not want_ir:
@@ -174,7 +184,7 @@ class SparseCholesky:
         # in-loop matvec makes it slower than the host loop (633 vs 1890 ms
         # at 125k dofs), but it removes all host round trips — useful when
         # the host link is the bottleneck.
-        if (os.environ.get("CHOLESKY_TPU_DEVICE_IR") == "1"
+        if (os.environ.get("CHOLESKY_TPU_DEVICE_IR") == "1" and b.ndim == 1
                 and self.engine == "frontal" and jax.config.jax_enable_x64):
             # device-resident refinement: one jitted while_loop does the
             # low-precision solves and f64 sparse residuals with no host

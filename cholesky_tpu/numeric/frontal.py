@@ -566,6 +566,18 @@ def _solve_jit(key, factors, b_perm):
     return frontal_solve(_FPLAN_CACHE[key], factors, b_perm)
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _solve_multi_jit(key, factors, b_perm):
+    """Multiple right-hand sides [n, k]: vmapped over the RHS axis."""
+    fp = _FPLAN_CACHE[key]
+    return jax.vmap(lambda bc: frontal_solve(fp, factors, bc),
+                    in_axes=1, out_axes=1)(b_perm)
+
+
+def solve_multi(fp: FrontalPlan, factors, b_perm) -> jax.Array:
+    return _solve_multi_jit(fp.key(), tuple(factors), jnp.asarray(b_perm))
+
+
 def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
            root_mesh=None) -> Tuple[jax.Array, ...]:
     import os

@@ -107,3 +107,21 @@ def test_frontal_irregular_shapes():
         s = SparseCholesky.from_coo(n, r, c, v, o, cl)
         x = s.solve(b)
         assert s.residual(b, x) <= 1e-10, (shape, levels)
+
+
+def test_multi_rhs():
+    """Multiple right-hand sides solve in one batched call with refinement."""
+    import scipy.sparse
+
+    n, r, c, v, o, cl, b = generate_problem((18, 17), 4)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    B = rng.normal(size=(n, 5))
+    X = s.solve(B)
+    assert X.shape == (n, 5)
+    off = r != c
+    A = scipy.sparse.coo_matrix(
+        (np.concatenate([v, v[off]]),
+         (np.concatenate([r, c[off]]), np.concatenate([c, r[off]]))),
+        shape=(n, n)).toarray()
+    assert np.linalg.norm(A @ X - B) / np.linalg.norm(B) <= 1e-10
