@@ -35,7 +35,7 @@ top-left, which is also verify.py:170-188's convention.)
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

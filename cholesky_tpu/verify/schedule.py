@@ -14,7 +14,6 @@ import dataclasses
 from typing import Iterator, List, Optional, Tuple
 
 from cholesky_tpu.symbolic.fill import FillAnalysis
-from cholesky_tpu.symbolic.plan import SolvePlan
 
 Rect = Tuple[int, int, int, int]   # inclusive (lo_r, lo_c, hi_r, hi_c)
 
