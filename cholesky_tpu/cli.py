@@ -29,7 +29,7 @@ def parse_args(argv):
         "b_file": "", "solution_file": "", "factor_file": "",
         "permuted_matrix_file": "", "debug_path": "", "debug": False,
         "iterations": 1, "dtype": "float64", "devices": 0, "bench": False,
-        "engine": "frontal", "profile": False,
+        "engine": "frontal", "profile": False, "debug_dumps": False,
     }
     i = 0
     while i < len(argv):
@@ -60,6 +60,8 @@ def parse_args(argv):
             opts["engine"] = argv[i + 1]; i += 2
         elif a == "--profile":
             opts["profile"] = True; i += 1
+        elif a == "--debug-dumps":
+            opts["debug_dumps"] = True; i += 1
         elif a == "--bench":
             opts["bench"] = True; i += 1
         elif a in _LEGION_FLAGS_WITH_ARG or a.startswith(_LEGION_PREFIXES):
@@ -132,6 +134,14 @@ def main(argv=None) -> int:
         log_path = debuglog.write_structure_log(
             plan, opts["debug_path"], fa, ops)
         print(f"debug log: {log_path}")
+        if opts["debug_dumps"]:
+            # per-op matrix snapshots for the bisecting oracle
+            # (write_blocks parity, mmat.rg:174-218)
+            from cholesky_tpu.verify import replay as replaymod
+
+            pmat = solver.permuted_dense()
+            replaymod.replay_schedule(pmat, ops, dump_dir=opts["debug_path"])
+            print(f"debug dumps: {opts['debug_path']}/")
 
     if opts["permuted_matrix_file"]:
         pmat = solver.permuted_dense()

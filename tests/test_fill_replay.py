@@ -112,3 +112,49 @@ def test_schedule_flops_positive():
     # root POTRF alone contributes n^3/3 with n = root separator size
     root_n = int(s.plan.sep_sizes[s.plan.num_separators])
     assert fl > root_n ** 3 / 3.0
+
+
+def test_debug_factor_oracle(tmp_path):
+    """End-to-end -d workflow: CLI-style debug log + per-op dumps, then the
+    reference-semantics debug_factor oracle replays and bisects."""
+    p = fixture_paths("lapl_25x25")
+    s, fa, pmat = setup_fixture("lapl_25x25")
+    ops = schedule.generate_schedule(fa)
+    dbg = str(tmp_path / "dbg")
+    log = debuglog.write_structure_log(s.plan, dbg, fa, ops)
+    replay.replay_schedule(pmat, ops, dump_dir=dbg)
+    # factored matrix file from the fast path
+    from cholesky_tpu.io import mmio as mmio_mod
+
+    fr, fc, fv = s.factor_coo()
+    fac = str(tmp_path / "factored.mtx")
+    mmio_mod.write_coo(fac, fr, fc, fv, (s.plan.n, s.plan.n))
+    assert replay.debug_factor(p["mat"], p["separators"], fac, log,
+                               directory=dbg)
+
+
+def test_debug_factor_catches_corruption(tmp_path):
+    """The oracle must FAIL when a dump is corrupted (bisection actually
+    bisects)."""
+    import os
+
+    s, fa, pmat = setup_fixture("lapl_9x9")
+    p = fixture_paths("lapl_9x9")
+    ops = schedule.generate_schedule(fa)
+    dbg = str(tmp_path / "dbg")
+    log = debuglog.write_structure_log(s.plan, dbg, fa, ops)
+    replay.replay_schedule(pmat, ops, dump_dir=dbg)
+    # corrupt the first potrf dump
+    victim = next(f for f in sorted(os.listdir(dbg)) if f.startswith("potrf"))
+    path = os.path.join(dbg, victim)
+    txt = open(path).read().splitlines()
+    txt[-1] = txt[-1].rsplit(" ", 1)[0] + " 999.0"
+    open(path, "w").write("\n".join(txt) + "\n")
+    from cholesky_tpu.io import mmio as mmio_mod
+
+    fr, fc, fv = s.factor_coo()
+    fac = str(tmp_path / "factored.mtx")
+    mmio_mod.write_coo(fac, fr, fc, fv, (s.plan.n, s.plan.n))
+    with pytest.raises(AssertionError, match="diverges"):
+        replay.debug_factor(p["mat"], p["separators"], fac, log,
+                            directory=dbg)
