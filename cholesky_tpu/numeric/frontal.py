@@ -255,8 +255,10 @@ def _expand_child_updates_matmul(fp: FrontalPlan, U, child_lvl: int):
     Fp = fp.F[child_lvl - 1]
     rows = lax.broadcasted_iota(jnp.int32, (Fp, 1), 0)
     S = (fwd[:, None, :] == rows[None, :, :]).astype(U.dtype)  # [2B, Fp, K]
-    US = jnp.einsum("bkj,bfj->bkf", U, S, preferred_element_type=U.dtype)
-    E = jnp.einsum("bfk,bkg->bfg", S, US, preferred_element_type=U.dtype)
+    acc = jnp.promote_types(U.dtype, jnp.float32)   # f32 accum for bf16 U
+    US = jnp.einsum("bkj,bfj->bkf", U, S, preferred_element_type=acc)
+    E = jnp.einsum("bfk,bkg->bfg", S.astype(acc), US,
+                   preferred_element_type=acc)
     seg = jnp.arange(B2) >> 1
     return jax.ops.segment_sum(E, seg, num_segments=B2 // 2,
                                indices_are_sorted=True)
@@ -286,7 +288,7 @@ def _apply_child_updates_fused(fp: FrontalPlan, full, U, child_lvl: int):
     # share a batch index, and the TPU scatter lowering drops duplicate
     # contributions when the hints claim uniqueness. (Splitting into two
     # hinted scatters is correct but slower: two full passes.)
-    fullpad = fullpad.at[seg, fwd, :].add(-e1)
+    fullpad = fullpad.at[seg, fwd, :].add(-e1.astype(full.dtype))
     return fullpad[:, :Fp, :]
 
 
@@ -379,6 +381,13 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
                    root_mesh=None) -> Tuple[jax.Array, ...]:
     """Factor all fronts level by level; returns per-level [B, F, W] factors
     (pivot Cholesky stacked over the solved boundary strip)."""
+    import os
+
+    update_dtype = (jnp.bfloat16
+                    if os.environ.get("CHOLESKY_TPU_UPDATE_DTYPE") == "bfloat16"
+                    and fronts[0].dtype == jnp.float32
+                    else fronts[0].dtype)
+
     def expand(fp_, U_, child_lvl):
         if extadd == "matmul" or (
                 extadd == "hybrid" and U_.shape[0] <= 16):
@@ -397,11 +406,12 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
             [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2)
         if U is not None:
             if extadd == "hybrid2" and U.shape[0] >= 16:
-                full = full - _expand_child_updates_matmul(fp, U, lvl + 1)
+                full = full - _expand_child_updates_matmul(
+                    fp, U, lvl + 1).astype(full.dtype)
             elif extadd in ("fused", "hybrid2"):
                 full = _apply_child_updates_fused(fp, full, U, lvl + 1)
             else:
-                full = full - expand(fp, U, lvl + 1)
+                full = full - expand(fp, U, lvl + 1).astype(full.dtype)
         if _use_pallas(Fl, Wl, piv.dtype):
             from cholesky_tpu.numeric.pallas_kernels import front_factor_small
 
@@ -413,6 +423,7 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
                     U = jnp.einsum("bik,bjk->bij", X, X,
                                    preferred_element_type=X.dtype) \
                         - full[:, Wl:, Wl:]
+                    U = U.astype(update_dtype)
                 else:
                     U = jnp.zeros((B, 0, 0), piv.dtype)
             continue
@@ -435,6 +446,7 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
                 U = jnp.einsum("bik,bjk->bij", X, X,
                                preferred_element_type=X.dtype) \
                     - full[:, Wl:, Wl:]
+                U = U.astype(update_dtype)
         else:
             out[lvl] = Ld
             if lvl > 0:
