@@ -168,9 +168,15 @@ def main(argv=None):
     t_factor = max(min(times) - floor, 1e-9)
 
     # --- correctness gate: full factor+solve with IR to 1e-10 ---
-    solver.factorize()
-    x = solver.solve(b)
-    residual = solver.residual(b, x)
+    try:
+        solver.factorize()
+        x = solver.solve(b)
+        residual = solver.residual(b, x)
+        gate_error = None
+    except Exception as e:  # noqa: BLE001 — tunnel compiler flakes at scale
+        residual = float("nan")
+        gate_error = f"{type(e).__name__}"
+        print(f"# residual gate failed: {e}", file=sys.stderr)
 
     gflops = useful_flops / t_factor / 1e9
     base = PINNED_CPU_BASELINE_GFLOPS.get(key)
@@ -188,6 +194,8 @@ def main(argv=None):
         "residual": float(f"{residual:.3e}"),
         "residual_ok": bool(residual <= 1e-10),
     }
+    if gate_error:
+        result["gate_error"] = gate_error
     print(json.dumps(result))
     return 0
 
