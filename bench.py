@@ -137,19 +137,34 @@ def main(argv=None):
     extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "hybrid2")
 
     @jax.jit
-    def factor_checksum(fs):
-        # the checksum must touch EVERY output element, otherwise XLA
-        # dead-code-eliminates whole subtrees of the factorization
+    def factor_cs(fs):
+        # ONE compiled program serves both timing and the correctness gate
+        # (a second near-identical large program reliably crashes the tunnel
+        # compile helper at >5 GiB working sets). The checksum touches EVERY
+        # output element so XLA cannot dead-code-eliminate subtrees.
         out = frontal.frontal_factor(fp, fs, extadd=extadd)
-        return sum(jnp.sum(p.astype(jnp.float32)) for p in out)
+        return out, sum(jnp.sum(p.astype(jnp.float32)) for p in out)
+
+    def factor_checksum(fs):
+        return factor_cs(fs)[1]
 
     @jax.jit
     def rpc_floor_fn(x):
         return jnp.sum(x)
 
-    # warm up (compile)
+    # warm up (compile) — the tunnel compile helper crashes intermittently
+    # on multi-GiB programs; retry a few times
     t0 = time.time()
-    float(factor_checksum(fronts))
+    for attempt in range(4):
+        try:
+            float(factor_checksum(fronts))
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 3:
+                raise
+            print(f"# compile attempt {attempt} failed ({type(e).__name__}); "
+                  f"retrying", file=sys.stderr)
+            time.sleep(20)
     print(f"# factor compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
 
     floors = []
@@ -167,9 +182,12 @@ def main(argv=None):
         times.append(time.perf_counter() - t0)
     t_factor = max(min(times) - floor, 1e-9)
 
-    # --- correctness gate: full factor+solve with IR to 1e-10 ---
+    # --- correctness gate: full factor+solve with IR to 1e-10, reusing the
+    # timed program's factors ---
     try:
-        solver.factorize()
+        factors, _ = factor_cs(fronts)
+        solver.panels = factors
+        solver.factored = True
         x = solver.solve(b)
         residual = solver.residual(b, x)
         gate_error = None

@@ -402,6 +402,25 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
         Wl, Fl = fp.W[lvl], fp.F[lvl]
         piv = fronts[lvl]                                  # [B, F, W]
         B = piv.shape[0]
+        if U is None:
+            # leaf levels: no children, so the square front is never needed —
+            # factor the [B, F, W] pivot slab directly (the full [B, F, F]
+            # materialization would dominate HBM at deep trees)
+            Ld = lax.linalg.cholesky(piv[:, :Wl, :], symmetrize_input=False)
+            if Fl > Wl:
+                X = lax.linalg.triangular_solve(
+                    Ld, piv[:, Wl:, :], left_side=False, lower=True,
+                    transpose_a=True)
+                out[lvl] = jnp.concatenate([Ld, X], axis=1)
+                if lvl > 0:
+                    U = jnp.einsum("bik,bjk->bij", X, X,
+                                   preferred_element_type=X.dtype)
+                    U = U.astype(update_dtype)
+            else:
+                out[lvl] = Ld
+                if lvl > 0:
+                    U = jnp.zeros((B, 0, 0), piv.dtype)
+            continue
         full = jnp.concatenate(
             [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2)
         if U is not None:
@@ -557,6 +576,12 @@ def _factor_jit(key, fronts, extadd, root_mesh):
                           root_mesh=root_mesh)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _factor_jit_nodonate(key, fronts, extadd, root_mesh):
+    return frontal_factor(_FPLAN_CACHE[key], fronts, extadd=extadd,
+                          root_mesh=root_mesh)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
 def _solve_refined_jit(key, factors, b_perm, acoo, tol, max_iter):
     a_rows, a_cols, a_vals = acoo
@@ -599,8 +624,16 @@ def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
     dist_min = int(os.environ.get("CHOLESKY_TPU_ROOT_DIST_MIN", ROOT_DIST_MIN))
     if root_mesh is not None and fp.W[0] < dist_min:
         root_mesh = None
-    return _factor_jit(fp.key(), tuple(jnp.asarray(f) for f in fronts),
-                       extadd, root_mesh)
+    args = (fp.key(), tuple(jnp.asarray(f) for f in fronts), extadd, root_mesh)
+    # Donation (in-place buffer reuse) halves peak HBM, but the tunnel
+    # compile helper fails on donated programs past ~5 GiB of aliased
+    # buffers; fall back to the non-donating program when that happens.
+    try:
+        return _factor_jit(*args)
+    except jax.errors.JaxRuntimeError as e:
+        if "remote_compile" not in str(e) and "INTERNAL" not in str(e):
+            raise
+        return _factor_jit_nodonate(*args)
 
 
 def solve(fp: FrontalPlan, factors, b_perm) -> jax.Array:
