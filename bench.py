@@ -46,6 +46,76 @@ def parse_shape(s):
     return tuple(int(x) for x in s.split(","))
 
 
+def kernel_rates():
+    """Measure large-front kernel throughput vs the chip's matmul peak (the
+    BASELINE 'large-front POTRF/GEMM >= 60% of TPU matmul peak' target).
+    Ops are chained inside one jit and timed by scalar readback so the
+    tunnel's RPC floor and async dispatch don't pollute the numbers."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax, random
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/cholesky_tpu_jax_cache")
+    k = random.PRNGKey(0)
+
+    def timeit(f, *a, iters=6):
+        float(f(*a))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(f(*a))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    floor = timeit(jax.jit(lambda x: jnp.sum(x) * 1.0), jnp.ones((8, 8)))
+    out = {"metric": "kernel_rates", "unit": "TFLOP/s", "vs_baseline": None}
+
+    # matmul peak proxy: chained 4096^2 fp32 matmuls
+    n = 4096
+    a = random.normal(k, (n, n), jnp.float32)
+    b2 = random.normal(k, (n, n), jnp.float32)
+    def chain_mm(x, y):
+        acc = x
+        for _ in range(20):
+            acc = acc @ y
+        return jnp.sum(acc)
+
+    mm = jax.jit(chain_mm)
+    t = (timeit(mm, a, b2) - floor) / 20
+    peak = 2 * n ** 3 / t / 1e12
+    out["gemm_4096_tflops"] = round(peak, 1)
+
+    # root-front SYRK (the Schur update shape of a 50^3 root): [2504, 1256]
+    m_, k_ = 2504, 1256
+    x = random.normal(k, (m_, k_), jnp.float32)
+    sy = jax.jit(lambda x: sum(
+        jnp.sum(jnp.einsum("ik,jk->ij", x + i * 1e-7, x,
+                           preferred_element_type=jnp.float32))
+        for i in range(100)))
+    t = (timeit(sy, x) - floor) / 100
+    out["syrk_2504x1256_tflops"] = round(2 * m_ * m_ * k_ / t / 1e12, 1)
+
+    # root-front POTRF at 2504 (chained x4; full-matrix sums defeat DCE)
+    spd = x @ x.T + m_ * jnp.eye(m_, dtype=jnp.float32)
+    ch = jax.jit(lambda d: sum(
+        jnp.sum(lax.linalg.cholesky(
+            d + i * 1e-6 * jnp.eye(m_, dtype=jnp.float32),
+            symmetrize_input=False))
+        for i in range(24)))
+    t = (timeit(ch, spd) - floor) / 24
+    out["potrf_2504_tflops"] = round(m_ ** 3 / 3 / t / 1e12, 2)
+
+    out["value"] = out["syrk_2504x1256_tflops"]
+    out["syrk_pct_of_peak"] = round(
+        100 * out["syrk_2504x1256_tflops"] / out["gemm_4096_tflops"], 1)
+    import json as _json
+
+    print(_json.dumps(out))
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", default="50,50,50", type=parse_shape)
@@ -58,7 +128,12 @@ def main(argv=None):
                     help="replay the schedule on host CPU and report its GFLOP/s")
     ap.add_argument("--cluster-size", default=16, type=int,
                     help="interval-0 cluster granularity for FLOP accounting")
+    ap.add_argument("--kernel-rates", action="store_true",
+                    help="measure large-front kernel rates vs matmul peak")
     args = ap.parse_args(argv)
+
+    if args.kernel_rates:
+        return kernel_rates()
 
     if args.quick:
         args.shape, args.levels = (20, 20, 20), 5
