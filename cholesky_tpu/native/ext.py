@@ -60,6 +60,17 @@ _lib.assemble_panels.argtypes = [_i64p, _i64p, _dblp, _i64, _i64p, _i64p,
                                  _i64, _i64, _i64p, _i64p, _i64p,
                                  ctypes.POINTER(ctypes.c_void_p)]
 
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+_lib.fill_analyze.restype = _i64
+_lib.fill_analyze.argtypes = [_i64, _i64, _i64, _i64p, _u8p, _i64p, _i64p,
+                              _i64p, _i64p, _i64p, _i64p,
+                              ctypes.POINTER(ctypes.c_void_p), _i64p]
+
+_lib.fill_initial.restype = None
+_lib.fill_initial.argtypes = [_i64, _i64, _i64p, _i64p, _dblp, _i64p, _i64p,
+                              _i64p, _i64p, _i64p, _i64p, _u8p, _i64p, _i64p]
+
 
 def hash_sax(key: int) -> int:
     return int(_lib.mnd_hash_sax(_u64(key)))
@@ -116,6 +127,41 @@ def hash_lookup(tbl_idx, tbl_val, ncols: int, i: int, j: int) -> float:
         np.ascontiguousarray(tbl_idx.reshape(-1), np.int64),
         np.ascontiguousarray(tbl_val, np.float64),
         _i64(len(tbl_val)), _u64(ncols), _i64(i), _i64(j)))
+
+
+def fill_initial(nsep, rows, cols, vals, sep_of, loc_of, base, bounds0,
+                 b0_off, b0_len, arena, cur_off, cur_nc) -> None:
+    """Interval-0 filled flags from the COO lower triangle (fill_block
+    reporting parity, mmat.rg:614-616). Mutates `arena` in place."""
+    _lib.fill_initial(
+        _i64(int(nsep)), _i64(len(vals)),
+        np.ascontiguousarray(rows, np.int64),
+        np.ascontiguousarray(cols, np.int64),
+        np.ascontiguousarray(vals, np.float64),
+        np.ascontiguousarray(sep_of, np.int64),
+        np.ascontiguousarray(loc_of, np.int64),
+        base, bounds0, b0_off, b0_len, arena, cur_off, cur_nc)
+
+
+def fill_analyze(levels, nsep, nblocks, base, arena, cur_off, cur_nr, cur_nc,
+                 nclus, merge_off, merge_data, snap_arenas, snap_off) -> None:
+    """Run the interval-scheduled fill propagation + merge loop in C++
+    (compute_filled_clusters / merge_filled_clusters parity; see mndio.cc).
+    Mutates `arena`, `cur_*` and fills the per-label `snap_arenas`."""
+    ptrs = (ctypes.c_void_p * len(snap_arenas))()
+    for i, a in enumerate(snap_arenas):
+        assert a.dtype == np.uint8 and a.flags["C_CONTIGUOUS"]
+        ptrs[i] = a.ctypes.data_as(ctypes.c_void_p)
+    rc = _lib.fill_analyze(
+        _i64(int(levels)), _i64(int(nsep)), _i64(int(nblocks)),
+        base, arena, cur_off, cur_nr, cur_nc, nclus, merge_off, merge_data,
+        ptrs, snap_off)
+    if rc == -1:
+        raise ValueError(
+            "separator not merged to a single cluster at its elimination "
+            "interval (reference invariant, mmat.rg:365-451)")
+    if rc != 0:
+        raise RuntimeError(f"fill_analyze failed with code {rc}")
 
 
 def assemble_panels(rows, cols, vals, sep_of, loc_of, nsep, levels, row_off,

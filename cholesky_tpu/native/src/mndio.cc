@@ -192,4 +192,199 @@ void assemble_panels(const int64_t* rows, const int64_t* cols,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Symbolic fill-analysis core — the planning-core equivalent of the
+// reference's compute_filled_clusters (mmat.rg:896-1028) + merge_filled_
+// clusters (mmat.rg:636-695): interval-scheduled cluster fill propagation
+// over the separator tree, with per-label snapshots. This is the
+// O(blocks*levels) integer planning work the reference's mapper/symbolic
+// layer performs; Python precomputes the flattened tables and reconstructs
+// BlockClusters from the snapshot arenas.
+//
+// Tree conventions (build_separator_tree, mmat.rg:835-849): separators are
+// 1..nsep; heap index h holds sep nsep-h+1; level(h)=floor(log2 h);
+// parent(h)=h/2. Block ids: for col separator c with tree level Lc, block
+// (ancestor at depth d, c) has id base[c]+d, d=0 the diagonal (c,c).
+//
+// Per tree level lvl (deepest first), at interval t = max(0, levels-2-lvl):
+//   * propagation (mmat.rg:944-994): for each sep s at lvl with ancestor
+//     chain a_1 (parent) .. a_L (root): filled(gp,s) & filled(par,s) =>
+//     filled(gp,par), with j<=i (lower triangle) when gp==par (mmat.rg:959);
+//   * snapshot (mmat.rg:1000-1016): copy every live block's flags into the
+//     label arena (label = levels-1-lvl);
+//   * merge (mmat.rg:1020-1026): OR-coarsen flags to interval t+1's cluster
+//     grid; blocks whose separators lack the interval are retired.
+//
+// Returns 0 on success; -1 if a separator is not fully merged to one cluster
+// at its elimination interval (reference invariant, asserted in Python too);
+// -2 on allocation failure.
+
+// Interval-0 filled flags from the COO lower triangle (what fill_block
+// reports per cluster, mmat.rg:614-616): route each entry — both
+// orientations, mirroring the symmetric-entry swap (mmat.rg:581-585) — to
+// its (row_sep, col_sep) block when col_sep is an ancestor-or-self of
+// row_sep, then to the cluster cell by binary search in the separators'
+// interval-0 boundary arrays.
+//
+// bounds0: concatenated per-sep boundary arrays; b0_off[s] its start,
+// b0_len[s] its length. Arena/cur_* as in fill_analyze.
+
+void fill_initial(
+    int64_t nsep, int64_t nnz,
+    const int64_t* rows, const int64_t* cols, const double* vals,
+    const int64_t* sep_of, const int64_t* loc_of,   /* per dof */
+    const int64_t* base, const int64_t* bounds0, const int64_t* b0_off,
+    const int64_t* b0_len, uint8_t* arena, const int64_t* cur_off,
+    const int64_t* cur_nc) {
+  auto cluster_of = [&](int64_t s, int64_t loc) {
+    const int64_t* b = bounds0 + b0_off[s];
+    int64_t lo = 0, hi = b0_len[s] - 1;   // bounds has n_clusters+1 entries
+    while (hi - lo > 1) {                  // find i with b[i] <= loc < b[i+1]
+      int64_t mid = (lo + hi) >> 1;
+      if (b[mid] <= loc) lo = mid; else hi = mid;
+    }
+    return lo;
+  };
+  for (int64_t k = 0; k < nnz; ++k) {
+    if (vals[k] == 0.0) continue;
+    for (int swap = 0; swap < 2; ++swap) {
+      int64_t r = swap ? cols[k] : rows[k];
+      int64_t c = swap ? rows[k] : cols[k];
+      if (swap && r == c) break;
+      int64_t sr = sep_of[r], sc = sep_of[c];
+      int64_t lr = loc_of[r], lc = loc_of[c];
+      uint64_t hr = (uint64_t)(nsep - sr + 1);
+      uint64_t hc = (uint64_t)(nsep - sc + 1);
+      int lvr = ilog2_u64(hr), lvc = ilog2_u64(hc);
+      int64_t bi;
+      if (sr == sc) {
+        if (lr < lc) continue;            // strict upper triangle of diagonal
+        bi = base[sc];
+      } else if (lvr < lvc && (hc >> (lvc - lvr)) == hr) {
+        // row sep is an ancestor of the col sep: block (sr, sc)
+        bi = base[sc] + (lvc - lvr);
+      } else {
+        continue;                          // non-ancestor coupling
+      }
+      int64_t ri = cluster_of(sr, lr);
+      int64_t ci = cluster_of(sc, lc);
+      arena[cur_off[bi] + ri * cur_nc[bi] + ci] = 1;
+    }
+  }
+}
+
+int64_t fill_analyze(
+    int64_t levels, int64_t nsep, int64_t nblocks,
+    const int64_t* base,      /* [nsep+1] block base id per col separator */
+    uint8_t* arena,           /* working flags, interval-0 layout */
+    int64_t* cur_off,         /* [nblocks] arena offset per block */
+    int64_t* cur_nr,          /* [nblocks] row clusters (updated on merge) */
+    int64_t* cur_nc,          /* [nblocks] col clusters (updated on merge) */
+    const int64_t* nclus,     /* [(nsep+1)*levels] clusters per (sep,t); -1 absent */
+    const int64_t* merge_off, /* [(nsep+1)*levels] offset into merge_data */
+    const int64_t* merge_data,/* concatenated interval boundary-index arrays */
+    void** snap_arenas,       /* [levels] destination arena per label */
+    const int64_t* snap_off   /* [levels*nblocks] dst offset; -1 = absent */) {
+  // level of a separator via its heap index
+  auto level_of = [&](int64_t s) {
+    return ilog2_u64((uint64_t)(nsep - s + 1));
+  };
+  // block id of (row_sep=a, col_sep=c), a an ancestor of c (or a==c)
+  auto blk = [&](int64_t a, int64_t c) {
+    return base[c] + (level_of(c) - level_of(a));
+  };
+
+  int64_t max_blk = 0;
+  for (int64_t bi = 0; bi < nblocks; ++bi) {
+    int64_t sz = cur_nr[bi] * cur_nc[bi];
+    if (sz > max_blk) max_blk = sz;
+  }
+  uint8_t* scratch = (uint8_t*)std::malloc((size_t)(max_blk > 0 ? max_blk : 1));
+  if (!scratch) return -2;
+
+  int64_t anc[64];
+  for (int64_t lvl = levels - 1; lvl >= 0; --lvl) {
+    int64_t t = levels - 2 - lvl;
+    if (t < 0) t = 0;
+
+    // --- propagation ---
+    for (int64_t h = (int64_t)1 << lvl; h < (int64_t)2 << lvl; ++h) {
+      int64_t s = nsep - h + 1;
+      if (nclus[s * levels + t] != 1) { std::free(scratch); return -1; }
+      int64_t na = 0;
+      for (int64_t hh = h >> 1; hh >= 1; hh >>= 1) anc[na++] = nsep - hh + 1;
+      for (int64_t pi = 0; pi < na; ++pi) {
+        int64_t par = anc[pi];
+        const uint8_t* B = arena + cur_off[blk(par, s)];   // [npar] strip
+        int64_t npar = cur_nr[blk(par, s)];
+        for (int64_t gi = pi; gi < na; ++gi) {
+          int64_t gp = anc[gi];
+          const uint8_t* A = arena + cur_off[blk(gp, s)];  // [ngp] strip
+          int64_t ngp = cur_nr[blk(gp, s)];
+          int64_t cb = blk(gp, par);
+          uint8_t* C = arena + cur_off[cb];                // [ngp, npar]
+          if (gp == par) {
+            for (int64_t i = 0; i < ngp; ++i) {
+              if (!A[i]) continue;
+              int64_t jmax = i < npar - 1 ? i : npar - 1;  // j <= i
+              for (int64_t j = 0; j <= jmax; ++j) C[i * npar + j] |= B[j];
+            }
+          } else {
+            for (int64_t i = 0; i < ngp; ++i) {
+              if (!A[i]) continue;
+              for (int64_t j = 0; j < npar; ++j) C[i * npar + j] |= B[j];
+            }
+          }
+        }
+      }
+    }
+
+    // --- snapshot at label levels-1-lvl ---
+    int64_t lbl = levels - 1 - lvl;
+    uint8_t* dst = (uint8_t*)snap_arenas[lbl];
+    const int64_t* soff = snap_off + lbl * nblocks;
+    for (int64_t bi = 0; bi < nblocks; ++bi) {
+      if (soff[bi] < 0 || cur_nr[bi] < 0) continue;
+      std::memcpy(dst + soff[bi], arena + cur_off[bi],
+                  (size_t)(cur_nr[bi] * cur_nc[bi]));
+    }
+
+    // --- merge to interval t+1 ---
+    if (lvl <= levels - 2 && lvl > 0 && t + 1 < levels) {
+      int64_t nt = t + 1;
+      // blocks of col sep c occupy ids base[c] .. base[c]+level(c)
+      for (int64_t c = 1; c <= nsep; ++c) {
+        int64_t Lc = level_of(c);
+        int64_t cn = nclus[c * levels + nt];
+        for (int64_t d = 0; d <= Lc; ++d) {
+          int64_t bi = base[c] + d;
+          if (cur_nr[bi] < 0) continue;
+          // row separator = ancestor of c at depth d
+          int64_t hr = (int64_t)((uint64_t)(nsep - c + 1) >> d);
+          int64_t rsep = nsep - hr + 1;
+          int64_t rn = nclus[rsep * levels + nt];
+          if (rn < 0 || cn < 0) { cur_nr[bi] = -1; continue; }
+          const int64_t* rb = merge_data + merge_off[rsep * levels + nt];
+          const int64_t* cbnd = merge_data + merge_off[c * levels + nt];
+          int64_t onc = cur_nc[bi];
+          const uint8_t* old_ = arena + cur_off[bi];
+          for (int64_t R = 0; R < rn; ++R)
+            for (int64_t Cc = 0; Cc < cn; ++Cc) {
+              uint8_t any = 0;
+              for (int64_t i = rb[R]; i < rb[R + 1] && !any; ++i)
+                for (int64_t j = cbnd[Cc]; j < cbnd[Cc + 1]; ++j)
+                  if (old_[i * onc + j]) { any = 1; break; }
+              scratch[R * cn + Cc] = any;
+            }
+          std::memcpy(arena + cur_off[bi], scratch, (size_t)(rn * cn));
+          cur_nr[bi] = rn;
+          cur_nc[bi] = cn;
+        }
+      }
+    }
+  }
+  std::free(scratch);
+  return 0;
+}
+
 }  // extern "C"

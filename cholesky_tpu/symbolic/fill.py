@@ -245,5 +245,123 @@ def _merge(clusters, filled, blocks, interval):
 
 
 def _analyze_fill_native(plan, rows, cols, vals) -> FillAnalysis:
-    # placeholder — wired when the C++ planning core lands; falls back for now
-    return _analyze_fill_py(plan, rows, cols, vals)
+    """C++ planning core (mndio.cc fill_analyze): Python computes the
+    interval-0 flags + flattened cluster tables; the propagate/snapshot/merge
+    loop runs natively; snapshots are reconstructed from the label arenas."""
+    from cholesky_tpu.native import ext
+
+    clusters = plan.clusters
+    t = plan.tree
+    levels = plan.levels
+    nsep = t.num_separators
+    if clusters is None:
+        raise ValueError("fill analysis requires a cluster hierarchy (-c file)")
+    blocks = allocated_blocks(plan)
+
+    # block ids: for col sep c, depth-d ancestor block at base[c] + d
+    base = np.zeros(nsep + 1, dtype=np.int64)
+    acc = 0
+    for c in range(1, nsep + 1):
+        base[c] = acc
+        acc += t.level_of(c) + 1
+    nblocks = acc
+    blk_id = {}
+    for c in range(1, nsep + 1):
+        blk_id[(c, c)] = int(base[c])
+        for d, a in enumerate(t.ancestors(c), start=1):
+            blk_id[(a, c)] = int(base[c]) + d
+
+    # interval-0 cluster boundaries, flattened per separator
+    bounds0_per = {s: clusters.cluster_dof_ranges(s, 0)
+                   for s in range(1, nsep + 1)}
+    b0_off = np.zeros(nsep + 1, dtype=np.int64)
+    b0_len = np.zeros(nsep + 1, dtype=np.int64)
+    parts = []
+    blen = 0
+    for s in range(1, nsep + 1):
+        b0_off[s] = blen
+        b0_len[s] = len(bounds0_per[s])
+        parts.append(np.asarray(bounds0_per[s], dtype=np.int64))
+        blen += b0_len[s]
+    bounds0 = np.concatenate(parts)
+
+    # working arena at interval-0 layout
+    cur_nr = np.empty(nblocks, dtype=np.int64)
+    cur_nc = np.empty(nblocks, dtype=np.int64)
+    cur_off = np.empty(nblocks, dtype=np.int64)
+    off = 0
+    for b in blocks:
+        bi = blk_id[b]
+        nr = b0_len[b[0]] - 1
+        nc = b0_len[b[1]] - 1
+        cur_nr[bi], cur_nc[bi], cur_off[bi] = nr, nc, off
+        off += nr * nc
+    arena = np.zeros(off, dtype=np.uint8)
+    ext.fill_initial(nsep, rows, cols, vals, plan.sep_of_dof, plan.loc_of_dof,
+                     base, bounds0, b0_off, b0_len, arena, cur_off, cur_nc)
+
+    # cluster-count and merge tables per (sep, interval)
+    nclus = np.full((nsep + 1) * levels, -1, dtype=np.int64)
+    merge_off = np.zeros((nsep + 1) * levels, dtype=np.int64)
+    mdata: List[np.ndarray] = []
+    mlen = 0
+    for s in range(1, nsep + 1):
+        ivs = clusters.intervals.get(s, [])
+        for ti in range(min(len(ivs), levels)):
+            nclus[s * levels + ti] = max(len(ivs[ti]) - 1, 0)
+            if ti >= 1:
+                merge_off[s * levels + ti] = mlen
+                mdata.append(np.asarray(ivs[ti], dtype=np.int64))
+                mlen += len(ivs[ti])
+    merge_data = (np.concatenate(mdata) if mdata
+                  else np.zeros(1, dtype=np.int64))
+
+    # snapshot layout per label: blocks whose both separators define the
+    # label's interval, at that interval's cluster dims
+    snap_off = np.full(levels * nblocks, -1, dtype=np.int64)
+    snap_arenas: List[np.ndarray] = []
+    bounds_cache: Dict[Tuple[int, int], Optional[np.ndarray]] = {}
+
+    def bounds(s, ti):
+        k = (s, ti)
+        if k not in bounds_cache:
+            bounds_cache[k] = _bounds_at(clusters, s, ti)
+        return bounds_cache[k]
+
+    for lbl in range(levels):
+        lvl = levels - 1 - lbl
+        ti = max(0, levels - 2 - lvl)
+        sz = 0
+        for b in blocks:
+            rs, cs = b
+            rb = bounds(rs, ti)
+            cb = bounds(cs, ti)
+            if rb is None or cb is None:
+                continue
+            bi = blk_id[b]
+            snap_off[lbl * nblocks + bi] = sz
+            sz += (len(rb) - 1) * (len(cb) - 1)
+        snap_arenas.append(np.zeros(max(sz, 1), dtype=np.uint8))
+
+    ext.fill_analyze(levels, nsep, nblocks, base, arena, cur_off, cur_nr,
+                     cur_nc, nclus, merge_off, merge_data, snap_arenas,
+                     snap_off)
+
+    snapshots: List[Dict[Tuple[int, int], BlockClusters]] = []
+    for lbl in range(levels):
+        lvl = levels - 1 - lbl
+        ti = max(0, levels - 2 - lvl)
+        snap: Dict[Tuple[int, int], BlockClusters] = {}
+        for b in blocks:
+            bi = blk_id[b]
+            so = snap_off[lbl * nblocks + bi]
+            if so < 0:
+                continue
+            rs, cs = b
+            rb = bounds(rs, ti)
+            cb = bounds(cs, ti)
+            nr, nc = len(rb) - 1, len(cb) - 1
+            flags = snap_arenas[lbl][so:so + nr * nc].reshape(nr, nc)
+            snap[b] = BlockClusters(rs, cs, rb, cb, flags.astype(bool))
+        snapshots.append(snap)
+    return FillAnalysis(plan, snapshots)

@@ -104,3 +104,24 @@ def test_assembly_parity_generated():
     numpy_ = asm.assemble_panels_numpy(plan, r, c, v)
     for a, b in zip(native, numpy_):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("shape,levels", [((20, 20), 5), ((13, 11, 7), 5),
+                                          ((15, 15, 15), 5)])
+def test_fill_analysis_native_parity(shape, levels):
+    """The C++ planning core (fill_initial + fill_analyze) reproduces the
+    Python fill analysis bit-for-bit: same blocks, bounds, and filled flags
+    at every interval label."""
+    from cholesky_tpu.symbolic import fill
+
+    n, r, c, v, o, cl, _ = generate_problem(shape, levels)
+    plan = build_plan(o, cl)
+    fa_py = fill._analyze_fill_py(plan, r, c, v)
+    fa_cc = fill._analyze_fill_native(plan, r, c, v)
+    assert len(fa_py.snapshots) == len(fa_cc.snapshots)
+    for sp, sc in zip(fa_py.snapshots, fa_cc.snapshots):
+        assert set(sp.keys()) == set(sc.keys())
+        for k in sp:
+            np.testing.assert_array_equal(sp[k].filled, sc[k].filled)
+            np.testing.assert_array_equal(sp[k].row_bounds, sc[k].row_bounds)
+            np.testing.assert_array_equal(sp[k].col_bounds, sc[k].col_bounds)
