@@ -259,11 +259,15 @@ def main(argv=None):
 
     # --- correctness gate: full factor+solve with IR to 1e-10, reusing the
     # timed program's factors ---
+    t_solve = None
     try:
         factors, _ = factor_cs(fronts)
         solver.panels = factors
         solver.factored = True
+        x = solver.solve(b)          # compiles the solve program
+        t0 = time.perf_counter()
         x = solver.solve(b)
+        t_solve = max(time.perf_counter() - t0 - floor, 1e-9)
         residual = solver.residual(b, x)
         gate_error = None
     except Exception as e:  # noqa: BLE001 — tunnel compiler flakes at scale
@@ -287,6 +291,8 @@ def main(argv=None):
         "residual": float(f"{residual:.3e}"),
         "residual_ok": bool(residual <= 1e-10),
     }
+    if t_solve is not None:
+        result["solve_wall_s"] = round(t_solve, 4)
     if gate_error:
         result["gate_error"] = gate_error
     print(json.dumps(result))

@@ -264,6 +264,30 @@ def _expand_child_updates_matmul(fp: FrontalPlan, U, child_lvl: int):
                                indices_are_sorted=True)
 
 
+def _expand_child_updates_gathermm(fp: FrontalPlan, U, child_lvl: int):
+    """Half-gather matmul expansion: rows of U are gathered into parent
+    coordinates (gathers run near HBM bandwidth), then a single one-hot
+    einsum reindexes the columns — with both siblings folded into the
+    contraction axis, so the sibling segment-sum is free. Saves the
+    [K,K]x[K,Fp] einsum (2B*K^2*Fp FLOPs) of the full matmul expansion and
+    its separate segment-sum pass."""
+    inv = jnp.asarray(fp.inv_child[child_lvl]).astype(jnp.int32)   # [2B, Fp]
+    fwd = jnp.asarray(fp.fwd_child[child_lvl]).astype(jnp.int32)   # [2B, K]
+    B2, K = fwd.shape
+    Fp = fp.F[child_lvl - 1]
+    Upad = jnp.pad(U, ((0, 0), (0, 1), (0, 0)))                    # row sentinel
+    G = _chunked_row_gather(Upad, inv)                             # [2B, Fp, K]
+    rows = lax.broadcasted_iota(jnp.int32, (Fp, 1), 0)
+    S = (fwd[:, None, :] == rows[None, :, :]).astype(U.dtype)      # [2B, Fp, K]
+    acc = jnp.promote_types(U.dtype, jnp.float32)
+    Gr = jnp.swapaxes(G.reshape(B2 // 2, 2, Fp, K), 1, 2).reshape(
+        B2 // 2, Fp, 2 * K)
+    Sr = jnp.swapaxes(S.reshape(B2 // 2, 2, Fp, K), 1, 2).reshape(
+        B2 // 2, Fp, 2 * K)
+    return jnp.einsum("bfj,bgj->bfg", Gr, Sr.astype(acc),
+                      preferred_element_type=acc)
+
+
 def _apply_child_updates_fused(fp: FrontalPlan, full, U, child_lvl: int):
     """Subtract both children's updates directly into the parent's full
     fronts [B, Fp, Fp] in one gather + one scatter-add:
@@ -320,9 +344,15 @@ _GATHER_CHUNK = 1024
 
 
 def _chunked_row_gather(arr, idx):
-    """take_along_axis(arr, idx[:, :, None], axis=1), with the output rows
-    chunked so no single gather op exceeds ~_GATHER_CHUNK rows (very large
-    gathers fault the TPU backend)."""
+    """take_along_axis(arr, idx[:, :, None], axis=1), chunked two ways:
+    output rows in ~_GATHER_CHUNK batches (very large gathers fault the TPU
+    backend) and the operand minor axis in ~_MINOR_CHUNK column slabs
+    (gathers whose operand minor dimension exceeds ~2048 lanes also fault)."""
+    Kc = arr.shape[2]
+    if Kc > _MINOR_CHUNK:
+        return jnp.concatenate(
+            [_chunked_row_gather(arr[:, :, b:b + _MINOR_CHUNK], idx)
+             for b in range(0, Kc, _MINOR_CHUNK)], axis=2)
     Fp = idx.shape[1]
     if Fp <= _GATHER_CHUNK:
         return jnp.take_along_axis(arr, idx[:, :, None], axis=1)
@@ -377,7 +407,7 @@ ROOT_DIST_MIN = 2048   # min root-front size for the collective factorization
 
 
 def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
-                   extadd: str = "hybrid2",
+                   extadd: str = "hybrid3",
                    root_mesh=None) -> Tuple[jax.Array, ...]:
     """Factor all fronts level by level; returns per-level [B, F, W] factors
     (pivot Cholesky stacked over the solved boundary strip)."""
@@ -394,6 +424,8 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
             return _expand_child_updates_matmul(fp_, U_, child_lvl)
         if extadd == "gather":
             return _expand_child_updates_gather(fp_, U_, child_lvl)
+        if extadd == "gathermm":
+            return _expand_child_updates_gathermm(fp_, U_, child_lvl)
         return _expand_child_updates(fp_, U_, child_lvl)
     levels = fp.levels
     out: List[jax.Array] = [None] * levels
@@ -427,7 +459,13 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
             if extadd == "hybrid2" and U.shape[0] >= 16:
                 full = full - _expand_child_updates_matmul(
                     fp, U, lvl + 1).astype(full.dtype)
-            elif extadd in ("fused", "hybrid2"):
+            elif extadd == "hybrid3" and U.shape[0] >= 4:
+                # gathermm beats every other strategy at child batches >= 4
+                # on this backend (tools/bench_extadd.py, 50^3: 2.4-5.4 ms vs
+                # 5.6-7.5 matmul / 12-17 fused per level)
+                full = full - _expand_child_updates_gathermm(
+                    fp, U, lvl + 1).astype(full.dtype)
+            elif extadd in ("fused", "hybrid2", "hybrid3"):
                 full = _apply_child_updates_fused(fp, full, U, lvl + 1)
             else:
                 full = full - expand(fp, U, lvl + 1).astype(full.dtype)
@@ -620,7 +658,7 @@ def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
     import os
 
     if extadd is None:
-        extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "hybrid2")
+        extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "hybrid3")
     dist_min = int(os.environ.get("CHOLESKY_TPU_ROOT_DIST_MIN", ROOT_DIST_MIN))
     if root_mesh is not None and fp.W[0] < dist_min:
         root_mesh = None

@@ -125,3 +125,23 @@ def test_multi_rhs():
          (np.concatenate([r, c[off]]), np.concatenate([c, r[off]]))),
         shape=(n, n)).toarray()
     assert np.linalg.norm(A @ X - B) / np.linalg.norm(B) <= 1e-10
+
+
+def test_extadd_strategies_agree():
+    """Every extend-add strategy produces the same factors (machine
+    precision in f64) — scatter is the semantic reference; matmul, gather,
+    gathermm and the fused/hybrid dispatchers must all match it."""
+    import jax.numpy as jnp
+
+    n, r, c, v, o, cl, _ = generate_problem((15, 15, 15), 5)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    fp = s.fplan
+    fronts = tuple(jnp.asarray(f) for f in frontal.assemble_fronts(
+        fp, s.rows, s.cols, s.vals, dtype=np.float64))
+    ref = frontal.frontal_factor(fp, fronts, extadd="scatter")
+    for strat in ("matmul", "gather", "gathermm", "fused",
+                  "hybrid", "hybrid2", "hybrid3"):
+        out = frontal.frontal_factor(fp, fronts, extadd=strat)
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-11, atol=1e-11, err_msg=strat)
