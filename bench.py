@@ -209,7 +209,7 @@ def main(argv=None):
 
     import os
 
-    extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "hybrid2")
+    extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "hybrid3")
 
     @jax.jit
     def factor_cs(fs):

@@ -180,15 +180,13 @@ class SparseCholesky:
 
         import jax
 
-        # device-resident IR is opt-in: on this backend the f64-emulated
-        # in-loop matvec makes it slower than the host loop (633 vs 1890 ms
-        # at 125k dofs), but it removes all host round trips — useful when
-        # the host link is the bottleneck.
-        if (os.environ.get("CHOLESKY_TPU_DEVICE_IR") == "1" and b.ndim == 1
-                and self.engine == "frontal" and jax.config.jax_enable_x64):
-            # device-resident refinement: one jitted while_loop does the
-            # low-precision solves and f64 sparse residuals with no host
-            # round trips per iteration
+        mode = os.environ.get("CHOLESKY_TPU_DEVICE_IR", "df")
+        x = None
+        if mode == "1" and b.ndim == 1 and self.engine == "frontal" \
+                and jax.config.jax_enable_x64:
+            # legacy device-resident refinement with an emulated-f64
+            # segment-sum matvec (slower than the host loop on this backend:
+            # the f64 matvec alone is ~102 ms at 125k dofs)
             from cholesky_tpu.numeric import frontal
 
             if not self.factored:
@@ -200,16 +198,57 @@ class SparseCholesky:
             x = np.empty(self.plan.n)
             x[self.plan.perm] = np.asarray(x_perm)
             return x
+        if mode != "0" and b.ndim == 1 and self.engine == "frontal":
+            # default device-resident refinement: f32 triangular solves +
+            # double-float (f32-pair) compensated residuals in one jitted
+            # while_loop — no f64 emulation, no per-iteration host round
+            # trips (numeric/refine.py). Falls through to the host loop
+            # (warm-started) if the tolerance was not reached.
+            from cholesky_tpu.numeric import refine
 
-        x = self._solve_once(b).astype(np.float64)
+            if not self.factored:
+                self.factorize()
+            ell = self._ell_perm()
+            if ell is not None:
+                x_hi, x_lo, _ = refine.solve_refined_df(
+                    self.fplan, self.panels, b[self.plan.perm], ell,
+                    tol=tol, max_iter=max_iter,
+                    inv_pivots=self._inv_pivots())
+                x_perm = (np.asarray(x_hi, np.float64)
+                          + np.asarray(x_lo, np.float64))
+                x = np.empty(self.plan.n)
+                x[self.plan.perm] = x_perm
+
         a = self._matrix_csr()
         bnorm = np.linalg.norm(b)
+        if x is None:
+            x = self._solve_once(b).astype(np.float64)
         for _ in range(max_iter):
             r = b - a @ x
             if np.linalg.norm(r) <= tol * bnorm:
                 break
             x = x + self._solve_once(r).astype(np.float64)
         return x
+
+    def _inv_pivots(self):
+        """Cached per-level explicit pivot-factor inverses for the
+        refinement loop (invalidated with the factorization)."""
+        if getattr(self, "_inv_cache_key", None) is not id(self.panels):
+            from cholesky_tpu.numeric import frontal
+
+            self._inv_cache = frontal.invert_pivots(self.fplan, self.panels)
+            self._inv_cache_key = id(self.panels)
+        return self._inv_cache
+
+    def _ell_perm(self):
+        """ELL planes of the symmetrized permuted matrix for the
+        double-float matvec (None when a row exceeds ELL_MAX_K nonzeros)."""
+        if not hasattr(self, "_ell_cache"):
+            from cholesky_tpu.numeric import refine
+
+            pr, pc, pv = self._perm_coo()
+            self._ell_cache = refine.build_ell(self.plan.n, pr, pc, pv)
+        return self._ell_cache
 
     def _perm_coo(self):
         """Symmetrized COO in permuted coordinates (for device matvec)."""

@@ -526,9 +526,17 @@ def _use_pallas(F: int, W: int, dtype) -> bool:
 
 
 def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
-                  b_perm: jax.Array) -> jax.Array:
+                  b_perm: jax.Array,
+                  inv_pivots: Optional[Sequence[jax.Array]] = None
+                  ) -> jax.Array:
     """Forward + backward substitution against the frontal factors. `b_perm`
-    is the RHS in PERMUTED order, [n]; returns x in permuted order."""
+    is the RHS in PERMUTED order, [n]; returns x in permuted order.
+
+    inv_pivots: optional per-level explicit pivot inverses (invert_pivots).
+    Vector-RHS triangular_solve is latency-bound on this backend (12.8 ms
+    for the 50^3 leaf level alone); applying a precomputed inverse is one
+    batched matvec (~free). Used by the iterative-refinement loop, where the
+    O(kappa*eps) inverse-application error washes out."""
     plan = fp.plan
     n = plan.n
     levels = fp.levels
@@ -537,12 +545,27 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
     piv_idx = [jnp.asarray(fp.front_rows[l][:, :fp.W[l]]) for l in range(levels)]
     bnd_idx = [jnp.asarray(fp.front_rows[l][:, fp.W[l]:]) for l in range(levels)]
 
+    def lower_solve(lvl, rhs):
+        if inv_pivots is not None:
+            return jnp.einsum("bij,bj->bi", inv_pivots[lvl], rhs,
+                              preferred_element_type=rhs.dtype)
+        Ld = factors[lvl][:, :fp.W[lvl], :]
+        return lax.linalg.triangular_solve(
+            Ld, rhs[..., None], left_side=True, lower=True)[..., 0]
+
+    def upper_solve(lvl, rhs):
+        if inv_pivots is not None:
+            return jnp.einsum("bji,bj->bi", inv_pivots[lvl], rhs,
+                              preferred_element_type=rhs.dtype)
+        Ld = factors[lvl][:, :fp.W[lvl], :]
+        return lax.linalg.triangular_solve(
+            Ld, rhs[..., None], left_side=True, lower=True,
+            transpose_a=True)[..., 0]
+
     for lvl in range(levels - 1, -1, -1):
         Wl, Fl = fp.W[lvl], fp.F[lvl]
-        Ld = factors[lvl][:, :Wl, :]
         bp = bg[piv_idx[lvl]]                              # [B, W]
-        y = lax.linalg.triangular_solve(
-            Ld, bp[..., None], left_side=True, lower=True)[..., 0]
+        y = lower_solve(lvl, bp)
         bg = bg.at[piv_idx[lvl]].set(y, mode="drop",
                                      indices_are_sorted=False)
         if Fl > Wl:
@@ -553,19 +576,36 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
 
     for lvl in range(levels):
         Wl, Fl = fp.W[lvl], fp.F[lvl]
-        Ld = factors[lvl][:, :Wl, :]
         rhs = bg[piv_idx[lvl]]
         if Fl > Wl:
             X = factors[lvl][:, Wl:, :]
             z = bg[bnd_idx[lvl]]                           # ancestor solutions
             rhs = rhs - jnp.einsum("bij,bi->bj", X, z,
                                    preferred_element_type=z.dtype)
-        x = lax.linalg.triangular_solve(
-            Ld, rhs[..., None], left_side=True, lower=True,
-            transpose_a=True)[..., 0]
+        x = upper_solve(lvl, rhs)
         bg = bg.at[piv_idx[lvl]].set(x)
 
     return bg[:n]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _invert_pivots_jit(key, factors):
+    fp = _FPLAN_CACHE[key]
+    out = []
+    for lvl in range(fp.levels):
+        Wl = fp.W[lvl]
+        Ld = factors[lvl][:, :Wl, :]
+        eye = jnp.broadcast_to(jnp.eye(Wl, dtype=Ld.dtype), Ld.shape)
+        out.append(lax.linalg.triangular_solve(
+            Ld, eye, left_side=True, lower=True))
+    return tuple(out)
+
+
+def invert_pivots(fp: FrontalPlan, factors) -> Tuple[jax.Array, ...]:
+    """Per-level explicit inverses of the pivot Cholesky factors — a
+    one-time batched matrix-RHS triangular solve (MXU-friendly), amortized
+    over the many vector solves of the refinement loop."""
+    return _invert_pivots_jit(fp.key(), tuple(factors))
 
 
 def solve_refined(fp: FrontalPlan, factors: Sequence[jax.Array],

@@ -67,15 +67,31 @@ def profile_frontal(fp, fronts: Sequence, iters: int = 3,
         B = 1 << lvl
         piv = fronts[lvl]
         if U is not None:
-            expand = jax.jit(lambda u: fr._expand_child_updates(fp, u, lvl + 1))
-            esum, t = timed(expand, U)
+            # time the PRODUCTION extend-add dispatch (hybrid3 default:
+            # gathermm at child batch >= 4, fused gather-scatter below)
+            import os
+
+            strat = os.environ.get("CHOLESKY_TPU_EXTADD", "hybrid3")
+
+            def apply_extadd(fu, u):
+                if strat in ("hybrid3", "gathermm") and u.shape[0] >= 4:
+                    return fu - fr._expand_child_updates_gathermm(
+                        fp, u, lvl + 1).astype(fu.dtype)
+                if strat == "hybrid2" and u.shape[0] >= 16:
+                    return fu - fr._expand_child_updates_matmul(
+                        fp, u, lvl + 1).astype(fu.dtype)
+                if strat == "scatter":
+                    return fu - fr._expand_child_updates(fp, u, lvl + 1)
+                return fr._apply_child_updates_fused(fp, fu, u, lvl + 1)
+
+            full0 = jnp.concatenate(
+                [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2)
+            full, t = timed(jax.jit(apply_extadd), full0, U)
             rec = {"op": "EXTEND_ADD", "level": lvl, "batch": B,
                    "time_us": int(t * 1e6)}
             records.append(rec)
             emit(f"BLAS: {{'op': 'EXTADD', 'Level': {lvl}, 'Batch': {B}, "
                  f"'F': {Fl}, 'Time': {rec['time_us']}}}")
-            full = jnp.concatenate(
-                [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2) - esum
         else:
             full = jnp.concatenate(
                 [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2)

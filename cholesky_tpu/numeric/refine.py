@@ -1,0 +1,192 @@
+"""Device-resident mixed-precision iterative refinement with a double-float
+(f32-pair) compensated sparse matvec.
+
+The refinement loop x += (LL^T)^{-1}(b - Ax) needs residuals accurate to
+~1e-14 relative to reach the 1e-10 residual contract from an fp32 factor.
+On this TPU, f64 is emulated (~130x slower) and an f64 segment-sum matvec
+measures ~102 ms at 125k dofs — 4x the f32 triangular solves it feeds. This
+module instead computes the residual in double-float arithmetic: every value
+is an (hi, lo) pair of f32 with hi+lo ~ 49-bit precision; products use
+Dekker's TwoProd (exact via split multiplies, no FMA needed) and sums use
+Knuth's TwoSum — all branch-free f32 VPU ops.
+
+The matrix is stored in ELL form ([n, K] column indices + f32 hi/lo value
+planes, rows padded with a sentinel column n -> x=0), so the matvec is K
+gathers + K compensated multiply-accumulates — no f64 op anywhere in the
+loop. The whole refinement runs in one XLA while_loop: zero host round
+trips (the host-loop variant pays a ~27 ms RPC floor per iteration on this
+backend, plus the 102 ms f64 matvec).
+
+Equivalent of the reference's solve correctness contract (verify.py:290-302)
+at the tighter BASELINE 1e-10 residual gate; the reference itself factors in
+f64 and needs no refinement.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_SPLIT = np.float32(4097.0)        # Dekker split constant for f32: 2^12 + 1
+
+# beyond this max row degree the ELL form is too padded to be worthwhile;
+# callers fall back to the f64 segment-sum path
+ELL_MAX_K = 96
+
+
+def _two_sum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly (6 flops, branch-free)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _split(a):
+    c = _SPLIT * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    """Dekker TwoProd: p + e == a * b exactly (no FMA on the VPU)."""
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def split_f64(x64: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Split an f64 array into an (hi, lo) f32 pair with hi+lo == x64 to
+    f32(lo) rounding (~2^-49 relative)."""
+    hi = x64.astype(np.float32)
+    lo = (x64 - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def build_ell(n: int, rows: np.ndarray, cols: np.ndarray, vals: np.ndarray):
+    """Pack a symmetrized COO matrix into ELL planes for the double-float
+    matvec: (idx [n, K] int32 with sentinel n, a_hi [n, K] f32, a_lo [n, K]
+    f32). Returns None when the max row degree exceeds ELL_MAX_K."""
+    counts = np.bincount(rows, minlength=n)
+    K = int(counts.max()) if len(counts) else 0
+    if K > ELL_MAX_K:
+        return None
+    order = np.argsort(rows, kind="stable")
+    slot = np.arange(len(rows)) - np.concatenate(
+        [[0], np.cumsum(counts)])[rows[order]]
+    idx = np.full((n, K), n, dtype=np.int32)
+    a64 = np.zeros((n, K), dtype=np.float64)
+    idx[rows[order], slot] = cols[order].astype(np.int32)
+    a64[rows[order], slot] = vals[order]
+    a_hi, a_lo = split_f64(a64)
+    return idx, a_hi, a_lo
+
+
+def df_matvec(idx, a_hi, a_lo, x_hi, x_lo):
+    """y = A @ x in double-float. One 2-D gather per x plane fetches all
+    [n, K] operands at once (K separate 1-D gathers are ~10x slower on this
+    backend), then the products and the TwoSum accumulation fold are pure
+    elementwise VPU work. x planes are length n+1 with a trailing zero (the
+    sentinel slot)."""
+    K = idx.shape[1]
+    if K == 0:
+        z = jnp.zeros(idx.shape[0], jnp.float32)
+        return z, z
+    xg = jnp.stack([x_hi, x_lo], axis=-1)[idx]           # ONE [n, K, 2] gather
+    xh = xg[..., 0]
+    xl = xg[..., 1]
+    p, pe = _two_prod(a_hi, xh)
+    # cross terms are O(eps * |a x|); their own rounding is O(eps^2)
+    cross = a_hi * xl + a_lo * xh
+    e_all = pe + cross
+    s = p[:, 0]
+    c = e_all[:, 0]
+    for k in range(1, K):
+        s, se = _two_sum(s, p[:, k])
+        c = c + (se + e_all[:, k])
+    return s, c
+
+
+def _df_add(a_hi, a_lo, b_hi, b_lo):
+    """(a) + (b) in double-float with renormalization."""
+    s, e = _two_sum(a_hi, b_hi)
+    lo = e + (a_lo + b_lo)
+    hi, lo = _two_sum(s, lo)
+    return hi, lo
+
+
+def solve_refined_df(fp, factors: Sequence, b64: np.ndarray, ell,
+                     tol: float = 1e-12, max_iter: int = 40,
+                     inv_pivots=None):
+    """Device-resident IR: f32 triangular solves + double-float residuals in
+    one while_loop. `b64` is the PERMUTED f64 RHS; `ell` from build_ell on
+    the symmetrized PERMUTED matrix; `inv_pivots` optional precomputed pivot
+    inverses (frontal.invert_pivots) replacing the latency-bound vector
+    triangular solves with batched matvecs. Returns (x_hi, x_lo, iters) —
+    the solution as an f32 pair (sum in f64 for the final answer)."""
+    idx, a_hi, a_lo = ell
+    b_hi, b_lo = split_f64(np.asarray(b64, np.float64))
+    bnorm = float(np.linalg.norm(np.asarray(b64, np.float64)))
+    inv = tuple(inv_pivots) if inv_pivots is not None else None
+    return _run(fp.key(), tuple(factors), inv, jnp.asarray(idx),
+                jnp.asarray(a_hi), jnp.asarray(a_lo), jnp.asarray(b_hi),
+                jnp.asarray(b_lo), int(max_iter), np.float32(tol * bnorm))
+
+
+def _residual_df(idx, a_hi, a_lo, b_hi, b_lo, x_hi, x_lo):
+    xh = jnp.concatenate([x_hi, jnp.zeros(1, jnp.float32)])
+    xl = jnp.concatenate([x_lo, jnp.zeros(1, jnp.float32)])
+    y_hi, y_lo = df_matvec(idx, a_hi, a_lo, xh, xl)
+    return _df_add(b_hi, b_lo, -y_hi, -y_lo)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 8))
+def _run(key, factors, inv_pivots, idx, a_hi, a_lo, b_hi, b_lo, max_iter,
+         tol_abs):
+    from cholesky_tpu.numeric import frontal
+
+    fp = frontal._FPLAN_CACHE[key]
+
+    def solve(rhs):
+        return frontal.frontal_solve(fp, factors, rhs,
+                                     inv_pivots=inv_pivots)
+
+    def resid(x_hi, x_lo):
+        return _residual_df(idx, a_hi, a_lo, b_hi, b_lo, x_hi, x_lo)
+
+    def rnorm_of(r_hi):
+        # scaled 2-norm: residual entries underflow f32 squares near
+        # convergence, so normalize by the max magnitude first
+        m = jnp.maximum(jnp.max(jnp.abs(r_hi)), jnp.float32(1e-30))
+        return m * jnp.linalg.norm(r_hi / m)
+
+    x0 = solve(b_hi)
+    x_hi, x_lo = _two_sum(x0, jnp.zeros_like(x0))
+    r_hi, r_lo = resid(x_hi, x_lo)
+
+    def cond(st):
+        i, x_hi, x_lo, r_hi, r_lo, rn, prev = st
+        # stop on tolerance OR stagnation (< 2x improvement: the loop has
+        # reached the double-float residual floor; a tol below the floor
+        # must not spin to max_iter)
+        return (i < max_iter) & (rn > tol_abs) & (rn < 0.5 * prev)
+
+    def body(st):
+        i, x_hi, x_lo, r_hi, r_lo, rn, _ = st
+        dx = solve(r_hi)
+        x_hi, x_lo = _df_add(x_hi, x_lo, dx, jnp.zeros_like(dx))
+        r_hi, r_lo = resid(x_hi, x_lo)
+        return i + 1, x_hi, x_lo, r_hi, r_lo, rnorm_of(r_hi), rn
+
+    rn0 = rnorm_of(r_hi)
+    st = (jnp.int32(0), x_hi, x_lo, r_hi, r_lo, rn0,
+          jnp.float32(jnp.inf))
+    i, x_hi, x_lo, r_hi, r_lo, rn, _ = lax.while_loop(cond, body, st)
+    return x_hi, x_lo, i
