@@ -403,6 +403,37 @@ def _expand_child_updates(fp: FrontalPlan, U, child_lvl: int):
                                indices_are_sorted=True)
 
 
+_CHOL_BS = 128   # panel width of the blocked batched Cholesky (MXU native)
+
+
+def _blocked_cholesky(a):
+    """Batched blocked right-looking Cholesky of [B, W, W] (lower triangle
+    read, lower factor returned). XLA's native lowering runs an unblocked
+    column recurrence over the FULL HBM-resident batch (measured 6.2 ms at
+    [8, 632, 632] vs 2.5 ms blocked); this variant keeps the sequential part
+    at [B, 128, 128] and turns panel solve + trailing update into MXU
+    matmuls. Matches the reference's dpotrf semantics (blas.rg:63-79) up to
+    f32 rounding."""
+    B, W, _ = a.shape
+    if W <= _CHOL_BS:
+        return lax.linalg.cholesky(a, symmetrize_input=False)
+    out = jnp.zeros_like(a)
+    for c0 in range(0, W, _CHOL_BS):
+        w = min(_CHOL_BS, W - c0)
+        d = a[:, c0:c0 + w, c0:c0 + w]
+        ld = lax.linalg.cholesky(d, symmetrize_input=False)
+        out = out.at[:, c0:c0 + w, c0:c0 + w].set(ld)
+        if c0 + w < W:
+            pan = a[:, c0 + w:, c0:c0 + w]
+            x = lax.linalg.triangular_solve(
+                ld, pan, left_side=False, lower=True, transpose_a=True)
+            out = out.at[:, c0 + w:, c0:c0 + w].set(x)
+            upd = jnp.einsum("bik,bjk->bij", x, x,
+                             preferred_element_type=x.dtype)
+            a = a.at[:, c0 + w:, c0 + w:].add(-upd)
+    return out
+
+
 ROOT_DIST_MIN = 2048   # min root-front size for the collective factorization
 
 
@@ -438,7 +469,7 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
             # leaf levels: no children, so the square front is never needed —
             # factor the [B, F, W] pivot slab directly (the full [B, F, F]
             # materialization would dominate HBM at deep trees)
-            Ld = lax.linalg.cholesky(piv[:, :Wl, :], symmetrize_input=False)
+            Ld = _blocked_cholesky(piv[:, :Wl, :])
             if Fl > Wl:
                 X = lax.linalg.triangular_solve(
                     Ld, piv[:, Wl:, :], left_side=False, lower=True,
@@ -492,8 +523,7 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
 
             Ld = distributed_cholesky(full[0, :Wl, :Wl], root_mesh)[None]
         else:
-            Ld = lax.linalg.cholesky(full[:, :Wl, :Wl],
-                                     symmetrize_input=False)
+            Ld = _blocked_cholesky(full[:, :Wl, :Wl])
         if Fl > Wl:
             X = lax.linalg.triangular_solve(
                 Ld, full[:, Wl:, :Wl], left_side=False, lower=True,
