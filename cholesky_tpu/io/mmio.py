@@ -132,6 +132,24 @@ def read_dense(path: str) -> np.ndarray:
     return a
 
 
+def write_array(path: str, arr: np.ndarray, field: str = "real") -> None:
+    """Write a dense array MatrixMarket file (column-major body) — what
+    scipy.io.mmwrite emits for the reference's RHS fixtures
+    (generate_b, verify.py:305-308)."""
+    a = np.asarray(arr)
+    if a.ndim == 1:
+        a = a[:, None]
+    with open(path, "w") as f:
+        f.write(f"%%MatrixMarket matrix array {field} general\n")
+        f.write(f"{a.shape[0]} {a.shape[1]}\n")
+        for j in range(a.shape[1]):
+            for i in range(a.shape[0]):
+                if field == "integer":
+                    f.write(f"{int(a[i, j])}\n")
+                else:
+                    f.write(f"{a[i, j]:.17g}\n")
+
+
 def write_coo(path: str, rows, cols, vals, shape, symmetry: str = "hermitian",
               field: str = "real", precision: int = 17) -> None:
     """Write a coordinate MatrixMarket file with 1-based indices

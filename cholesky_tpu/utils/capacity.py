@@ -78,3 +78,52 @@ def grid_plan_table(shape: Tuple[int, ...], levels_range=None,
             "dense_gflop": plan_flops(plan) / 1e9,
         })
     return rows
+
+
+def main(argv=None):
+    """CLI parity with running the reference's utils.py (its __main__ prints
+    depths/leaf sizes/subregions for a 125,000-dof target and opens a plotly
+    figure — plotly is gated here since this image lacks it)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="nested-dissection capacity planner")
+    ap.add_argument("shape", nargs="?", default="50,50,50",
+                    help="grid shape, e.g. 50,50,50 (dim parity: 125000)")
+    args = ap.parse_args(argv)
+    shape = tuple(int(x) for x in args.shape.split(","))
+    rows = grid_plan_table(shape)
+    hdr = f"{'levels':>6} {'leaf_dofs':>10} {'separators':>10} " \
+          f"{'panel_GiB':>10} {'dense_GFLOP':>12}"
+    print(hdr)
+    for r in rows:
+        print(f"{r['levels']:>6} {r['leaf_dofs']:>10.1f} "
+              f"{r['separators']:>10} {r['panel_gib']:>10.3f} "
+              f"{r['dense_gflop']:>12.1f}")
+    try:  # optional: the reference's plotly figure when plotly exists
+        import plotly.graph_objs as go
+        from plotly.offline import plot
+
+        traces = [
+            go.Scatter(x=[r["levels"] for r in rows],
+                       y=[r["leaf_dofs"] for r in rows],
+                       mode="lines+markers", name="Depth vs Block Size"),
+            go.Scatter(x=[r["levels"] for r in rows],
+                       y=[r["separators"] for r in rows],
+                       mode="lines+markers", name="Depth vs Num Subregions",
+                       yaxis="y2"),
+        ]
+        layout = go.Layout(title=f"{shape} Laplacian Depth vs Block Size",
+                           xaxis={"title": "Depth"},
+                           yaxis={"title": "Block Size"},
+                           yaxis2={"title": "Num Subregions",
+                                   "overlaying": "y", "side": "right"})
+        plot({"data": traces, "layout": layout})
+    except ImportError:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

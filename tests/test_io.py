@@ -126,3 +126,27 @@ def test_clusters_roundtrip(tmp_path):
         assert len(c.intervals[s]) == len(c2.intervals[s])
         for a, b in zip(c.intervals[s], c2.intervals[s]):
             np.testing.assert_array_equal(a, b)
+
+
+def test_write_array_roundtrip(tmp_path):
+    from cholesky_tpu.io import mmio
+
+    p = str(tmp_path / "B_7x1.mtx")
+    arr = np.arange(1, 8, dtype=np.float64)[:, None]
+    mmio.write_array(p, arr, field="integer")
+    got = mmio.read_array(p)
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_generate_b_fixture_format(tmp_path):
+    """generate_b (verify.py:305-308 parity): integers 1..10, [n,1],
+    array-format .mtx readable by our reader and by the mnd.c-style skip."""
+    from cholesky_tpu import verify as vfy
+    from cholesky_tpu.io import mmio
+
+    p = str(tmp_path / "B_12x1.mtx")
+    b = vfy.generate_b(12, path=p, seed=3)
+    assert b.shape == (12, 1)
+    assert b.min() >= 1 and b.max() <= 10
+    got = mmio.read_array(p)
+    np.testing.assert_array_equal(got, b.astype(np.float64))
