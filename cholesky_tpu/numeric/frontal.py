@@ -434,6 +434,20 @@ def _blocked_cholesky(a):
     return out
 
 
+import os as _os
+
+_GATHERMM_BYTES_CAP = int(_os.environ.get(
+    "CHOLESKY_TPU_GATHERMM_BYTES_CAP", 3 << 30))
+
+
+def _gathermm_bytes(fp: FrontalPlan, U, child_lvl: int) -> int:
+    """Approximate extra HBM the gathermm expansion materializes: G and S
+    [2B, Fp, K], their sibling-folded reshapes, and the [B, Fp, Fp] output."""
+    B2, K, _ = U.shape
+    Fp = fp.F[child_lvl - 1]
+    return 4 * (B2 * Fp * K * 4) + (B2 // 2) * Fp * Fp * 4
+
+
 ROOT_DIST_MIN = 2048   # min root-front size for the collective factorization
 
 
@@ -469,6 +483,21 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
             # leaf levels: no children, so the square front is never needed —
             # factor the [B, F, W] pivot slab directly (the full [B, F, F]
             # materialization would dominate HBM at deep trees)
+            if _use_lanes(B, Wl, piv.dtype):
+                from cholesky_tpu.numeric.pallas_kernels import (
+                    factor_slab_lanes)
+
+                fac = factor_slab_lanes(piv, Wl)
+                out[lvl] = fac
+                if lvl > 0:
+                    if Fl > Wl:
+                        X = fac[:, Wl:, :]
+                        U = jnp.einsum("bik,bjk->bij", X, X,
+                                       preferred_element_type=X.dtype)
+                        U = U.astype(update_dtype)
+                    else:
+                        U = jnp.zeros((B, 0, 0), piv.dtype)
+                continue
             Ld = _blocked_cholesky(piv[:, :Wl, :])
             if Fl > Wl:
                 X = lax.linalg.triangular_solve(
@@ -490,11 +519,20 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
             if extadd == "hybrid2" and U.shape[0] >= 16:
                 full = full - _expand_child_updates_matmul(
                     fp, U, lvl + 1).astype(full.dtype)
-            elif extadd == "hybrid3" and U.shape[0] >= 4:
+            elif (extadd == "hybrid3" and U.shape[0] >= 4
+                  and _gathermm_bytes(fp, U, lvl + 1) <= _GATHERMM_BYTES_CAP):
                 # gathermm beats every other strategy at child batches >= 4
                 # on this backend (tools/bench_extadd.py, 50^3: 2.4-5.4 ms vs
                 # 5.6-7.5 matmul / 12-17 fused per level)
                 full = full - _expand_child_updates_gathermm(
+                    fp, U, lvl + 1).astype(full.dtype)
+            elif (extadd == "hybrid3" and U.shape[0] >= 16
+                  and _gathermm_bytes(fp, U, lvl + 1) // 2
+                  <= _GATHERMM_BYTES_CAP):
+                # middle tier for very large levels: the matmul expansion's
+                # intermediates are ~half of gathermm's (gathermm OOMs 80^3
+                # on a 16 GB chip); it still beats fused at child batch >= 16
+                full = full - _expand_child_updates_matmul(
                     fp, U, lvl + 1).astype(full.dtype)
             elif extadd in ("fused", "hybrid2", "hybrid3"):
                 full = _apply_child_updates_fused(fp, full, U, lvl + 1)
@@ -522,6 +560,21 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
                 distributed_cholesky)
 
             Ld = distributed_cholesky(full[0, :Wl, :Wl], root_mesh)[None]
+        elif _use_lanes(B, Wl, piv.dtype):
+            from cholesky_tpu.numeric.pallas_kernels import factor_slab_lanes
+
+            fac = factor_slab_lanes(full[:, :, :Wl], Wl)
+            out[lvl] = fac
+            if lvl > 0:
+                if Fl > Wl:
+                    X = fac[:, Wl:, :]
+                    U = jnp.einsum("bik,bjk->bij", X, X,
+                                   preferred_element_type=X.dtype) \
+                        - full[:, Wl:, Wl:]
+                    U = U.astype(update_dtype)
+                else:
+                    U = jnp.zeros((B, 0, 0), piv.dtype)
+            continue
         else:
             Ld = _blocked_cholesky(full[:, :Wl, :Wl])
         if Fl > Wl:
@@ -539,6 +592,12 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
             if lvl > 0:
                 U = jnp.zeros((B, 0, 0), piv.dtype)
     return tuple(out)
+
+
+def _use_lanes(B: int, W: int, dtype) -> bool:
+    from cholesky_tpu.numeric.pallas_kernels import lanes_eligible
+
+    return lanes_eligible(B, W, dtype)
 
 
 def _use_pallas(F: int, W: int, dtype) -> bool:
