@@ -264,9 +264,13 @@ def main(argv=None):
         factors, _ = factor_cs(fronts)
         solver.panels = factors
         solver.factored = True
-        x = solver.solve(b)          # compiles the solve program
+        # tol 1e-11 relative: one order of margin under the 1e-10 gate
+        # without paying refinement iterations for digits the gate never
+        # checks (the df loop floor is ~3e-14; default tol 1e-12 costs ~3
+        # extra iterations)
+        x = solver.solve(b, tol=1e-11)   # compiles the solve program
         t0 = time.perf_counter()
-        x = solver.solve(b)
+        x = solver.solve(b, tol=1e-11)
         t_solve = max(time.perf_counter() - t0 - floor, 1e-9)
         residual = solver.residual(b, x)
         gate_error = None

@@ -210,14 +210,22 @@ class SparseCholesky:
                 self.factorize()
             ell = self._ell_perm()
             if ell is not None:
-                x_hi, x_lo, _ = refine.solve_refined_df(
+                # device loop targets tol/3: the f32 residual-norm estimate
+                # can sit slightly above the true f64 residual, and a
+                # borderline exit would trip the host safety-net loop below
+                # into a full extra solve (~10x the cost of one more device
+                # iteration)
+                x_perm, _, rn_rel = refine.solve_refined_df(
                     self.fplan, self.panels, b[self.plan.perm], ell,
-                    tol=tol, max_iter=max_iter,
+                    tol=tol / 3.0, max_iter=max_iter,
                     inv_pivots=self._inv_pivots())
-                x_perm = (np.asarray(x_hi, np.float64)
-                          + np.asarray(x_lo, np.float64))
                 x = np.empty(self.plan.n)
                 x[self.plan.perm] = x_perm
+                if rn_rel <= tol:
+                    # device-verified convergence (df residual, ~1e-14
+                    # floor, targeted tol/3): skip the host re-check — a
+                    # CSR matvec + an RPC-floor round trip per solve
+                    return x
 
         a = self._matrix_csr()
         bnorm = np.linalg.norm(b)
@@ -233,7 +241,7 @@ class SparseCholesky:
     def _inv_pivots(self):
         """Cached per-level explicit pivot-factor inverses for the
         refinement loop (invalidated with the factorization)."""
-        if getattr(self, "_inv_cache_key", None) is not id(self.panels):
+        if getattr(self, "_inv_cache_key", None) != id(self.panels):
             from cholesky_tpu.numeric import frontal
 
             self._inv_cache = frontal.invert_pivots(self.fplan, self.panels)
@@ -247,7 +255,14 @@ class SparseCholesky:
             from cholesky_tpu.numeric import refine
 
             pr, pc, pv = self._perm_coo()
-            self._ell_cache = refine.build_ell(self.plan.n, pr, pc, pv)
+            ell = refine.build_ell(self.plan.n, pr, pc, pv)
+            if ell is not None:
+                # ship to device ONCE — re-uploading ~10 MB of ELL planes per
+                # solve costs ~200 ms over a tunneled TPU
+                import jax.numpy as jnp
+
+                ell = tuple(jnp.asarray(a) for a in ell)
+            self._ell_cache = ell
         return self._ell_cache
 
     def _perm_coo(self):

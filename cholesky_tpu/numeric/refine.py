@@ -124,20 +124,36 @@ def _df_add(a_hi, a_lo, b_hi, b_lo):
 
 def solve_refined_df(fp, factors: Sequence, b64: np.ndarray, ell,
                      tol: float = 1e-12, max_iter: int = 40,
-                     inv_pivots=None):
+                     inv_pivots=None, trace_hist: bool = False):
     """Device-resident IR: f32 triangular solves + double-float residuals in
     one while_loop. `b64` is the PERMUTED f64 RHS; `ell` from build_ell on
     the symmetrized PERMUTED matrix; `inv_pivots` optional precomputed pivot
     inverses (frontal.invert_pivots) replacing the latency-bound vector
-    triangular solves with batched matvecs. Returns (x_hi, x_lo, iters) —
-    the solution as an f32 pair (sum in f64 for the final answer)."""
+    triangular solves with batched matvecs.
+
+    Returns (x_perm64, iters, rn_rel): the f64 solution in permuted order,
+    the iteration count, and the loop's own (double-float) estimate of the
+    final RELATIVE residual. Everything comes back in ONE [2, n+1] packed
+    device->host transfer — per-array readbacks each pay the tunnel RPC
+    floor (~25 ms). With trace_hist=True a 4th element is appended: the
+    per-iteration residual-norm history (diagnostics; extra transfer)."""
     idx, a_hi, a_lo = ell
     b_hi, b_lo = split_f64(np.asarray(b64, np.float64))
     bnorm = float(np.linalg.norm(np.asarray(b64, np.float64)))
     inv = tuple(inv_pivots) if inv_pivots is not None else None
-    return _run(fp.key(), tuple(factors), inv, jnp.asarray(idx),
-                jnp.asarray(a_hi), jnp.asarray(a_lo), jnp.asarray(b_hi),
-                jnp.asarray(b_lo), int(max_iter), np.float32(tol * bnorm))
+    bs = jnp.asarray(np.stack([b_hi, b_lo]))          # ONE upload
+    out = _run(fp.key(), tuple(factors), inv, jnp.asarray(idx),
+               jnp.asarray(a_hi), jnp.asarray(a_lo), bs,
+               int(max_iter), np.float32(tol * bnorm), bool(trace_hist))
+    if trace_hist:
+        out, hist = out
+    arr = np.asarray(out, np.float64)                 # ONE readback
+    x = arr[0, :-1] + arr[1, :-1]
+    iters = int(arr[1, -1])
+    rn_rel = float(arr[0, -1]) / bnorm if bnorm else 0.0
+    if trace_hist:
+        return x, iters, rn_rel, np.asarray(hist)
+    return x, iters, rn_rel
 
 
 def _residual_df(idx, a_hi, a_lo, b_hi, b_lo, x_hi, x_lo):
@@ -147,12 +163,13 @@ def _residual_df(idx, a_hi, a_lo, b_hi, b_lo, x_hi, x_lo):
     return _df_add(b_hi, b_lo, -y_hi, -y_lo)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 8))
-def _run(key, factors, inv_pivots, idx, a_hi, a_lo, b_hi, b_lo, max_iter,
-         tol_abs):
+@functools.partial(jax.jit, static_argnums=(0, 7, 9))
+def _run(key, factors, inv_pivots, idx, a_hi, a_lo, bs, max_iter,
+         tol_abs, trace_hist=False):
     from cholesky_tpu.numeric import frontal
 
     fp = frontal._FPLAN_CACHE[key]
+    b_hi, b_lo = bs[0], bs[1]
 
     def solve(rhs):
         return frontal.frontal_solve(fp, factors, rhs,
@@ -172,21 +189,31 @@ def _run(key, factors, inv_pivots, idx, a_hi, a_lo, b_hi, b_lo, max_iter,
     r_hi, r_lo = resid(x_hi, x_lo)
 
     def cond(st):
-        i, x_hi, x_lo, r_hi, r_lo, rn, prev = st
+        i, x_hi, x_lo, r_hi, r_lo, rn, prev, hist = st
         # stop on tolerance OR stagnation (< 2x improvement: the loop has
         # reached the double-float residual floor; a tol below the floor
         # must not spin to max_iter)
         return (i < max_iter) & (rn > tol_abs) & (rn < 0.5 * prev)
 
     def body(st):
-        i, x_hi, x_lo, r_hi, r_lo, rn, _ = st
+        i, x_hi, x_lo, r_hi, r_lo, rn, _, hist = st
         dx = solve(r_hi)
         x_hi, x_lo = _df_add(x_hi, x_lo, dx, jnp.zeros_like(dx))
         r_hi, r_lo = resid(x_hi, x_lo)
-        return i + 1, x_hi, x_lo, r_hi, r_lo, rnorm_of(r_hi), rn
+        rn2 = rnorm_of(r_hi)
+        if trace_hist:
+            hist = hist.at[i + 1].set(rn2)
+        return i + 1, x_hi, x_lo, r_hi, r_lo, rn2, rn, hist
 
     rn0 = rnorm_of(r_hi)
+    hist = jnp.zeros(max_iter + 1, jnp.float32).at[0].set(rn0) \
+        if trace_hist else jnp.zeros(0, jnp.float32)
     st = (jnp.int32(0), x_hi, x_lo, r_hi, r_lo, rn0,
-          jnp.float32(jnp.inf))
-    i, x_hi, x_lo, r_hi, r_lo, rn, _ = lax.while_loop(cond, body, st)
-    return x_hi, x_lo, i
+          jnp.float32(jnp.inf), hist)
+    i, x_hi, x_lo, r_hi, r_lo, rn, _, hist = lax.while_loop(cond, body, st)
+    # pack (x_hi | rn), (x_lo | iters) into one [2, n+1] readback
+    extra = jnp.stack([rn, i.astype(jnp.float32)])
+    out = jnp.concatenate([jnp.stack([x_hi, x_lo]), extra[:, None]], axis=1)
+    if trace_hist:
+        return out, hist
+    return out
