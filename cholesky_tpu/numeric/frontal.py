@@ -288,6 +288,150 @@ def _expand_child_updates_gathermm(fp: FrontalPlan, U, child_lvl: int):
                       preferred_element_type=acc)
 
 
+# ---------------------------------------------------------------------------
+# Two-piece extend-add: the factorization only ever reads the pivot-column
+# slab [B, F, W] and the trailing block [B, K, K] of each front, so the
+# square [B, F, F] update (and the square front itself) never needs to
+# exist. At an 80^3 problem one mid-tree level's square fronts alone are
+# ~3.9 GiB; materializing them (plus the expanded square updates) pushes the
+# monolithic factor program past the 16 GB HBM of a v5e chip. These variants
+# emit (E_slab [B, Fp, W], E_T [B, K, K]) directly.
+
+
+_FUSED2_CHUNK = 1024
+
+
+def _masked_row_gather(arr, idx, nrows: int):
+    """Row gather with sentinel masking instead of a padded operand copy:
+    positions with idx >= nrows read zero. jnp.pad of a GiB-scale child
+    update is a full HBM copy; clip+mask touches only the (smaller)
+    output."""
+    g = _chunked_row_gather(arr, jnp.minimum(idx, nrows - 1))
+    return jnp.where((idx < nrows)[:, :, None], g, 0)
+
+
+def _masked_minor_gather(arr, idx, ncols: int):
+    """Minor-axis gather with sentinel masking (see _masked_row_gather)."""
+    g = _minor_gather(arr, jnp.minimum(idx, ncols - 1))
+    return jnp.where((idx < ncols)[:, None, :], g, 0)
+
+
+def _expand_xxt_2(fp: FrontalPlan, X, child_lvl: int, W: int):
+    """Leaf-transition two-piece expansion straight from X: a leaf child's
+    update is exactly X X^T (no accumulated trailing block), so X's rows are
+    gathered into parent coordinates and the Schur product is computed
+    there, siblings folded into the contraction:
+
+        E = [P1 X1 | P2 X2] [P1 X1 | P2 X2]^T        (two einsums, slab + T)
+
+    vs materializing U = X X^T (2B*K^2*W FLOPs, [2B, K, K] in HBM) and
+    reindexing it with a contraction over 2K. Leaf boundaries are much wider
+    than leaf pivots (K ~ 5-10x W), so this cuts the widest transition's
+    matmul FLOPs ~K/W x, skips the [2B, K, K] HBM round trip, and rounds X
+    to a low-precision matmul operand once instead of twice."""
+    inv = jnp.asarray(fp.inv_child[child_lvl]).astype(jnp.int32)   # [2B, Fp]
+    B2, Kc, Wc = X.shape
+    Fp = fp.F[child_lvl - 1]
+    G = _masked_row_gather(X, inv, Kc)              # [2B, Fp, Wc]
+    acc = jnp.promote_types(X.dtype, jnp.float32)
+    Gr = jnp.swapaxes(G.reshape(B2 // 2, 2, Fp, Wc), 1, 2).reshape(
+        B2 // 2, Fp, 2 * Wc)
+    E_slab = jnp.einsum("bfj,bgj->bfg", Gr, Gr[:, :W, :],
+                        preferred_element_type=acc)
+    E_T = (jnp.einsum("bfj,bgj->bfg", Gr[:, W:, :], Gr[:, W:, :],
+                      preferred_element_type=acc)
+           if Fp > W else None)
+    return E_slab, E_T
+
+
+def _expand_gathermm_2(fp: FrontalPlan, U, child_lvl: int, W: int):
+    """gathermm two-piece expansion (row-gather + one-hot column einsum,
+    siblings folded), emitting the slab and trailing pieces separately."""
+    inv = jnp.asarray(fp.inv_child[child_lvl]).astype(jnp.int32)   # [2B, Fp]
+    fwd = jnp.asarray(fp.fwd_child[child_lvl]).astype(jnp.int32)   # [2B, K]
+    B2, Kc = fwd.shape
+    Fp = fp.F[child_lvl - 1]
+    G = _masked_row_gather(U, inv, Kc)                             # [2B, Fp, K]
+    rows = lax.broadcasted_iota(jnp.int32, (Fp, 1), 0)
+    S = (fwd[:, None, :] == rows[None, :, :]).astype(U.dtype)      # [2B, Fp, K]
+    acc = jnp.promote_types(U.dtype, jnp.float32)
+    Gr = jnp.swapaxes(G.reshape(B2 // 2, 2, Fp, Kc), 1, 2).reshape(
+        B2 // 2, Fp, 2 * Kc)
+    Sr = jnp.swapaxes(S.reshape(B2 // 2, 2, Fp, Kc), 1, 2).reshape(
+        B2 // 2, Fp, 2 * Kc).astype(acc)
+    E_slab = jnp.einsum("bfj,bgj->bfg", Gr, Sr[:, :W, :],
+                        preferred_element_type=acc)
+    E_T = (jnp.einsum("bfj,bgj->bfg", Gr[:, W:, :], Sr[:, W:, :],
+                      preferred_element_type=acc)
+           if Fp > W else None)
+    return E_slab, E_T
+
+
+def _apply_fused_2(fp: FrontalPlan, slab, T, U, child_lvl: int):
+    """Chunked fused scatter two-piece: subtract the children's updates into
+    the slab and accumulate the trailing piece into T, processing parent
+    columns in ~_FUSED2_CHUNK blocks so no intermediate exceeds a few
+    hundred MB (the unchunked e1 is [2B, Kc, Fp] — multiple GiB mid-tree at
+    512k+ dofs). Returns (slab, T); T is None when the parent has no
+    boundary."""
+    inv = jnp.asarray(fp.inv_child[child_lvl]).astype(jnp.int32)   # [2B, Fp]
+    fwd = jnp.asarray(fp.fwd_child[child_lvl]).astype(jnp.int32)   # [2B, K]
+    B2, Kc = fwd.shape
+    Fp = fp.F[child_lvl - 1]
+    W = slab.shape[2]
+    K = Fp - W
+    seg = (jnp.arange(B2) >> 1)[:, None]
+    # sentinel handling by clip + zeroed contribution (a padded copy of the
+    # multi-GiB update/target arrays would double their HBM footprint)
+    row_ok = fwd < Fp                                              # [2B, K]
+    fwd_c = jnp.minimum(fwd, Fp - 1)
+    for c0 in range(0, W, _FUSED2_CHUNK):
+        c1 = min(c0 + _FUSED2_CHUNK, W)
+        e1 = _masked_minor_gather(U, inv[:, c0:c1], Kc)            # [2B, Kc, ch]
+        e1 = jnp.where(row_ok[:, :, None], e1, 0)
+        slab = slab.at[seg, fwd_c, c0:c1].add(-e1.astype(slab.dtype))
+    if K == 0:
+        return slab, T
+    if T is None:
+        T = jnp.zeros((B2 // 2, K, K),
+                      jnp.promote_types(U.dtype, jnp.float32))
+    t_ok = row_ok & (fwd >= W)                     # pivot rows excluded
+    fwd_t = jnp.minimum(jnp.where(fwd >= W, fwd - W, 0), K - 1)
+    for c0 in range(W, Fp, _FUSED2_CHUNK):
+        c1 = min(c0 + _FUSED2_CHUNK, Fp)
+        e1 = _masked_minor_gather(U, inv[:, c0:c1], Kc)            # [2B, Kc, ch]
+        e1 = jnp.where(t_ok[:, :, None], e1, 0)
+        T = T.at[seg, fwd_t, c0 - W:c1 - W].add(e1.astype(T.dtype))
+    return slab, T
+
+
+def _apply_extadd_two_piece(fp: FrontalPlan, slab, U, child_lvl: int,
+                            cap: Optional[int] = None):
+    """Dispatch the two-piece extend-add: xxt from a leaf tag, gathermm when
+    its intermediates fit the byte cap, chunked fused scatter otherwise.
+    Returns (slab - E_slab, E_T or None)."""
+    if cap is None:
+        cap = _GATHERMM_BYTES_CAP
+    W = slab.shape[2]
+    Fp = fp.F[child_lvl - 1]
+    if isinstance(U, tuple) and U[0] == "xxt":
+        Xc = U[1]
+        B2 = Xc.shape[0]
+        if 2 * (B2 * Fp * Xc.shape[2] * 4) <= cap:
+            E_slab, E_T = _expand_xxt_2(fp, Xc, child_lvl, W)
+            return slab - E_slab.astype(slab.dtype), E_T
+        acc = jnp.promote_types(Xc.dtype, jnp.float32)
+        U = jnp.einsum("bik,bjk->bij", Xc, Xc,
+                       preferred_element_type=acc).astype(Xc.dtype)
+    B2, Kc = U.shape[0], U.shape[1]
+    if Kc == 0:
+        return slab, None
+    if B2 >= 4 and 2 * (B2 * Fp * Kc * 4) <= cap:
+        E_slab, E_T = _expand_gathermm_2(fp, U, child_lvl, W)
+        return slab - E_slab.astype(slab.dtype), E_T
+    return _apply_fused_2(fp, slab, None, U, child_lvl)
+
+
 def _apply_child_updates_fused(fp: FrontalPlan, full, U, child_lvl: int):
     """Subtract both children's updates directly into the parent's full
     fronts [B, Fp, Fp] in one gather + one scatter-add:
@@ -437,7 +581,29 @@ def _blocked_cholesky(a):
 import os as _os
 
 _GATHERMM_BYTES_CAP = int(_os.environ.get(
-    "CHOLESKY_TPU_GATHERMM_BYTES_CAP", 3 << 30))
+    "CHOLESKY_TPU_GATHERMM_BYTES_CAP", 8 << 30))
+
+# square fronts above this size factor via the two-piece extend-add
+# (slab + trailing block, no [B, F, F] materialization)
+_TWO_PIECE_BYTES = int(_os.environ.get(
+    "CHOLESKY_TPU_TWO_PIECE_BYTES", 512 << 20))
+
+# conservative per-chip HBM budget for planning extend-add intermediates
+_HBM_BUDGET = int(_os.environ.get(
+    "CHOLESKY_TPU_HBM_BUDGET", int(14.5 * (1 << 30))))
+
+
+def _effective_gathermm_cap(total_front_bytes: int) -> int:
+    """Scale the gathermm intermediate cap to what the chip can actually
+    hold. Calibrated for the DONATING call (inputs aliased into outputs,
+    ~1.2x front bytes resident plus code): past ~2 GiB of fronts donation is
+    mandatory anyway — even with zero extend-add intermediates the
+    non-donating program holds 2x front bytes + temps and exceeds a 16 GB
+    chip (80^3 memory_analysis: 4.67 in + 4.67 out + 7.6 temp GiB). Below
+    the cap the chunked fused scatter path (tiny intermediates) takes
+    over."""
+    free = _HBM_BUDGET - int(1.2 * total_front_bytes)
+    return max(256 << 20, min(_GATHERMM_BYTES_CAP, free // 2))
 
 
 def _gathermm_bytes(fp: FrontalPlan, U, child_lvl: int) -> int:
@@ -462,6 +628,9 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
                     if os.environ.get("CHOLESKY_TPU_UPDATE_DTYPE") == "bfloat16"
                     and fronts[0].dtype == jnp.float32
                     else fronts[0].dtype)
+    total_front_bytes = sum(
+        int(np.prod(f.shape)) * jnp.dtype(f.dtype).itemsize for f in fronts)
+    gm_cap = _effective_gathermm_cap(total_front_bytes)
 
     def expand(fp_, U_, child_lvl):
         if extadd == "matmul" or (
@@ -491,10 +660,10 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
                 out[lvl] = fac
                 if lvl > 0:
                     if Fl > Wl:
-                        X = fac[:, Wl:, :]
-                        U = jnp.einsum("bik,bjk->bij", X, X,
-                                       preferred_element_type=X.dtype)
-                        U = U.astype(update_dtype)
+                        # defer the leaf Schur product: the parent expands
+                        # X directly (_expand_xxt_2) or materializes X X^T
+                        # there if its strategy needs U
+                        U = ("xxt", fac[:, Wl:, :].astype(update_dtype))
                     else:
                         U = jnp.zeros((B, 0, 0), piv.dtype)
                 continue
@@ -505,30 +674,88 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
                     transpose_a=True)
                 out[lvl] = jnp.concatenate([Ld, X], axis=1)
                 if lvl > 0:
-                    U = jnp.einsum("bik,bjk->bij", X, X,
-                                   preferred_element_type=X.dtype)
-                    U = U.astype(update_dtype)
+                    U = ("xxt", X.astype(update_dtype))
             else:
                 out[lvl] = Ld
                 if lvl > 0:
                     U = jnp.zeros((B, 0, 0), piv.dtype)
             continue
+        if (extadd in ("gathermm", "hybrid3")
+                and B * Fl * Fl * 4 > _TWO_PIECE_BYTES):
+            # two-piece path for levels whose square fronts are large: the
+            # factorization reads only the pivot slab [B, F, W] and the
+            # trailing block [B, K, K], so the square [B, F, F] front is
+            # never built — mid-tree square fronts alone are multi-GiB at
+            # 512k+ dofs and OOM the chip. At small/mid scale the single
+            # square einsum wins (the split pieces re-slice the gathered
+            # operands, ~2x extra HBM traffic — measured 118 vs 64 ms at
+            # 50^3), so this only kicks in past the byte threshold.
+            slab = piv
+            E_T = None
+            if isinstance(U, tuple) or U.shape[1] > 0:
+                slab, E_T = _apply_extadd_two_piece(fp, slab, U, lvl + 1,
+                                                    cap=gm_cap)
+            if (lvl == 0 and root_mesh is not None and Wl >= ROOT_DIST_MIN
+                    and B == 1):
+                # collective root-front factorization over the ICI mesh
+                from cholesky_tpu.parallel.dist_cholesky import (
+                    distributed_cholesky)
+
+                out[lvl] = distributed_cholesky(
+                    slab[0, :Wl, :Wl], root_mesh)[None]
+                continue
+            if _use_pallas(Fl, Wl, piv.dtype):
+                from cholesky_tpu.numeric.pallas_kernels import (
+                    front_factor_small)
+
+                fac = front_factor_small(slab, Fl, Wl)
+            elif _use_lanes(B, Wl, piv.dtype):
+                from cholesky_tpu.numeric.pallas_kernels import (
+                    factor_slab_lanes)
+
+                fac = factor_slab_lanes(slab, Wl)
+            else:
+                Ld = _blocked_cholesky(slab[:, :Wl, :])
+                if Fl > Wl:
+                    X = lax.linalg.triangular_solve(
+                        Ld, slab[:, Wl:, :], left_side=False, lower=True,
+                        transpose_a=True)
+                    fac = jnp.concatenate([Ld, X], axis=1)
+                else:
+                    fac = Ld
+            out[lvl] = fac
+            if lvl > 0:
+                if Fl > Wl:
+                    X = fac[:, Wl:, :]
+                    U = jnp.einsum("bik,bjk->bij", X, X,
+                                   preferred_element_type=X.dtype)
+                    if E_T is not None:
+                        U = U + E_T.astype(U.dtype)
+                    U = U.astype(update_dtype)
+                else:
+                    U = jnp.zeros((B, 0, 0), piv.dtype)
+            continue
         full = jnp.concatenate(
             [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2)
+        if isinstance(U, tuple) and U[0] == "xxt":
+            # baseline strategies need the materialized child update
+            Xc = U[1]
+            acc = jnp.promote_types(Xc.dtype, jnp.float32)
+            U = jnp.einsum("bik,bjk->bij", Xc, Xc,
+                           preferred_element_type=acc).astype(Xc.dtype)
         if U is not None:
             if extadd == "hybrid2" and U.shape[0] >= 16:
                 full = full - _expand_child_updates_matmul(
                     fp, U, lvl + 1).astype(full.dtype)
             elif (extadd == "hybrid3" and U.shape[0] >= 4
-                  and _gathermm_bytes(fp, U, lvl + 1) <= _GATHERMM_BYTES_CAP):
+                  and _gathermm_bytes(fp, U, lvl + 1) <= gm_cap):
                 # gathermm beats every other strategy at child batches >= 4
                 # on this backend (tools/bench_extadd.py, 50^3: 2.4-5.4 ms vs
                 # 5.6-7.5 matmul / 12-17 fused per level)
                 full = full - _expand_child_updates_gathermm(
                     fp, U, lvl + 1).astype(full.dtype)
             elif (extadd == "hybrid3" and U.shape[0] >= 16
-                  and _gathermm_bytes(fp, U, lvl + 1) // 2
-                  <= _GATHERMM_BYTES_CAP):
+                  and _gathermm_bytes(fp, U, lvl + 1) // 2 <= gm_cap):
                 # middle tier for very large levels: the matmul expansion's
                 # intermediates are ~half of gathermm's (gathermm OOMs 80^3
                 # on a 16 GB chip); it still beats fused at child batch >= 16

@@ -241,14 +241,24 @@ def factor_slab_lanes(a: jax.Array, W: int, interpret: bool = False):
     return out
 
 
+LANES_MIN_B = 64   # min batch: XLA lays the slab out batch-minor to feed the
+                   # kernel's [F, W, B] transpose, padding B to 128 lanes —
+                   # at B=8 that is a 16x HBM blowup per slab (OOMs 80^3);
+                   # at B>=64 the pad waste is <=2x and the kernel's speedup
+                   # dominates. Batches below also waste 1-B/128 of the
+                   # kernel's own lane compute.
+
+
 def lanes_eligible(B: int, W: int, dtype) -> bool:
     """Use the lanes kernels when the sequential diagonal work dominates:
     f32, at least one full 128-panel, and a batch big enough that lane
-    packing beats XLA's small-batch loop."""
+    packing beats XLA's small-batch loop and the batch-minor layout padding
+    stays bounded."""
     import os
 
     if os.environ.get("CHOLESKY_TPU_LANES", "1") != "1":
         return False
-    if jnp.dtype(dtype) != jnp.float32 or W < BS or B < 8:
+    min_b = int(os.environ.get("CHOLESKY_TPU_LANES_MIN_B", LANES_MIN_B))
+    if jnp.dtype(dtype) != jnp.float32 or W < BS or B < min_b:
         return False
     return jax.default_backend() in ("tpu", "axon")
