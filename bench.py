@@ -57,7 +57,7 @@ def kernel_rates():
     import jax.numpy as jnp
     from jax import lax, random
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/cholesky_tpu_jax_cache")
+    import cholesky_tpu; cholesky_tpu.setup_compilation_cache()
     k = random.PRNGKey(0)
 
     def timeit(f, *a, iters=6):
@@ -142,7 +142,7 @@ def main(argv=None):
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/cholesky_tpu_jax_cache")
+    import cholesky_tpu; cholesky_tpu.setup_compilation_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)

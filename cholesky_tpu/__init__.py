@@ -16,6 +16,30 @@ Layers (TPU-first re-design of the reference's five layers, SURVEY.md §1):
 __version__ = "0.1.0"
 
 
+def setup_compilation_cache() -> str:
+    """Point JAX's persistent compilation cache at a repo-local directory
+    (survives machine resets that wipe /tmp; large frontal programs take
+    minutes to compile through a tunneled TPU). Falls back to /tmp when the
+    package directory is not writable (e.g. installed site-packages)."""
+    import os
+
+    import jax
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache = os.path.join(root, ".jax_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        probe = os.path.join(cache, ".probe")
+        with open(probe, "w") as f:
+            f.write("")
+        os.remove(probe)
+    except OSError:
+        cache = "/tmp/cholesky_tpu_jax_cache"
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return cache
+
+
 def enable_x64() -> None:
     """Enable float64 (required for the 1e-10 residual contract; XLA emulates
     f64 on TPU). Call before any jax array is created."""

@@ -82,7 +82,7 @@ def main(argv=None) -> int:
         cholesky_tpu.enable_x64()
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/cholesky_tpu_jax_cache")
+    import cholesky_tpu; cholesky_tpu.setup_compilation_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     from cholesky_tpu import SparseCholesky
     from cholesky_tpu.io import mmio

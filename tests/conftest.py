@@ -19,7 +19,7 @@ import jax  # noqa: E402
 # JAX_PLATFORMS; override via config so tests run on 8 virtual CPU devices
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
-jax.config.update("jax_compilation_cache_dir", "/tmp/cholesky_tpu_jax_cache")
+cholesky_tpu.setup_compilation_cache()
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pathlib  # noqa: E402

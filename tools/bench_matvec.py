@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 import jax, jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/cholesky_tpu_jax_cache")
+import cholesky_tpu; cholesky_tpu.setup_compilation_cache()
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from cholesky_tpu.numeric import refine

@@ -5,7 +5,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 import jax, jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/cholesky_tpu_jax_cache")
+import cholesky_tpu; cholesky_tpu.setup_compilation_cache()
 
 from cholesky_tpu.numeric import frontal
 from cholesky_tpu.symbolic.plan import build_plan
