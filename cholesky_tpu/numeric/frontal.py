@@ -547,6 +547,27 @@ def _expand_child_updates(fp: FrontalPlan, U, child_lvl: int):
                                indices_are_sorted=True)
 
 
+import os as _os
+
+_TRI_MAX_BATCH = int(_os.environ.get("CHOLESKY_TPU_TRI_MAX_BATCH", "512"))
+
+
+def _tri_solve(Ld, rhs, **kw):
+    """lax.linalg.triangular_solve with the batch axis chunked: XLA's TPU
+    lowering inverts the factor's diagonal blocks through a custom call whose
+    scoped VMEM allocation scales with batch — at [4096, 216, 216] (the leaf
+    level of a 1M-dof tree) it exceeds the 16 MB VMEM stack and compilation
+    fails. Chunks of <= _TRI_MAX_BATCH compile and run at full rate (the
+    sub-solves are still thousands of rows)."""
+    B = Ld.shape[0]
+    if B <= _TRI_MAX_BATCH:
+        return lax.linalg.triangular_solve(Ld, rhs, **kw)
+    return jnp.concatenate(
+        [lax.linalg.triangular_solve(Ld[i:i + _TRI_MAX_BATCH],
+                                     rhs[i:i + _TRI_MAX_BATCH], **kw)
+         for i in range(0, B, _TRI_MAX_BATCH)], axis=0)
+
+
 _CHOL_BS = 128   # panel width of the blocked batched Cholesky (MXU native)
 
 
@@ -569,7 +590,7 @@ def _blocked_cholesky(a):
         out = out.at[:, c0:c0 + w, c0:c0 + w].set(ld)
         if c0 + w < W:
             pan = a[:, c0 + w:, c0:c0 + w]
-            x = lax.linalg.triangular_solve(
+            x = _tri_solve(
                 ld, pan, left_side=False, lower=True, transpose_a=True)
             out = out.at[:, c0 + w:, c0:c0 + w].set(x)
             upd = jnp.einsum("bik,bjk->bij", x, x,
@@ -669,7 +690,7 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
                 continue
             Ld = _blocked_cholesky(piv[:, :Wl, :])
             if Fl > Wl:
-                X = lax.linalg.triangular_solve(
+                X = _tri_solve(
                     Ld, piv[:, Wl:, :], left_side=False, lower=True,
                     transpose_a=True)
                 out[lvl] = jnp.concatenate([Ld, X], axis=1)
@@ -717,7 +738,7 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
             else:
                 Ld = _blocked_cholesky(slab[:, :Wl, :])
                 if Fl > Wl:
-                    X = lax.linalg.triangular_solve(
+                    X = _tri_solve(
                         Ld, slab[:, Wl:, :], left_side=False, lower=True,
                         transpose_a=True)
                     fac = jnp.concatenate([Ld, X], axis=1)
@@ -805,7 +826,7 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
         else:
             Ld = _blocked_cholesky(full[:, :Wl, :Wl])
         if Fl > Wl:
-            X = lax.linalg.triangular_solve(
+            X = _tri_solve(
                 Ld, full[:, Wl:, :Wl], left_side=False, lower=True,
                 transpose_a=True)
             out[lvl] = jnp.concatenate([Ld, X], axis=1)
@@ -866,7 +887,7 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
             return jnp.einsum("bij,bj->bi", inv_pivots[lvl], rhs,
                               preferred_element_type=rhs.dtype)
         Ld = factors[lvl][:, :fp.W[lvl], :]
-        return lax.linalg.triangular_solve(
+        return _tri_solve(
             Ld, rhs[..., None], left_side=True, lower=True)[..., 0]
 
     def upper_solve(lvl, rhs):
@@ -874,7 +895,7 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
             return jnp.einsum("bji,bj->bi", inv_pivots[lvl], rhs,
                               preferred_element_type=rhs.dtype)
         Ld = factors[lvl][:, :fp.W[lvl], :]
-        return lax.linalg.triangular_solve(
+        return _tri_solve(
             Ld, rhs[..., None], left_side=True, lower=True,
             transpose_a=True)[..., 0]
 
@@ -912,8 +933,7 @@ def _invert_pivots_jit(key, factors):
         Wl = fp.W[lvl]
         Ld = factors[lvl][:, :Wl, :]
         eye = jnp.broadcast_to(jnp.eye(Wl, dtype=Ld.dtype), Ld.shape)
-        out.append(lax.linalg.triangular_solve(
-            Ld, eye, left_side=True, lower=True))
+        out.append(_tri_solve(Ld, eye, left_side=True, lower=True))
     return tuple(out)
 
 

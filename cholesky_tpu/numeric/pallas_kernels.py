@@ -229,14 +229,23 @@ def factor_slab_lanes(a: jax.Array, W: int, interpret: bool = False):
                     -jnp.einsum("bmi,bki->bmk", t, tw,
                                 preferred_element_type=a.dtype))
     c0 = nb_full * BS
-    if c0 < W:        # tail panel narrower than 128: XLA handles it
+    if c0 < W:
+        # Tail panel narrower than 128: run it through the lanes kernel too,
+        # identity-padded to [B, 128, 128] (Cholesky of blockdiag(d, I) is
+        # blockdiag(chol(d), I) — exact). XLA's batched triangular_solve is
+        # avoided deliberately: its diag-block-invert custom call allocates
+        # scoped VMEM proportional to batch and fails to compile at the
+        # [4096, 88, 88] tail of a 1M-dof leaf level.
+        t = W - c0
         d = a[:, c0:W, c0:W]
-        ld = lax.linalg.cholesky(d, symmetrize_input=False)
-        out = out.at[:, c0:W, c0:W].set(ld)
+        eye = jnp.eye(BS, dtype=a.dtype)
+        d_pad = jnp.broadcast_to(eye, (B, BS, BS)).at[:, :t, :t].set(d)
+        ld_p, minv_p = chol_inv_lanes(d_pad, interpret=interpret)
+        out = out.at[:, c0:W, c0:W].set(ld_p[:, :t, :t])
         if W < F:
             pan = a[:, W:, c0:W]
-            x = lax.linalg.triangular_solve(
-                ld, pan, left_side=False, lower=True, transpose_a=True)
+            x = jnp.einsum("bmj,bij->bmi", pan, minv_p[:, :t, :t],
+                           preferred_element_type=a.dtype)
             out = out.at[:, W:, c0:W].set(x)
     return out
 

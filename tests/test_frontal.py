@@ -145,3 +145,13 @@ def test_extadd_strategies_agree():
         for a, b in zip(ref, out):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-11, atol=1e-11, err_msg=strat)
+
+
+def test_tri_solve_chunked(monkeypatch):
+    """Batch-chunked triangular solves (large leaf batches overflow XLA's
+    scoped VMEM) match the unchunked path exactly."""
+    monkeypatch.setattr(frontal, "_TRI_MAX_BATCH", 2)
+    n, r, c, v, o, cl, b = generate_problem((13, 11), 4)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    x = s.solve(b)
+    assert s.residual(b, x) <= 1e-10
