@@ -220,16 +220,37 @@ def main(argv=None):
     donate = front_bytes > (2 << 30) or os.environ.get(
         "CHOLESKY_TPU_BENCH_DONATE") == "1"
 
-    def _factor_cs_fn(fs):
-        # ONE compiled program serves both timing and the correctness gate
-        # (a second near-identical large program reliably crashes the tunnel
-        # compile helper at >5 GiB working sets). The checksum touches EVERY
-        # output element so XLA cannot dead-code-eliminate subtrees.
-        out = frontal.frontal_factor(fp, fs, extadd=extadd)
-        return out, sum(jnp.sum(p.astype(jnp.float32)) for p in out)
+    stream = os.environ.get("CHOLESKY_TPU_STREAM", "auto")
+    use_stream = stream == "1" or (
+        stream == "auto" and front_bytes > frontal._STREAM_BYTES)
+    donate = donate or use_stream      # streamed level programs always donate
 
-    factor_cs = (jax.jit(_factor_cs_fn, donate_argnums=0) if donate
-                 else jax.jit(_factor_cs_fn))
+    if use_stream:
+        # level-streamed path (one donating program per level): the
+        # monolithic program's cross-level HLO temps exceed HBM past ~5 GiB
+        # of fronts (1M dofs: 14.3 GiB of temps). Checksum via a separate
+        # small jit — every level's program already executes uncondition-
+        # ally, so DCE is not a concern.
+        csum = jax.jit(
+            lambda out: sum(jnp.sum(p.astype(jnp.float32)) for p in out))
+        print(f"# streamed factorization ({fp.levels} level programs)",
+              file=sys.stderr)
+
+        def factor_cs(fs):
+            out = frontal.frontal_factor_streamed(fp, fs, extadd=extadd)
+            return out, csum(out)
+    else:
+        def _factor_cs_fn(fs):
+            # ONE compiled program serves both timing and the correctness
+            # gate (a second near-identical large program reliably crashes
+            # the tunnel compile helper at >5 GiB working sets). The
+            # checksum touches EVERY output element so XLA cannot
+            # dead-code-eliminate subtrees.
+            out = frontal.frontal_factor(fp, fs, extadd=extadd)
+            return out, sum(jnp.sum(p.astype(jnp.float32)) for p in out)
+
+        factor_cs = (jax.jit(_factor_cs_fn, donate_argnums=0) if donate
+                     else jax.jit(_factor_cs_fn))
 
     def factor_checksum(fs):
         return factor_cs(fs)[1]

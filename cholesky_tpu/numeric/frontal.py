@@ -647,20 +647,25 @@ def _gathermm_bytes(fp: FrontalPlan, U, child_lvl: int) -> int:
 ROOT_DIST_MIN = 2048   # min root-front size for the collective factorization
 
 
-def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
-                   extadd: str = "hybrid3",
-                   root_mesh=None) -> Tuple[jax.Array, ...]:
-    """Factor all fronts level by level; returns per-level [B, F, W] factors
-    (pivot Cholesky stacked over the solved boundary strip)."""
+def _update_dtype_for(dtype):
     import os
 
-    update_dtype = (jnp.bfloat16
-                    if os.environ.get("CHOLESKY_TPU_UPDATE_DTYPE") == "bfloat16"
-                    and fronts[0].dtype == jnp.float32
-                    else fronts[0].dtype)
-    total_front_bytes = sum(
-        int(np.prod(f.shape)) * jnp.dtype(f.dtype).itemsize for f in fronts)
-    gm_cap = _effective_gathermm_cap(total_front_bytes)
+    return (jnp.bfloat16
+            if os.environ.get("CHOLESKY_TPU_UPDATE_DTYPE") == "bfloat16"
+            and dtype == jnp.float32 else dtype)
+
+
+def _factor_level(fp: FrontalPlan, lvl: int, piv, U, extadd: str,
+                  gm_cap: int, update_dtype, root_mesh=None):
+    """One level of the multifrontal factorization. Consumes the level's
+    pivot slabs `piv` [B, F, W] and the children's accumulated updates `U`
+    (None at the entry level; a [2B, K, K] array; or ("xxt", X) — a deferred
+    leaf Schur product). Returns (factor [B, F, W], U_next) where U_next
+    feeds the parent level (None when lvl == 0). Extracted from the level
+    loop so the monolithic program (frontal_factor) and the streamed
+    per-level programs (frontal_factor_streamed) share one implementation."""
+    Wl, Fl = fp.W[lvl], fp.F[lvl]
+    B = piv.shape[0]
 
     def expand(fp_, U_, child_lvl):
         if extadd == "matmul" or (
@@ -671,183 +676,255 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
         if extadd == "gathermm":
             return _expand_child_updates_gathermm(fp_, U_, child_lvl)
         return _expand_child_updates(fp_, U_, child_lvl)
-    levels = fp.levels
-    out: List[jax.Array] = [None] * levels
-    U = None
-    for lvl in range(levels - 1, -1, -1):
-        Wl, Fl = fp.W[lvl], fp.F[lvl]
-        piv = fronts[lvl]                                  # [B, F, W]
-        B = piv.shape[0]
-        if U is None:
-            # leaf levels: no children, so the square front is never needed —
-            # factor the [B, F, W] pivot slab directly (the full [B, F, F]
-            # materialization would dominate HBM at deep trees)
-            if _use_lanes(B, Wl, piv.dtype):
-                from cholesky_tpu.numeric.pallas_kernels import (
-                    factor_slab_lanes)
 
-                fac = factor_slab_lanes(piv, Wl)
-                out[lvl] = fac
-                if lvl > 0:
-                    if Fl > Wl:
-                        # defer the leaf Schur product: the parent expands
-                        # X directly (_expand_xxt_2) or materializes X X^T
-                        # there if its strategy needs U
-                        U = ("xxt", fac[:, Wl:, :].astype(update_dtype))
-                    else:
-                        U = jnp.zeros((B, 0, 0), piv.dtype)
-                continue
-            Ld = _blocked_cholesky(piv[:, :Wl, :])
+    def u_empty():
+        return jnp.zeros((B, 0, 0), piv.dtype)
+
+    if U is None:
+        # leaf levels: no children, so the square front is never needed —
+        # factor the [B, F, W] pivot slab directly (the full [B, F, F]
+        # materialization would dominate HBM at deep trees)
+        if _use_lanes(B, Wl, piv.dtype):
+            from cholesky_tpu.numeric.pallas_kernels import factor_slab_lanes
+
+            fac = factor_slab_lanes(piv, Wl)
+            if lvl == 0:
+                return fac, None
             if Fl > Wl:
-                X = _tri_solve(
-                    Ld, piv[:, Wl:, :], left_side=False, lower=True,
-                    transpose_a=True)
-                out[lvl] = jnp.concatenate([Ld, X], axis=1)
-                if lvl > 0:
-                    U = ("xxt", X.astype(update_dtype))
-            else:
-                out[lvl] = Ld
-                if lvl > 0:
-                    U = jnp.zeros((B, 0, 0), piv.dtype)
-            continue
-        if (extadd in ("gathermm", "hybrid3")
-                and B * Fl * Fl * 4 > _TWO_PIECE_BYTES):
-            # two-piece path for levels whose square fronts are large: the
-            # factorization reads only the pivot slab [B, F, W] and the
-            # trailing block [B, K, K], so the square [B, F, F] front is
-            # never built — mid-tree square fronts alone are multi-GiB at
-            # 512k+ dofs and OOM the chip. At small/mid scale the single
-            # square einsum wins (the split pieces re-slice the gathered
-            # operands, ~2x extra HBM traffic — measured 118 vs 64 ms at
-            # 50^3), so this only kicks in past the byte threshold.
-            slab = piv
-            E_T = None
-            if isinstance(U, tuple) or U.shape[1] > 0:
-                slab, E_T = _apply_extadd_two_piece(fp, slab, U, lvl + 1,
-                                                    cap=gm_cap)
-            if (lvl == 0 and root_mesh is not None and Wl >= ROOT_DIST_MIN
-                    and B == 1):
-                # collective root-front factorization over the ICI mesh
-                from cholesky_tpu.parallel.dist_cholesky import (
-                    distributed_cholesky)
+                # defer the leaf Schur product: the parent expands X directly
+                # (_expand_xxt_2) or materializes X X^T there if its strategy
+                # needs U
+                return fac, ("xxt", fac[:, Wl:, :].astype(update_dtype))
+            return fac, u_empty()
+        Ld = _blocked_cholesky(piv[:, :Wl, :])
+        if Fl > Wl:
+            X = _tri_solve(
+                Ld, piv[:, Wl:, :], left_side=False, lower=True,
+                transpose_a=True)
+            fac = jnp.concatenate([Ld, X], axis=1)
+            if lvl == 0:
+                return fac, None
+            return fac, ("xxt", X.astype(update_dtype))
+        return Ld, (None if lvl == 0 else u_empty())
 
-                out[lvl] = distributed_cholesky(
-                    slab[0, :Wl, :Wl], root_mesh)[None]
-                continue
-            if _use_pallas(Fl, Wl, piv.dtype):
-                from cholesky_tpu.numeric.pallas_kernels import (
-                    front_factor_small)
-
-                fac = front_factor_small(slab, Fl, Wl)
-            elif _use_lanes(B, Wl, piv.dtype):
-                from cholesky_tpu.numeric.pallas_kernels import (
-                    factor_slab_lanes)
-
-                fac = factor_slab_lanes(slab, Wl)
-            else:
-                Ld = _blocked_cholesky(slab[:, :Wl, :])
-                if Fl > Wl:
-                    X = _tri_solve(
-                        Ld, slab[:, Wl:, :], left_side=False, lower=True,
-                        transpose_a=True)
-                    fac = jnp.concatenate([Ld, X], axis=1)
-                else:
-                    fac = Ld
-            out[lvl] = fac
-            if lvl > 0:
-                if Fl > Wl:
-                    X = fac[:, Wl:, :]
-                    U = jnp.einsum("bik,bjk->bij", X, X,
-                                   preferred_element_type=X.dtype)
-                    if E_T is not None:
-                        U = U + E_T.astype(U.dtype)
-                    U = U.astype(update_dtype)
-                else:
-                    U = jnp.zeros((B, 0, 0), piv.dtype)
-            continue
-        full = jnp.concatenate(
-            [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2)
-        if isinstance(U, tuple) and U[0] == "xxt":
-            # baseline strategies need the materialized child update
-            Xc = U[1]
-            acc = jnp.promote_types(Xc.dtype, jnp.float32)
-            U = jnp.einsum("bik,bjk->bij", Xc, Xc,
-                           preferred_element_type=acc).astype(Xc.dtype)
-        if U is not None:
-            if extadd == "hybrid2" and U.shape[0] >= 16:
-                full = full - _expand_child_updates_matmul(
-                    fp, U, lvl + 1).astype(full.dtype)
-            elif (extadd == "hybrid3" and U.shape[0] >= 4
-                  and _gathermm_bytes(fp, U, lvl + 1) <= gm_cap):
-                # gathermm beats every other strategy at child batches >= 4
-                # on this backend (tools/bench_extadd.py, 50^3: 2.4-5.4 ms vs
-                # 5.6-7.5 matmul / 12-17 fused per level)
-                full = full - _expand_child_updates_gathermm(
-                    fp, U, lvl + 1).astype(full.dtype)
-            elif (extadd == "hybrid3" and U.shape[0] >= 16
-                  and _gathermm_bytes(fp, U, lvl + 1) // 2 <= gm_cap):
-                # middle tier for very large levels: the matmul expansion's
-                # intermediates are ~half of gathermm's (gathermm OOMs 80^3
-                # on a 16 GB chip); it still beats fused at child batch >= 16
-                full = full - _expand_child_updates_matmul(
-                    fp, U, lvl + 1).astype(full.dtype)
-            elif extadd in ("fused", "hybrid2", "hybrid3"):
-                full = _apply_child_updates_fused(fp, full, U, lvl + 1)
-            else:
-                full = full - expand(fp, U, lvl + 1).astype(full.dtype)
-        if _use_pallas(Fl, Wl, piv.dtype):
-            from cholesky_tpu.numeric.pallas_kernels import front_factor_small
-
-            fac = front_factor_small(full[:, :, :Wl], Fl, Wl)
-            out[lvl] = fac
-            if lvl > 0:
-                if Fl > Wl:
-                    X = fac[:, Wl:, :]
-                    U = jnp.einsum("bik,bjk->bij", X, X,
-                                   preferred_element_type=X.dtype) \
-                        - full[:, Wl:, Wl:]
-                    U = U.astype(update_dtype)
-                else:
-                    U = jnp.zeros((B, 0, 0), piv.dtype)
-            continue
+    if (extadd in ("gathermm", "hybrid3")
+            and B * Fl * Fl * 4 > _TWO_PIECE_BYTES):
+        # two-piece path for levels whose square fronts are large: the
+        # factorization reads only the pivot slab [B, F, W] and the
+        # trailing block [B, K, K], so the square [B, F, F] front is
+        # never built — mid-tree square fronts alone are multi-GiB at
+        # 512k+ dofs and OOM the chip. At small/mid scale the single
+        # square einsum wins (the split pieces re-slice the gathered
+        # operands, ~2x extra HBM traffic — measured 118 vs 64 ms at
+        # 50^3), so this only kicks in past the byte threshold.
+        slab = piv
+        E_T = None
+        if isinstance(U, tuple) or U.shape[1] > 0:
+            slab, E_T = _apply_extadd_two_piece(fp, slab, U, lvl + 1,
+                                                cap=gm_cap)
         if (lvl == 0 and root_mesh is not None and Wl >= ROOT_DIST_MIN
                 and B == 1):
             # collective root-front factorization over the ICI mesh
             from cholesky_tpu.parallel.dist_cholesky import (
                 distributed_cholesky)
 
-            Ld = distributed_cholesky(full[0, :Wl, :Wl], root_mesh)[None]
+            return distributed_cholesky(slab[0, :Wl, :Wl], root_mesh)[None], \
+                None
+        if _use_pallas(Fl, Wl, piv.dtype):
+            from cholesky_tpu.numeric.pallas_kernels import front_factor_small
+
+            fac = front_factor_small(slab, Fl, Wl)
         elif _use_lanes(B, Wl, piv.dtype):
             from cholesky_tpu.numeric.pallas_kernels import factor_slab_lanes
 
-            fac = factor_slab_lanes(full[:, :, :Wl], Wl)
-            out[lvl] = fac
-            if lvl > 0:
-                if Fl > Wl:
-                    X = fac[:, Wl:, :]
-                    U = jnp.einsum("bik,bjk->bij", X, X,
-                                   preferred_element_type=X.dtype) \
-                        - full[:, Wl:, Wl:]
-                    U = U.astype(update_dtype)
-                else:
-                    U = jnp.zeros((B, 0, 0), piv.dtype)
-            continue
+            fac = factor_slab_lanes(slab, Wl)
         else:
-            Ld = _blocked_cholesky(full[:, :Wl, :Wl])
+            Ld = _blocked_cholesky(slab[:, :Wl, :])
+            if Fl > Wl:
+                X = _tri_solve(
+                    Ld, slab[:, Wl:, :], left_side=False, lower=True,
+                    transpose_a=True)
+                fac = jnp.concatenate([Ld, X], axis=1)
+            else:
+                fac = Ld
+        if lvl == 0:
+            return fac, None
         if Fl > Wl:
-            X = _tri_solve(
-                Ld, full[:, Wl:, :Wl], left_side=False, lower=True,
-                transpose_a=True)
-            out[lvl] = jnp.concatenate([Ld, X], axis=1)
-            if lvl > 0:
-                U = jnp.einsum("bik,bjk->bij", X, X,
-                               preferred_element_type=X.dtype) \
-                    - full[:, Wl:, Wl:]
-                U = U.astype(update_dtype)
+            X = fac[:, Wl:, :]
+            U2 = jnp.einsum("bik,bjk->bij", X, X,
+                            preferred_element_type=X.dtype)
+            if E_T is not None:
+                U2 = U2 + E_T.astype(U2.dtype)
+            return fac, U2.astype(update_dtype)
+        return fac, u_empty()
+
+    full = jnp.concatenate(
+        [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2)
+    if isinstance(U, tuple) and U[0] == "xxt":
+        # baseline strategies need the materialized child update
+        Xc = U[1]
+        acc = jnp.promote_types(Xc.dtype, jnp.float32)
+        U = jnp.einsum("bik,bjk->bij", Xc, Xc,
+                       preferred_element_type=acc).astype(Xc.dtype)
+    if U is not None:
+        if extadd == "hybrid2" and U.shape[0] >= 16:
+            full = full - _expand_child_updates_matmul(
+                fp, U, lvl + 1).astype(full.dtype)
+        elif (extadd == "hybrid3" and U.shape[0] >= 4
+              and _gathermm_bytes(fp, U, lvl + 1) <= gm_cap):
+            # gathermm beats every other strategy at child batches >= 4
+            # on this backend (tools/bench_extadd.py, 50^3: 2.4-5.4 ms vs
+            # 5.6-7.5 matmul / 12-17 fused per level)
+            full = full - _expand_child_updates_gathermm(
+                fp, U, lvl + 1).astype(full.dtype)
+        elif (extadd == "hybrid3" and U.shape[0] >= 16
+              and _gathermm_bytes(fp, U, lvl + 1) // 2 <= gm_cap):
+            # middle tier for very large levels: the matmul expansion's
+            # intermediates are ~half of gathermm's (gathermm OOMs 80^3
+            # on a 16 GB chip); it still beats fused at child batch >= 16
+            full = full - _expand_child_updates_matmul(
+                fp, U, lvl + 1).astype(full.dtype)
+        elif extadd in ("fused", "hybrid2", "hybrid3"):
+            full = _apply_child_updates_fused(fp, full, U, lvl + 1)
         else:
-            out[lvl] = Ld
-            if lvl > 0:
-                U = jnp.zeros((B, 0, 0), piv.dtype)
+            full = full - expand(fp, U, lvl + 1).astype(full.dtype)
+    if _use_pallas(Fl, Wl, piv.dtype):
+        from cholesky_tpu.numeric.pallas_kernels import front_factor_small
+
+        fac = front_factor_small(full[:, :, :Wl], Fl, Wl)
+        if lvl == 0:
+            return fac, None
+        if Fl > Wl:
+            X = fac[:, Wl:, :]
+            U2 = (jnp.einsum("bik,bjk->bij", X, X,
+                             preferred_element_type=X.dtype)
+                  - full[:, Wl:, Wl:])
+            return fac, U2.astype(update_dtype)
+        return fac, u_empty()
+    if (lvl == 0 and root_mesh is not None and Wl >= ROOT_DIST_MIN
+            and B == 1):
+        # collective root-front factorization over the ICI mesh
+        from cholesky_tpu.parallel.dist_cholesky import distributed_cholesky
+
+        Ld = distributed_cholesky(full[0, :Wl, :Wl], root_mesh)[None]
+    elif _use_lanes(B, Wl, piv.dtype):
+        from cholesky_tpu.numeric.pallas_kernels import factor_slab_lanes
+
+        fac = factor_slab_lanes(full[:, :, :Wl], Wl)
+        if lvl == 0:
+            return fac, None
+        if Fl > Wl:
+            X = fac[:, Wl:, :]
+            U2 = (jnp.einsum("bik,bjk->bij", X, X,
+                             preferred_element_type=X.dtype)
+                  - full[:, Wl:, Wl:])
+            return fac, U2.astype(update_dtype)
+        return fac, u_empty()
+    else:
+        Ld = _blocked_cholesky(full[:, :Wl, :Wl])
+    if Fl > Wl:
+        X = _tri_solve(
+            Ld, full[:, Wl:, :Wl], left_side=False, lower=True,
+            transpose_a=True)
+        fac = jnp.concatenate([Ld, X], axis=1)
+        if lvl == 0:
+            return fac, None
+        U2 = (jnp.einsum("bik,bjk->bij", X, X,
+                         preferred_element_type=X.dtype)
+              - full[:, Wl:, Wl:])
+        return fac, U2.astype(update_dtype)
+    return Ld, (None if lvl == 0 else u_empty())
+
+
+def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
+                   extadd: str = "hybrid3",
+                   root_mesh=None) -> Tuple[jax.Array, ...]:
+    """Factor all fronts level by level; returns per-level [B, F, W] factors
+    (pivot Cholesky stacked over the solved boundary strip)."""
+    update_dtype = _update_dtype_for(fronts[0].dtype)
+    total_front_bytes = sum(
+        int(np.prod(f.shape)) * jnp.dtype(f.dtype).itemsize for f in fronts)
+    gm_cap = _effective_gathermm_cap(total_front_bytes)
+    levels = fp.levels
+    out: List[jax.Array] = [None] * levels
+    U = None
+    for lvl in range(levels - 1, -1, -1):
+        out[lvl], U = _factor_level(fp, lvl, fronts[lvl], U, extadd,
+                                    gm_cap, update_dtype, root_mesh)
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# Streamed factorization: one jitted (donating) program PER LEVEL instead of
+# one monolithic program. XLA schedules a monolithic program with temp live
+# ranges spanning level boundaries — at 1M dofs its HLO-temp peak is 14.3 GiB
+# on top of the (aliased) 6.5 GiB of fronts and compilation fails outright on
+# a 16 GB chip. Per-level programs bound the peak at
+#   fronts + one transition's temps,
+# dispatch asynchronously (no host sync between levels), and compile/cache
+# independently (shared levels across problems reuse their executables).
+
+_LEVEL_JIT_CACHE = {}
+
+
+def _level_step_jit(fp: FrontalPlan, lvl: int, utag: str, extadd: str,
+                    gm_cap: int, update_dtype, root_mesh, donate: bool):
+    key = (fp.key(), lvl, utag, extadd, gm_cap,
+           jnp.dtype(update_dtype).name, root_mesh, donate)
+    fn = _LEVEL_JIT_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    if utag == "none":
+        def step(piv):
+            fac, U2 = _factor_level(fp, lvl, piv, None, extadd, gm_cap,
+                                    update_dtype, root_mesh)
+            if U2 is None:
+                return fac
+            return (fac, U2[1]) if isinstance(U2, tuple) else (fac, U2)
+        fn = jax.jit(step, donate_argnums=(0,) if donate else ())
+    else:
+        def step(piv, u_arr):
+            U = ("xxt", u_arr) if utag == "xxt" else u_arr
+            fac, U2 = _factor_level(fp, lvl, piv, U, extadd, gm_cap,
+                                    update_dtype, root_mesh)
+            if U2 is None:
+                return fac
+            return (fac, U2[1]) if isinstance(U2, tuple) else (fac, U2)
+        fn = jax.jit(step, donate_argnums=(0, 1) if donate else ())
+    _LEVEL_JIT_CACHE[key] = fn
+    return fn
+
+
+def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
+                            extadd: str = "hybrid3", root_mesh=None,
+                            donate: bool = True) -> Tuple[jax.Array, ...]:
+    """Level-streamed factorization (see note above): same math and result
+    as frontal_factor, executed as `levels` donating programs. `fronts` are
+    CONSUMED when donate=True (like the donating monolithic jit)."""
+    update_dtype = _update_dtype_for(fronts[0].dtype)
+    total_front_bytes = sum(
+        int(np.prod(f.shape)) * jnp.dtype(f.dtype).itemsize for f in fronts)
+    gm_cap = _effective_gathermm_cap(total_front_bytes)
+    levels = fp.levels
+    out: List[jax.Array] = [None] * levels
+    u_arr = None
+    utag = "none"
+    for lvl in range(levels - 1, -1, -1):
+        Wl, Fl = fp.W[lvl], fp.F[lvl]
+        fn = _level_step_jit(fp, lvl, utag, extadd, gm_cap, update_dtype,
+                             root_mesh if lvl == 0 else None, donate)
+        res = fn(fronts[lvl]) if utag == "none" else fn(fronts[lvl], u_arr)
+        if lvl == 0:
+            out[0] = res
+            break
+        fac, nxt = res
+        out[lvl] = fac
+        if utag == "none" and Fl > Wl:
+            # leaf step emitted the deferred Schur operand X (already cast)
+            u_arr, utag = nxt, "xxt"
+        else:
+            u_arr, utag = nxt, "arr"
     return tuple(out)
 
 
@@ -1038,6 +1115,10 @@ def solve_multi(fp: FrontalPlan, factors, b_perm) -> jax.Array:
     return _solve_multi_jit(fp.key(), tuple(factors), jnp.asarray(b_perm))
 
 
+_STREAM_BYTES = int(_os.environ.get("CHOLESKY_TPU_STREAM_BYTES",
+                                    str(5 << 30)))
+
+
 def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
            root_mesh=None) -> Tuple[jax.Array, ...]:
     import os
@@ -1047,6 +1128,16 @@ def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
     dist_min = int(os.environ.get("CHOLESKY_TPU_ROOT_DIST_MIN", ROOT_DIST_MIN))
     if root_mesh is not None and fp.W[0] < dist_min:
         root_mesh = None
+    total = sum(int(np.prod(f.shape)) * jnp.dtype(f.dtype).itemsize
+                for f in fronts)
+    mode = os.environ.get("CHOLESKY_TPU_STREAM", "auto")
+    if mode == "1" or (mode == "auto" and total > _STREAM_BYTES):
+        # past ~5 GiB of fronts the monolithic program's cross-level temp
+        # live ranges exceed HBM (1M dofs: 14.3 GiB of HLO temps); stream
+        # one donating program per level instead
+        return frontal_factor_streamed(
+            fp, tuple(jnp.asarray(f) for f in fronts), extadd=extadd,
+            root_mesh=root_mesh)
     args = (fp.key(), tuple(jnp.asarray(f) for f in fronts), extadd, root_mesh)
     # Donation (in-place buffer reuse) halves peak HBM, but the tunnel
     # compile helper fails on donated programs past ~5 GiB of aliased

@@ -155,3 +155,33 @@ def test_tri_solve_chunked(monkeypatch):
     s = SparseCholesky.from_coo(n, r, c, v, o, cl)
     x = s.solve(b)
     assert s.residual(b, x) <= 1e-10
+
+
+def test_streamed_factor_matches_monolithic():
+    """The level-streamed factorization (one donating program per level)
+    produces the same factors as the monolithic program, for every extadd
+    dispatch tier."""
+    import jax.numpy as jnp
+
+    n, r, c, v, o, cl, b = generate_problem((15, 15, 15), 5)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    fp = s.fplan
+    fronts = frontal.assemble_fronts(fp, s.rows, s.cols, s.vals,
+                                     dtype=np.float64)
+    ref = frontal.frontal_factor(
+        fp, tuple(jnp.asarray(f) for f in fronts))
+    out = frontal.frontal_factor_streamed(
+        fp, tuple(jnp.asarray(f) for f in fronts))
+    for a_, b_ in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_streamed_solve_end_to_end(monkeypatch):
+    """CHOLESKY_TPU_STREAM=1 routes factor() through the streamed driver;
+    the full solve still meets the residual contract."""
+    monkeypatch.setenv("CHOLESKY_TPU_STREAM", "1")
+    n, r, c, v, o, cl, b = generate_problem((13, 12), 4)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    x = s.solve(b)
+    assert s.residual(b, x) <= 1e-10
