@@ -263,13 +263,15 @@ def main(argv=None):
     # on multi-GiB programs; retry a few times
     t0 = time.time()
     factors0 = None
-    for attempt in range(4):
+    # streamed mode: no retry — the failed attempt already consumed (donated)
+    # some front buffers, so a retry would read deleted arrays
+    for attempt in range(1 if use_stream else 4):
         try:
             factors0, cs = factor_cs(fronts)
             float(cs)
             break
         except Exception as e:  # noqa: BLE001
-            if attempt == 3:
+            if use_stream or attempt == 3:
                 raise
             print(f"# compile attempt {attempt} failed ({type(e).__name__}); "
                   f"retrying", file=sys.stderr)

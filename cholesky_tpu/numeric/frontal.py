@@ -325,7 +325,8 @@ def _masked_minor_gather(arr, idx, ncols: int):
     return jnp.where((idx < ncols)[:, None, :], g, 0)
 
 
-def _expand_xxt_2(fp: FrontalPlan, X, child_lvl: int, W: int):
+def _expand_xxt_2(fp: FrontalPlan, X, child_lvl: int, W: int,
+                  t_dtype=None):
     """Leaf-transition two-piece expansion straight from X: a leaf child's
     update is exactly X X^T (no accumulated trailing block), so X's rows are
     gathered into parent coordinates and the Schur product is computed
@@ -347,13 +348,13 @@ def _expand_xxt_2(fp: FrontalPlan, X, child_lvl: int, W: int):
         B2 // 2, Fp, 2 * Wc)
     E_slab = jnp.einsum("bfj,bgj->bfg", Gr, Gr[:, :W, :],
                         preferred_element_type=acc)
-    E_T = (jnp.einsum("bfj,bgj->bfg", Gr[:, W:, :], Gr[:, W:, :],
-                      preferred_element_type=acc)
+    E_T = (_einsum_rows_cast(Gr[:, W:, :], Gr[:, W:, :], t_dtype or acc)
            if Fp > W else None)
     return E_slab, E_T
 
 
-def _expand_gathermm_2(fp: FrontalPlan, U, child_lvl: int, W: int):
+def _expand_gathermm_2(fp: FrontalPlan, U, child_lvl: int, W: int,
+                       t_dtype=None):
     """gathermm two-piece expansion (row-gather + one-hot column einsum,
     siblings folded), emitting the slab and trailing pieces separately."""
     inv = jnp.asarray(fp.inv_child[child_lvl]).astype(jnp.int32)   # [2B, Fp]
@@ -370,19 +371,55 @@ def _expand_gathermm_2(fp: FrontalPlan, U, child_lvl: int, W: int):
         B2 // 2, Fp, 2 * Kc).astype(acc)
     E_slab = jnp.einsum("bfj,bgj->bfg", Gr, Sr[:, :W, :],
                         preferred_element_type=acc)
-    E_T = (jnp.einsum("bfj,bgj->bfg", Gr[:, W:, :], Sr[:, W:, :],
-                      preferred_element_type=acc)
+    E_T = (_einsum_rows_cast(Gr[:, W:, :], Sr[:, W:, :], t_dtype or acc)
            if Fp > W else None)
     return E_slab, E_T
 
 
-def _apply_fused_2(fp: FrontalPlan, slab, T, U, child_lvl: int):
+_CAST_CHUNK = 1024
+
+
+def _einsum_rows_cast(Ga, Gb, out_dtype):
+    """einsum("bfj,bgj->bfg", Ga, Gb) accumulated in f32 but STORED as
+    out_dtype, chunked over the f axis so the full-size f32 result never
+    materializes — the [B, K, K] trailing pieces are multi-GiB at 1M dofs
+    and out_dtype bf16 halves their residency."""
+    acc = jnp.promote_types(Ga.dtype, jnp.float32)
+    if jnp.dtype(out_dtype) == acc:
+        return jnp.einsum("bfj,bgj->bfg", Ga, Gb,
+                          preferred_element_type=acc)
+    F = Ga.shape[1]
+    return jnp.concatenate(
+        [jnp.einsum("bfj,bgj->bfg", Ga[:, i0:i0 + _CAST_CHUNK], Gb,
+                    preferred_element_type=acc).astype(out_dtype)
+         for i0 in range(0, F, _CAST_CHUNK)], axis=1)
+
+
+def _schur_update_cast(X, E_T, out_dtype):
+    """U2 = X X^T (+ E_T), f32 accumulation, stored as out_dtype, chunked
+    over rows (see _einsum_rows_cast)."""
+    acc = jnp.promote_types(X.dtype, jnp.float32)
+    if jnp.dtype(out_dtype) == acc and E_T is None:
+        return jnp.einsum("bik,bjk->bij", X, X, preferred_element_type=acc)
+    K = X.shape[1]
+    parts = []
+    for i0 in range(0, K, _CAST_CHUNK):
+        pc = jnp.einsum("bik,bjk->bij", X[:, i0:i0 + _CAST_CHUNK], X,
+                        preferred_element_type=acc)
+        if E_T is not None:
+            pc = pc + E_T[:, i0:i0 + _CAST_CHUNK].astype(acc)
+        parts.append(pc.astype(out_dtype))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _apply_fused_2(fp: FrontalPlan, slab, T, U, child_lvl: int,
+                   t_dtype=None):
     """Chunked fused scatter two-piece: subtract the children's updates into
     the slab and accumulate the trailing piece into T, processing parent
     columns in ~_FUSED2_CHUNK blocks so no intermediate exceeds a few
     hundred MB (the unchunked e1 is [2B, Kc, Fp] — multiple GiB mid-tree at
     512k+ dofs). Returns (slab, T); T is None when the parent has no
-    boundary."""
+    boundary. T is stored as t_dtype (default f32 accumulation dtype)."""
     inv = jnp.asarray(fp.inv_child[child_lvl]).astype(jnp.int32)   # [2B, Fp]
     fwd = jnp.asarray(fp.fwd_child[child_lvl]).astype(jnp.int32)   # [2B, K]
     B2, Kc = fwd.shape
@@ -403,7 +440,7 @@ def _apply_fused_2(fp: FrontalPlan, slab, T, U, child_lvl: int):
         return slab, T
     if T is None:
         T = jnp.zeros((B2 // 2, K, K),
-                      jnp.promote_types(U.dtype, jnp.float32))
+                      t_dtype or jnp.promote_types(U.dtype, jnp.float32))
     t_ok = row_ok & (fwd >= W)                     # pivot rows excluded
     fwd_t = jnp.minimum(jnp.where(fwd >= W, fwd - W, 0), K - 1)
     for c0 in range(W, Fp, _FUSED2_CHUNK):
@@ -415,10 +452,10 @@ def _apply_fused_2(fp: FrontalPlan, slab, T, U, child_lvl: int):
 
 
 def _apply_extadd_two_piece(fp: FrontalPlan, slab, U, child_lvl: int,
-                            cap: Optional[int] = None):
+                            cap: Optional[int] = None, t_dtype=None):
     """Dispatch the two-piece extend-add: xxt from a leaf tag, gathermm when
     its intermediates fit the byte cap, chunked fused scatter otherwise.
-    Returns (slab - E_slab, E_T or None)."""
+    Returns (slab - E_slab, E_T or None). E_T is stored as t_dtype."""
     if cap is None:
         cap = _GATHERMM_BYTES_CAP
     W = slab.shape[2]
@@ -427,7 +464,8 @@ def _apply_extadd_two_piece(fp: FrontalPlan, slab, U, child_lvl: int,
         Xc = U[1]
         B2 = Xc.shape[0]
         if 2 * (B2 * Fp * Xc.shape[2] * 4) <= cap:
-            E_slab, E_T = _expand_xxt_2(fp, Xc, child_lvl, W)
+            E_slab, E_T = _expand_xxt_2(fp, Xc, child_lvl, W,
+                                        t_dtype=t_dtype)
             return slab - E_slab.astype(slab.dtype), E_T
         acc = jnp.promote_types(Xc.dtype, jnp.float32)
         U = jnp.einsum("bik,bjk->bij", Xc, Xc,
@@ -436,9 +474,10 @@ def _apply_extadd_two_piece(fp: FrontalPlan, slab, U, child_lvl: int,
     if Kc == 0:
         return slab, None
     if B2 >= 4 and 2 * (B2 * Fp * Kc * 4) <= cap:
-        E_slab, E_T = _expand_gathermm_2(fp, U, child_lvl, W)
+        E_slab, E_T = _expand_gathermm_2(fp, U, child_lvl, W,
+                                         t_dtype=t_dtype)
         return slab - E_slab.astype(slab.dtype), E_T
-    return _apply_fused_2(fp, slab, None, U, child_lvl)
+    return _apply_fused_2(fp, slab, None, U, child_lvl, t_dtype=t_dtype)
 
 
 def _apply_child_updates_fused(fp: FrontalPlan, full, U, child_lvl: int):
@@ -721,7 +760,8 @@ def _factor_level(fp: FrontalPlan, lvl: int, piv, U, extadd: str,
         E_T = None
         if isinstance(U, tuple) or U.shape[1] > 0:
             slab, E_T = _apply_extadd_two_piece(fp, slab, U, lvl + 1,
-                                                cap=gm_cap)
+                                                cap=gm_cap,
+                                                t_dtype=update_dtype)
         if (lvl == 0 and root_mesh is not None and Wl >= ROOT_DIST_MIN
                 and B == 1):
             # collective root-front factorization over the ICI mesh
@@ -751,11 +791,8 @@ def _factor_level(fp: FrontalPlan, lvl: int, piv, U, extadd: str,
             return fac, None
         if Fl > Wl:
             X = fac[:, Wl:, :]
-            U2 = jnp.einsum("bik,bjk->bij", X, X,
-                            preferred_element_type=X.dtype)
-            if E_T is not None:
-                U2 = U2 + E_T.astype(U2.dtype)
-            return fac, U2.astype(update_dtype)
+            U2 = _schur_update_cast(X, E_T, update_dtype)
+            return fac, U2
         return fac, u_empty()
 
     full = jnp.concatenate(

@@ -185,3 +185,35 @@ def test_streamed_solve_end_to_end(monkeypatch):
     s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
     x = s.solve(b)
     assert s.residual(b, x) <= 1e-10
+
+
+def test_two_piece_bf16_updates(monkeypatch):
+    """Forced two-piece extend-add with bfloat16 update storage (the 1M-dof
+    HBM configuration) still meets the residual contract through IR."""
+    monkeypatch.setattr(frontal, "_TWO_PIECE_BYTES", 1)
+    monkeypatch.setattr(frontal, "_CAST_CHUNK", 16)
+    monkeypatch.setenv("CHOLESKY_TPU_UPDATE_DTYPE", "bfloat16")
+    n, r, c, v, o, cl, b = generate_problem((14, 13), 4)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    x = s.solve(b)
+    assert s.residual(b, x) <= 1e-10
+
+
+def test_two_piece_fused_tdtype(monkeypatch):
+    """Two-piece via the chunked fused-scatter tier (gathermm cap 0) with
+    non-default T storage dtype matches the plain factorization."""
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(frontal, "_TWO_PIECE_BYTES", 1)
+    monkeypatch.setattr(frontal, "_GATHERMM_BYTES_CAP", 1)
+    monkeypatch.setattr(frontal, "_FUSED2_CHUNK", 32)
+    n, r, c, v, o, cl, b = generate_problem((15, 14), 4)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    fp = s.fplan
+    fronts = tuple(jnp.asarray(f) for f in frontal.assemble_fronts(
+        fp, s.rows, s.cols, s.vals, dtype=np.float64))
+    out = frontal.frontal_factor(fp, fronts)
+    ref = frontal.frontal_factor(fp, fronts, extadd="scatter")
+    for a_, b_ in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-11, atol=1e-11)
