@@ -933,12 +933,24 @@ def _level_step_jit(fp: FrontalPlan, lvl: int, utag: str, extadd: str,
     return fn
 
 
+_STREAM_SYNC_BYTES = int(_os.environ.get(
+    "CHOLESKY_TPU_STREAM_SYNC_BYTES", str(256 << 20)))
+
+
 def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
                             extadd: str = "hybrid3", root_mesh=None,
                             donate: bool = True) -> Tuple[jax.Array, ...]:
     """Level-streamed factorization (see note above): same math and result
     as frontal_factor, executed as `levels` donating programs. `fronts` are
-    CONSUMED when donate=True (like the donating monolithic jit)."""
+    CONSUMED when donate=True (like the donating monolithic jit).
+
+    Dispatch is throttled: PJRT allocates a program's outputs and temps at
+    ENQUEUE, so letting all level programs queue up re-creates the
+    monolithic peak. After any level whose working set exceeds
+    _STREAM_SYNC_BYTES, wait for it to finish before enqueueing the next —
+    at most one multi-GiB transition is ever in flight. (Small levels keep
+    async dispatch; the sync is a scalar slice readback because
+    block_until_ready does not fully synchronize through a tunneled TPU.)"""
     update_dtype = _update_dtype_for(fronts[0].dtype)
     total_front_bytes = sum(
         int(np.prod(f.shape)) * jnp.dtype(f.dtype).itemsize for f in fronts)
@@ -951,6 +963,9 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
         Wl, Fl = fp.W[lvl], fp.F[lvl]
         fn = _level_step_jit(fp, lvl, utag, extadd, gm_cap, update_dtype,
                              root_mesh if lvl == 0 else None, donate)
+        work = int(np.prod(fronts[lvl].shape)) * fronts[lvl].dtype.itemsize
+        if u_arr is not None:
+            work += int(np.prod(u_arr.shape)) * u_arr.dtype.itemsize
         res = fn(fronts[lvl]) if utag == "none" else fn(fronts[lvl], u_arr)
         if lvl == 0:
             out[0] = res
@@ -962,6 +977,8 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
             u_arr, utag = nxt, "xxt"
         else:
             u_arr, utag = nxt, "arr"
+        if work > _STREAM_SYNC_BYTES:
+            np.asarray(fac[:1, :1, 0])        # forced completion sync
     return tuple(out)
 
 
