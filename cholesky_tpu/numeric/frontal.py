@@ -389,10 +389,24 @@ def _einsum_rows_cast(Ga, Gb, out_dtype):
         return jnp.einsum("bfj,bgj->bfg", Ga, Gb,
                           preferred_element_type=acc)
     F = Ga.shape[1]
-    return jnp.concatenate(
-        [jnp.einsum("bfj,bgj->bfg", Ga[:, i0:i0 + _CAST_CHUNK], Gb,
-                    preferred_element_type=acc).astype(out_dtype)
-         for i0 in range(0, F, _CAST_CHUNK)], axis=1)
+    # fori_loop, NOT an unrolled chunk loop: unrolled chunks are data-
+    # independent and XLA schedules them all concurrently, keeping every
+    # chunk buffer live at once. The last window is tail-aligned (start
+    # clamped to F-ch) — it recomputes a few rows, which is value-identical.
+    ch = min(_CAST_CHUNK, F)
+    nch = -(-F // ch)
+    out0 = jnp.zeros((Ga.shape[0], F, Gb.shape[1]), out_dtype)
+    z = jnp.int32(0)
+
+    def body(i, out):
+        f0 = jnp.minimum(i * ch, F - ch).astype(jnp.int32)
+        ga = lax.dynamic_slice(Ga, (z, f0, z),
+                               (Ga.shape[0], ch, Ga.shape[2]))
+        pc = jnp.einsum("bfj,bgj->bfg", ga, Gb, preferred_element_type=acc)
+        return lax.dynamic_update_slice(out, pc.astype(out_dtype),
+                                        (z, f0, z))
+
+    return lax.fori_loop(jnp.int32(0), jnp.int32(nch), body, out0)
 
 
 def _schur_update_cast(X, E_T, out_dtype):
@@ -402,14 +416,24 @@ def _schur_update_cast(X, E_T, out_dtype):
     if jnp.dtype(out_dtype) == acc and E_T is None:
         return jnp.einsum("bik,bjk->bij", X, X, preferred_element_type=acc)
     K = X.shape[1]
-    parts = []
-    for i0 in range(0, K, _CAST_CHUNK):
-        pc = jnp.einsum("bik,bjk->bij", X[:, i0:i0 + _CAST_CHUNK], X,
-                        preferred_element_type=acc)
+    # fori_loop with tail-aligned windows (see _einsum_rows_cast)
+    ch = min(_CAST_CHUNK, K)
+    nch = -(-K // ch)
+    out0 = jnp.zeros((X.shape[0], K, K), out_dtype)
+    z = jnp.int32(0)
+
+    def body(i, out):
+        f0 = jnp.minimum(i * ch, K - ch).astype(jnp.int32)
+        xc = lax.dynamic_slice(X, (z, f0, z), (X.shape[0], ch, X.shape[2]))
+        pc = jnp.einsum("bik,bjk->bij", xc, X, preferred_element_type=acc)
         if E_T is not None:
-            pc = pc + E_T[:, i0:i0 + _CAST_CHUNK].astype(acc)
-        parts.append(pc.astype(out_dtype))
-    return jnp.concatenate(parts, axis=1)
+            tc = lax.dynamic_slice(E_T, (z, f0, z),
+                                   (E_T.shape[0], ch, E_T.shape[2]))
+            pc = pc + tc.astype(acc)
+        return lax.dynamic_update_slice(out, pc.astype(out_dtype),
+                                        (z, f0, z))
+
+    return lax.fori_loop(jnp.int32(0), jnp.int32(nch), body, out0)
 
 
 def _apply_fused_2(fp: FrontalPlan, slab, T, U, child_lvl: int,
@@ -451,6 +475,70 @@ def _apply_fused_2(fp: FrontalPlan, slab, T, U, child_lvl: int,
     return slab, T
 
 
+def _apply_gather_2(fp: FrontalPlan, slab, U, child_lvl: int, t_dtype=None,
+                    chunk_bytes: int = 256 << 20):
+    """Scatter-free two-piece extend-add for the largest levels: both pieces
+    are built row-chunk by row-chunk with masked gathers and CONCATENATED —
+    no scatter-add chains (XLA materializes copy buffers around functional
+    scatter updates; the chunked-scatter variant holds 7-9 GiB of HLO temps
+    at a 1M-dof mid level, this one holds ~2 chunk buffers).
+
+      E[b, f, g] = sum_sib U[2b+sib, inv[2b+sib, f], inv[2b+sib, g]]
+
+    with sentinel-masked gathers (inv == Kc → 0). Each T chunk is written
+    exactly once, so T needs no zero-init and no accumulation."""
+    inv = jnp.asarray(fp.inv_child[child_lvl]).astype(jnp.int32)   # [2B, Fp]
+    B2, Kc = U.shape[0], U.shape[1]
+    B = B2 // 2
+    Fp = fp.F[child_lvl - 1]
+    W = slab.shape[2]
+    K = Fp - W
+    itemsize = jnp.dtype(U.dtype).itemsize
+    ch = max(128, min(4096, chunk_bytes // max(1, B2 * Kc * itemsize)))
+
+    # The chunk loop MUST be a lax.fori_loop, not a Python loop: unrolled
+    # chunks are data-independent, so XLA's scheduler overlaps all of them
+    # and the program holds every chunk buffer at once (measured: 20 live
+    # 504 MB gather outputs at a 1M-dof mid level = 10 GiB of temps). The
+    # loop's sequential semantics bound residency to one chunk.
+    def e_chunk(idxc, col_idx):
+        # [2B, ch, Kc] row gather, then minor gather to parent columns
+        G = _masked_row_gather(U, idxc, Kc)
+        E = _masked_minor_gather(G, col_idx, Kc)        # [2B, ch, |cols|]
+        return E.reshape(B, 2, ch, E.shape[2]).sum(1)
+
+    z = jnp.int32(0)
+
+    def run(carry_rows, row_lo, col_idx, combine):
+        nch = -(-carry_rows.shape[1] // ch)
+        pad_rows = nch * ch - carry_rows.shape[1]
+        carry0 = jnp.pad(carry_rows, ((0, 0), (0, pad_rows), (0, 0)))
+        inv_pad = jnp.pad(inv, ((0, 0), (0, max(0, row_lo + nch * ch - Fp))),
+                          constant_values=Kc)
+
+        def body(i, carry):
+            f0 = (i * ch + row_lo).astype(jnp.int32)
+            idxc = lax.dynamic_slice(inv_pad, (z, f0), (B2, ch))
+            Ef = e_chunk(idxc, col_idx)
+            cur = lax.dynamic_slice(
+                carry, (z, (i * ch).astype(jnp.int32), z),
+                (B, ch, carry.shape[2]))
+            return lax.dynamic_update_slice(
+                carry, combine(cur, Ef), (z, (i * ch).astype(jnp.int32), z))
+
+        out = lax.fori_loop(jnp.int32(0), jnp.int32(nch), body, carry0)
+        return out[:, :carry_rows.shape[1], :]
+
+    slab = run(slab, 0, inv[:, :W],
+               lambda cur, Ef: cur - Ef.astype(cur.dtype))
+    if K == 0:
+        return slab, None
+    td = t_dtype or jnp.promote_types(U.dtype, jnp.float32)
+    T = run(jnp.zeros((B, K, K), td), W, inv[:, W:],
+            lambda cur, Ef: Ef.astype(cur.dtype))
+    return slab, T
+
+
 def _apply_extadd_two_piece(fp: FrontalPlan, slab, U, child_lvl: int,
                             cap: Optional[int] = None, t_dtype=None):
     """Dispatch the two-piece extend-add: xxt from a leaf tag, gathermm when
@@ -477,7 +565,7 @@ def _apply_extadd_two_piece(fp: FrontalPlan, slab, U, child_lvl: int,
         E_slab, E_T = _expand_gathermm_2(fp, U, child_lvl, W,
                                          t_dtype=t_dtype)
         return slab - E_slab.astype(slab.dtype), E_T
-    return _apply_fused_2(fp, slab, None, U, child_lvl, t_dtype=t_dtype)
+    return _apply_gather_2(fp, slab, U, child_lvl, t_dtype=t_dtype)
 
 
 def _apply_child_updates_fused(fp: FrontalPlan, full, U, child_lvl: int):
