@@ -688,20 +688,43 @@ import os as _os
 _TRI_MAX_BATCH = int(_os.environ.get("CHOLESKY_TPU_TRI_MAX_BATCH", "512"))
 
 
+_TRI_RHS_CHUNK = int(_os.environ.get("CHOLESKY_TPU_TRI_RHS_CHUNK", "2048"))
+
+
 def _tri_solve(Ld, rhs, **kw):
-    """lax.linalg.triangular_solve with the batch axis chunked: XLA's TPU
-    lowering inverts the factor's diagonal blocks through a custom call whose
-    scoped VMEM allocation scales with batch — at [4096, 216, 216] (the leaf
-    level of a 1M-dof tree) it exceeds the 16 MB VMEM stack and compilation
-    fails. Chunks of <= _TRI_MAX_BATCH compile and run at full rate (the
-    sub-solves are still thousands of rows)."""
+    """lax.linalg.triangular_solve wrapped for HBM/VMEM sanity:
+
+    * batch axis chunked at _TRI_MAX_BATCH — the TPU lowering's diag-block
+      invert custom call allocates scoped VMEM proportional to batch and
+      fails to compile at [4096, 216, 216] (1M-dof leaf level);
+    * for right-side solves, RHS ROWS chunked in a fori_loop — XLA's solve
+      holds HLO temps ~20x the RHS size ([2, 10000, 5000]: 7.9 GiB of
+      temps), and rows of a right-side solve are independent, so a
+      sequential loop of row windows bounds residency to one window.
+    """
     B = Ld.shape[0]
-    if B <= _TRI_MAX_BATCH:
+    if B > _TRI_MAX_BATCH:
+        return jnp.concatenate(
+            [lax.linalg.triangular_solve(Ld[i:i + _TRI_MAX_BATCH],
+                                         rhs[i:i + _TRI_MAX_BATCH], **kw)
+             for i in range(0, B, _TRI_MAX_BATCH)], axis=0)
+    M = rhs.shape[1]
+    if kw.get("left_side", False) or M <= 2 * _TRI_RHS_CHUNK:
         return lax.linalg.triangular_solve(Ld, rhs, **kw)
-    return jnp.concatenate(
-        [lax.linalg.triangular_solve(Ld[i:i + _TRI_MAX_BATCH],
-                                     rhs[i:i + _TRI_MAX_BATCH], **kw)
-         for i in range(0, B, _TRI_MAX_BATCH)], axis=0)
+    ch = _TRI_RHS_CHUNK
+    nch = -(-M // ch)
+    z = jnp.int32(0)
+    out0 = jnp.zeros_like(rhs)
+
+    def body(i, out):
+        # tail-aligned window: the last chunk re-solves a few rows (row
+        # solves are independent and pure, so values are identical)
+        f0 = jnp.minimum(i * ch, M - ch).astype(jnp.int32)
+        rc = lax.dynamic_slice(rhs, (z, f0, z), (B, ch, rhs.shape[2]))
+        xc = lax.linalg.triangular_solve(Ld, rc, **kw)
+        return lax.dynamic_update_slice(out, xc, (z, f0, z))
+
+    return lax.fori_loop(jnp.int32(0), jnp.int32(nch), body, out0)
 
 
 _CHOL_BS = 128   # panel width of the blocked batched Cholesky (MXU native)
