@@ -294,11 +294,20 @@ def main(argv=None):
     try:
         solver.panels = factors0
         solver.factored = True
+        for gate_attempt in range(3):
+            try:
+                x = solver.solve(b, tol=1e-11)
+                break
+            except Exception as ge:  # noqa: BLE001 — tunnel compiler flakes
+                if gate_attempt == 2:
+                    raise
+                print(f"# gate attempt {gate_attempt} failed "
+                      f"({type(ge).__name__}); retrying", file=sys.stderr)
+                time.sleep(15)
         # tol 1e-11 relative: one order of margin under the 1e-10 gate
         # without paying refinement iterations for digits the gate never
         # checks (the df loop floor is ~3e-14; default tol 1e-12 costs ~3
-        # extra iterations)
-        x = solver.solve(b, tol=1e-11)   # compiles the solve program
+        # extra iterations). First call above compiled the solve programs.
         t0 = time.perf_counter()
         x = solver.solve(b, tol=1e-11)
         t_solve = max(time.perf_counter() - t0 - floor, 1e-9)

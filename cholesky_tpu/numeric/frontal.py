@@ -1176,23 +1176,21 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
     return bg[:n]
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _invert_pivots_jit(key, factors):
-    fp = _FPLAN_CACHE[key]
-    out = []
-    for lvl in range(fp.levels):
-        Wl = fp.W[lvl]
-        Ld = factors[lvl][:, :Wl, :]
-        eye = jnp.broadcast_to(jnp.eye(Wl, dtype=Ld.dtype), Ld.shape)
-        out.append(_tri_solve(Ld, eye, left_side=True, lower=True))
-    return tuple(out)
+@functools.partial(jax.jit, static_argnums=1)
+def _invert_pivot_level_jit(fac, W):
+    Ld = fac[:, :W, :]
+    eye = jnp.broadcast_to(jnp.eye(W, dtype=Ld.dtype), Ld.shape)
+    return _tri_solve(Ld, eye, left_side=True, lower=True)
 
 
 def invert_pivots(fp: FrontalPlan, factors) -> Tuple[jax.Array, ...]:
     """Per-level explicit inverses of the pivot Cholesky factors — a
     one-time batched matrix-RHS triangular solve (MXU-friendly), amortized
-    over the many vector solves of the refinement loop."""
-    return _invert_pivots_jit(fp.key(), tuple(factors))
+    over the many vector solves of the refinement loop. One jitted program
+    per level: a monolithic all-levels program is a multi-GiB compile that
+    the tunnel compile helper intermittently crashes on at 1M dofs."""
+    return tuple(_invert_pivot_level_jit(factors[lvl], fp.W[lvl])
+                 for lvl in range(fp.levels))
 
 
 def solve_refined(fp: FrontalPlan, factors: Sequence[jax.Array],
