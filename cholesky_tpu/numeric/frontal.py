@@ -551,7 +551,7 @@ def _apply_extadd_two_piece(fp: FrontalPlan, slab, U, child_lvl: int,
     if isinstance(U, tuple) and U[0] == "xxt":
         Xc = U[1]
         B2 = Xc.shape[0]
-        if 2 * (B2 * Fp * Xc.shape[2] * 4) <= cap:
+        if 2 * (B2 * Fp * Xc.shape[2] * Xc.dtype.itemsize) <= cap:
             E_slab, E_T = _expand_xxt_2(fp, Xc, child_lvl, W,
                                         t_dtype=t_dtype)
             return slab - E_slab.astype(slab.dtype), E_T
@@ -561,7 +561,7 @@ def _apply_extadd_two_piece(fp: FrontalPlan, slab, U, child_lvl: int,
     B2, Kc = U.shape[0], U.shape[1]
     if Kc == 0:
         return slab, None
-    if B2 >= 4 and 2 * (B2 * Fp * Kc * 4) <= cap:
+    if B2 >= 4 and 2 * (B2 * Fp * Kc * U.dtype.itemsize) <= cap:
         E_slab, E_T = _expand_gathermm_2(fp, U, child_lvl, W,
                                          t_dtype=t_dtype)
         return slab - E_slab.astype(slab.dtype), E_T
@@ -791,7 +791,8 @@ def _gathermm_bytes(fp: FrontalPlan, U, child_lvl: int) -> int:
     [2B, Fp, K], their sibling-folded reshapes, and the [B, Fp, Fp] output."""
     B2, K, _ = U.shape
     Fp = fp.F[child_lvl - 1]
-    return 4 * (B2 * Fp * K * 4) + (B2 // 2) * Fp * Fp * 4
+    it = U.dtype.itemsize
+    return 4 * (B2 * Fp * K * it) + (B2 // 2) * Fp * Fp * 4
 
 
 ROOT_DIST_MIN = 2048   # min root-front size for the collective factorization
