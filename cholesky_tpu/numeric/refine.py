@@ -38,6 +38,8 @@ _SPLIT = np.float32(4097.0)        # Dekker split constant for f32: 2^12 + 1
 # callers fall back to the f64 segment-sum path
 ELL_MAX_K = 96
 
+_HIST_CAP = 128     # trace_hist buffer size (max recorded iterations)
+
 
 def _two_sum(a, b):
     """Knuth TwoSum: s + e == a + b exactly (6 flops, branch-free)."""
@@ -144,7 +146,8 @@ def solve_refined_df(fp, factors: Sequence, b64: np.ndarray, ell,
     bs = jnp.asarray(np.stack([b_hi, b_lo]))          # ONE upload
     out = _run(fp.key(), tuple(factors), inv, jnp.asarray(idx),
                jnp.asarray(a_hi), jnp.asarray(a_lo), bs,
-               int(max_iter), np.float32(tol * bnorm), bool(trace_hist))
+               jnp.int32(max_iter), np.float32(tol * bnorm),
+               bool(trace_hist))
     if trace_hist:
         out, hist = out
     arr = np.asarray(out, np.float64)                 # ONE readback
@@ -163,9 +166,13 @@ def _residual_df(idx, a_hi, a_lo, b_hi, b_lo, x_hi, x_lo):
     return _df_add(b_hi, b_lo, -y_hi, -y_lo)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 7, 9))
+@functools.partial(jax.jit, static_argnums=(0, 9))
 def _run(key, factors, inv_pivots, idx, a_hi, a_lo, bs, max_iter,
          tol_abs, trace_hist=False):
+    """max_iter is a TRACED operand (while_loop bound), not static — one
+    compiled program serves every iteration budget (large-program compiles
+    through the tunnel are minutes-long and intermittently crash the
+    compile helper, so program-count hygiene matters)."""
     from cholesky_tpu.numeric import frontal
 
     fp = frontal._FPLAN_CACHE[key]
@@ -206,7 +213,7 @@ def _run(key, factors, inv_pivots, idx, a_hi, a_lo, bs, max_iter,
         return i + 1, x_hi, x_lo, r_hi, r_lo, rn2, rn, hist
 
     rn0 = rnorm_of(r_hi)
-    hist = jnp.zeros(max_iter + 1, jnp.float32).at[0].set(rn0) \
+    hist = jnp.zeros(_HIST_CAP, jnp.float32).at[0].set(rn0) \
         if trace_hist else jnp.zeros(0, jnp.float32)
     st = (jnp.int32(0), x_hi, x_lo, r_hi, r_lo, rn0,
           jnp.float32(jnp.inf), hist)
