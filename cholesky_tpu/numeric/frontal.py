@@ -708,21 +708,27 @@ def _tri_solve(Ld, rhs, **kw):
             [lax.linalg.triangular_solve(Ld[i:i + _TRI_MAX_BATCH],
                                          rhs[i:i + _TRI_MAX_BATCH], **kw)
              for i in range(0, B, _TRI_MAX_BATCH)], axis=0)
-    M = rhs.shape[1]
-    if kw.get("left_side", False) or M <= 2 * _TRI_RHS_CHUNK:
-        return lax.linalg.triangular_solve(Ld, rhs, **kw)
     ch = _TRI_RHS_CHUNK
-    nch = -(-M // ch)
     z = jnp.int32(0)
+    left = kw.get("left_side", False)
+    # independent axis of the RHS: rows for right-side solves, columns for
+    # left-side solves
+    ax = 2 if left else 1
+    M = rhs.shape[ax]
+    if M <= 2 * ch:
+        return lax.linalg.triangular_solve(Ld, rhs, **kw)
+    nch = -(-M // ch)
     out0 = jnp.zeros_like(rhs)
 
     def body(i, out):
-        # tail-aligned window: the last chunk re-solves a few rows (row
-        # solves are independent and pure, so values are identical)
+        # tail-aligned window: the last chunk re-solves a few rows/cols
+        # (they are independent and pure, so values are identical)
         f0 = jnp.minimum(i * ch, M - ch).astype(jnp.int32)
-        rc = lax.dynamic_slice(rhs, (z, f0, z), (B, ch, rhs.shape[2]))
+        start = (z, z, f0) if left else (z, f0, z)
+        size = ((B, rhs.shape[1], ch) if left else (B, ch, rhs.shape[2]))
+        rc = lax.dynamic_slice(rhs, start, size)
         xc = lax.linalg.triangular_solve(Ld, rc, **kw)
-        return lax.dynamic_update_slice(out, xc, (z, f0, z))
+        return lax.dynamic_update_slice(out, xc, start)
 
     return lax.fori_loop(jnp.int32(0), jnp.int32(nch), body, out0)
 
