@@ -318,6 +318,13 @@ def main(argv=None):
         gate_error = f"{type(e).__name__}"
         print(f"# residual gate failed: {e}", file=sys.stderr)
     solver.panels = None           # about to be donated away
+    # free the gate's device caches before the timing chain: the pivot
+    # inverses (~2 GiB at 1M dofs) + ELL planes would otherwise sit in HBM
+    # under the factorization's transition temps
+    solver._inv_cache = None
+    solver._inv_cache_key = None
+    if hasattr(solver, "_ell_cache"):
+        del solver._ell_cache
 
     times = []
     cur = factors0 if donate else fronts
