@@ -1023,29 +1023,35 @@ _LEVEL_JIT_CACHE = {}
 
 
 def _level_step_jit(fp: FrontalPlan, lvl: int, utag: str, extadd: str,
-                    gm_cap: int, update_dtype, root_mesh, donate: bool):
+                    gm_cap: int, update_dtype, root_mesh, donate: bool,
+                    store_dtype=None):
     key = (fp.key(), lvl, utag, extadd, gm_cap,
-           jnp.dtype(update_dtype).name, root_mesh, donate)
+           jnp.dtype(update_dtype).name, root_mesh, donate,
+           jnp.dtype(store_dtype).name if store_dtype else None)
     fn = _LEVEL_JIT_CACHE.get(key)
     if fn is not None:
         return fn
 
+    def finish(fac, U2):
+        # compressed factor storage: the numerics above ran in the compute
+        # dtype; only the STORED factor is cast (U2/X were derived from the
+        # full-precision fac inside _factor_level)
+        if store_dtype is not None and fac.dtype != jnp.dtype(store_dtype):
+            fac = fac.astype(store_dtype)
+        if U2 is None:
+            return fac
+        return (fac, U2[1]) if isinstance(U2, tuple) else (fac, U2)
+
     if utag == "none":
         def step(piv):
-            fac, U2 = _factor_level(fp, lvl, piv, None, extadd, gm_cap,
-                                    update_dtype, root_mesh)
-            if U2 is None:
-                return fac
-            return (fac, U2[1]) if isinstance(U2, tuple) else (fac, U2)
+            return finish(*_factor_level(fp, lvl, piv, None, extadd, gm_cap,
+                                         update_dtype, root_mesh))
         fn = jax.jit(step, donate_argnums=(0,) if donate else ())
     else:
         def step(piv, u_arr):
             U = ("xxt", u_arr) if utag == "xxt" else u_arr
-            fac, U2 = _factor_level(fp, lvl, piv, U, extadd, gm_cap,
-                                    update_dtype, root_mesh)
-            if U2 is None:
-                return fac
-            return (fac, U2[1]) if isinstance(U2, tuple) else (fac, U2)
+            return finish(*_factor_level(fp, lvl, piv, U, extadd, gm_cap,
+                                         update_dtype, root_mesh))
         fn = jax.jit(step, donate_argnums=(0, 1) if donate else ())
     _LEVEL_JIT_CACHE[key] = fn
     return fn
@@ -1057,7 +1063,8 @@ _STREAM_SYNC_BYTES = int(_os.environ.get(
 
 def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
                             extadd: str = "hybrid3", root_mesh=None,
-                            donate: bool = True) -> Tuple[jax.Array, ...]:
+                            donate: bool = True, store_dtype=None,
+                            upload: bool = False) -> Tuple[jax.Array, ...]:
     """Level-streamed factorization (see note above): same math and result
     as frontal_factor, executed as `levels` donating programs. `fronts` are
     CONSUMED when donate=True (like the donating monolithic jit).
@@ -1068,8 +1075,17 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
     _STREAM_SYNC_BYTES, wait for it to finish before enqueueing the next —
     at most one multi-GiB transition is ever in flight. (Small levels keep
     async dispatch; the sync is a scalar slice readback because
-    block_until_ready does not fully synchronize through a tunneled TPU.)"""
-    update_dtype = _update_dtype_for(fronts[0].dtype)
+    block_until_ready does not fully synchronize through a tunneled TPU.)
+
+    store_dtype: cast each level's STORED factor (e.g. bfloat16) — halves
+    factor residency so problems whose f32 fronts exceed HBM still keep a
+    device-resident factor for the solve; the level numerics stay f32.
+    upload=True: `fronts` are HOST arrays, shipped level by level right
+    before use (the full front set never resides in HBM — required past
+    ~10 GiB of fronts)."""
+    if upload:
+        fronts = list(fronts)
+    update_dtype = _update_dtype_for(jnp.dtype(fronts[0].dtype))
     total_front_bytes = sum(
         int(np.prod(f.shape)) * jnp.dtype(f.dtype).itemsize for f in fronts)
     gm_cap = _effective_gathermm_cap(total_front_bytes)
@@ -1080,11 +1096,16 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
     for lvl in range(levels - 1, -1, -1):
         Wl, Fl = fp.W[lvl], fp.F[lvl]
         fn = _level_step_jit(fp, lvl, utag, extadd, gm_cap, update_dtype,
-                             root_mesh if lvl == 0 else None, donate)
+                             root_mesh if lvl == 0 else None, donate,
+                             store_dtype=store_dtype)
         work = int(np.prod(fronts[lvl].shape)) * fronts[lvl].dtype.itemsize
         if u_arr is not None:
             work += int(np.prod(u_arr.shape)) * u_arr.dtype.itemsize
-        res = fn(fronts[lvl]) if utag == "none" else fn(fronts[lvl], u_arr)
+        piv_dev = jnp.asarray(fronts[lvl]) if upload else fronts[lvl]
+        if upload:
+            fronts[lvl] = None        # free the host copy as we go
+        res = fn(piv_dev) if utag == "none" else fn(piv_dev, u_arr)
+        del piv_dev
         if lvl == 0:
             out[0] = res
             break
@@ -1144,7 +1165,7 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
         if inv_pivots is not None:
             return jnp.einsum("bij,bj->bi", inv_pivots[lvl], rhs,
                               preferred_element_type=rhs.dtype)
-        Ld = factors[lvl][:, :fp.W[lvl], :]
+        Ld = factors[lvl][:, :fp.W[lvl], :].astype(rhs.dtype)
         return _tri_solve(
             Ld, rhs[..., None], left_side=True, lower=True)[..., 0]
 
@@ -1152,7 +1173,7 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
         if inv_pivots is not None:
             return jnp.einsum("bji,bj->bi", inv_pivots[lvl], rhs,
                               preferred_element_type=rhs.dtype)
-        Ld = factors[lvl][:, :fp.W[lvl], :]
+        Ld = factors[lvl][:, :fp.W[lvl], :].astype(rhs.dtype)
         return _tri_solve(
             Ld, rhs[..., None], left_side=True, lower=True,
             transpose_a=True)[..., 0]
@@ -1185,9 +1206,9 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
 
 @functools.partial(jax.jit, static_argnums=1)
 def _invert_pivot_level_jit(fac, W):
-    Ld = fac[:, :W, :]
-    eye = jnp.broadcast_to(jnp.eye(W, dtype=Ld.dtype), Ld.shape)
-    return _tri_solve(Ld, eye, left_side=True, lower=True)
+    Ld = fac[:, :W, :].astype(jnp.float32)   # invert in f32 even for a
+    eye = jnp.broadcast_to(jnp.eye(W, dtype=Ld.dtype), Ld.shape)   # bf16-
+    return _tri_solve(Ld, eye, left_side=True, lower=True)   # stored factor
 
 
 def invert_pivots(fp: FrontalPlan, factors) -> Tuple[jax.Array, ...]:
@@ -1288,6 +1309,12 @@ def solve_multi(fp: FrontalPlan, factors, b_perm) -> jax.Array:
 _STREAM_BYTES = int(_os.environ.get("CHOLESKY_TPU_STREAM_BYTES",
                                     str(5 << 30)))
 
+# past this many bytes of f32 fronts, neither the fronts nor the f32
+# factors can all reside in HBM alongside transition temps: stream front
+# uploads from host and store the factor compressed (bfloat16)
+_OFFLOAD_BYTES = int(_os.environ.get("CHOLESKY_TPU_OFFLOAD_BYTES",
+                                     str(9 << 30)))
+
 
 def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
            root_mesh=None) -> Tuple[jax.Array, ...]:
@@ -1305,9 +1332,19 @@ def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
         # past ~5 GiB of fronts the monolithic program's cross-level temp
         # live ranges exceed HBM (1M dofs: 14.3 GiB of HLO temps); stream
         # one donating program per level instead
+        sd = os.environ.get("CHOLESKY_TPU_STORE_DTYPE")
+        store_dtype = jnp.dtype(sd) if sd else None
+        upload = os.environ.get("CHOLESKY_TPU_UPLOAD_STREAM") == "1" or (
+            total > _OFFLOAD_BYTES and isinstance(fronts[0], np.ndarray))
+        if store_dtype is None and total > _OFFLOAD_BYTES:
+            # f32 fronts past the offload threshold cannot all stay
+            # resident as factors either — compress the stored factor
+            store_dtype = jnp.bfloat16
+        if not upload:
+            fronts = tuple(jnp.asarray(f) for f in fronts)
         return frontal_factor_streamed(
-            fp, tuple(jnp.asarray(f) for f in fronts), extadd=extadd,
-            root_mesh=root_mesh)
+            fp, fronts, extadd=extadd, root_mesh=root_mesh,
+            store_dtype=store_dtype, upload=upload)
     args = (fp.key(), tuple(jnp.asarray(f) for f in fronts), extadd, root_mesh)
     # Donation (in-place buffer reuse) halves peak HBM, but the tunnel
     # compile helper fails on donated programs past ~5 GiB of aliased

@@ -217,3 +217,21 @@ def test_two_piece_fused_tdtype(monkeypatch):
     for a_, b_ in zip(ref, out):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=1e-11, atol=1e-11)
+
+
+import jax.numpy as jnp
+
+
+def test_streamed_compressed_offload(monkeypatch):
+    """Host-streamed front uploads with bfloat16-stored factors (the 2M-dof
+    single-chip configuration): factor() auto-selects the path when fronts
+    exceed the offload threshold, and the solve still meets the residual
+    contract through iterative refinement."""
+    monkeypatch.setenv("CHOLESKY_TPU_STREAM", "1")
+    monkeypatch.setattr(frontal, "_OFFLOAD_BYTES", 1)
+    n, r, c, v, o, cl, b = generate_problem((16, 15), 4)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    s.factorize()
+    assert all(p.dtype == jnp.bfloat16 for p in s.panels)
+    x = s.solve(b)
+    assert s.residual(b, x) <= 1e-10
