@@ -250,7 +250,9 @@ def main(argv=None):
 
         def factor_cs(fs):
             if offload:
-                # fresh ref list per call: upload-streaming nulls entries
+                # pass a fresh ref list per call: the streamed driver
+                # consumes its list, while fronts_host retains the masters
+                # for the next timing iteration
                 out = frontal.factor(fp, list(fronts_host), extadd=extadd)
             else:
                 out = frontal.frontal_factor_streamed(fp, fs, extadd=extadd)
@@ -347,6 +349,7 @@ def main(argv=None):
     for _ in range(args.iters):
         if use_stream and offload:
             cur = None                 # free factors before re-uploading
+            factors0 = None            # (first iteration: drop the gate's set)
             t0 = time.perf_counter()
             cur, cs = factor_cs(None)
             float(cs)

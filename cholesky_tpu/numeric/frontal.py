@@ -307,9 +307,6 @@ def _expand_child_updates_gathermm(fp: FrontalPlan, U, child_lvl: int):
 # emit (E_slab [B, Fp, W], E_T [B, K, K]) directly.
 
 
-_FUSED2_CHUNK = 1024
-
-
 def _masked_row_gather(arr, idx, nrows: int):
     """Row gather with sentinel masking instead of a padded operand copy:
     positions with idx >= nrows read zero. jnp.pad of a GiB-scale child
@@ -434,45 +431,6 @@ def _schur_update_cast(X, E_T, out_dtype):
                                         (z, f0, z))
 
     return lax.fori_loop(jnp.int32(0), jnp.int32(nch), body, out0)
-
-
-def _apply_fused_2(fp: FrontalPlan, slab, T, U, child_lvl: int,
-                   t_dtype=None):
-    """Chunked fused scatter two-piece: subtract the children's updates into
-    the slab and accumulate the trailing piece into T, processing parent
-    columns in ~_FUSED2_CHUNK blocks so no intermediate exceeds a few
-    hundred MB (the unchunked e1 is [2B, Kc, Fp] — multiple GiB mid-tree at
-    512k+ dofs). Returns (slab, T); T is None when the parent has no
-    boundary. T is stored as t_dtype (default f32 accumulation dtype)."""
-    inv = jnp.asarray(fp.inv_child[child_lvl]).astype(jnp.int32)   # [2B, Fp]
-    fwd = jnp.asarray(fp.fwd_child[child_lvl]).astype(jnp.int32)   # [2B, K]
-    B2, Kc = fwd.shape
-    Fp = fp.F[child_lvl - 1]
-    W = slab.shape[2]
-    K = Fp - W
-    seg = (jnp.arange(B2) >> 1)[:, None]
-    # sentinel handling by clip + zeroed contribution (a padded copy of the
-    # multi-GiB update/target arrays would double their HBM footprint)
-    row_ok = fwd < Fp                                              # [2B, K]
-    fwd_c = jnp.minimum(fwd, Fp - 1)
-    for c0 in range(0, W, _FUSED2_CHUNK):
-        c1 = min(c0 + _FUSED2_CHUNK, W)
-        e1 = _masked_minor_gather(U, inv[:, c0:c1], Kc)            # [2B, Kc, ch]
-        e1 = jnp.where(row_ok[:, :, None], e1, 0)
-        slab = slab.at[seg, fwd_c, c0:c1].add(-e1.astype(slab.dtype))
-    if K == 0:
-        return slab, T
-    if T is None:
-        T = jnp.zeros((B2 // 2, K, K),
-                      t_dtype or jnp.promote_types(U.dtype, jnp.float32))
-    t_ok = row_ok & (fwd >= W)                     # pivot rows excluded
-    fwd_t = jnp.minimum(jnp.where(fwd >= W, fwd - W, 0), K - 1)
-    for c0 in range(W, Fp, _FUSED2_CHUNK):
-        c1 = min(c0 + _FUSED2_CHUNK, Fp)
-        e1 = _masked_minor_gather(U, inv[:, c0:c1], Kc)            # [2B, Kc, ch]
-        e1 = jnp.where(t_ok[:, :, None], e1, 0)
-        T = T.at[seg, fwd_t, c0 - W:c1 - W].add(e1.astype(T.dtype))
-    return slab, T
 
 
 def _apply_gather_2(fp: FrontalPlan, slab, U, child_lvl: int, t_dtype=None,
@@ -1083,7 +1041,7 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
     upload=True: `fronts` are HOST arrays, shipped level by level right
     before use (the full front set never resides in HBM — required past
     ~10 GiB of fronts)."""
-    if upload:
+    if upload and not isinstance(fronts, list):
         fronts = list(fronts)
     update_dtype = _update_dtype_for(jnp.dtype(fronts[0].dtype))
     total_front_bytes = sum(
@@ -1103,7 +1061,10 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
             work += int(np.prod(u_arr.shape)) * u_arr.dtype.itemsize
         piv_dev = jnp.asarray(fronts[lvl]) if upload else fronts[lvl]
         if upload:
-            fronts[lvl] = None        # free the host copy as we go
+            # drop this list's reference; the host array is freed once the
+            # caller holds no other reference (factor()/api pass their own
+            # list through, so the front set shrinks as levels complete)
+            fronts[lvl] = None
         res = fn(piv_dev) if utag == "none" else fn(piv_dev, u_arr)
         del piv_dev
         if lvl == 0:
@@ -1336,9 +1297,12 @@ def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
         store_dtype = jnp.dtype(sd) if sd else None
         upload = os.environ.get("CHOLESKY_TPU_UPLOAD_STREAM") == "1" or (
             total > _OFFLOAD_BYTES and isinstance(fronts[0], np.ndarray))
-        if store_dtype is None and total > _OFFLOAD_BYTES:
+        if (store_dtype is None and total > _OFFLOAD_BYTES
+                and jnp.dtype(fronts[0].dtype) == jnp.float32):
             # f32 fronts past the offload threshold cannot all stay
-            # resident as factors either — compress the stored factor
+            # resident as factors either — compress the stored factor.
+            # (f32 only: an f64 factor must not silently degrade — its
+            # solve path skips iterative refinement.)
             store_dtype = jnp.bfloat16
         if not upload:
             fronts = tuple(jnp.asarray(f) for f in fronts)

@@ -143,6 +143,11 @@ def solve_refined_df(fp, factors: Sequence, b64: np.ndarray, ell,
     b_hi, b_lo = split_f64(np.asarray(b64, np.float64))
     bnorm = float(np.linalg.norm(np.asarray(b64, np.float64)))
     inv = tuple(inv_pivots) if inv_pivots is not None else None
+    if trace_hist:
+        # the history buffer is a fixed _HIST_CAP entries; clamp so the
+        # while_loop can never scatter out of bounds (silently dropped
+        # under jit)
+        max_iter = min(int(max_iter), _HIST_CAP - 1)
     bs = jnp.asarray(np.stack([b_hi, b_lo]))          # ONE upload
     out = _run(fp.key(), tuple(factors), inv, jnp.asarray(idx),
                jnp.asarray(a_hi), jnp.asarray(a_lo), bs,

@@ -199,14 +199,14 @@ def test_two_piece_bf16_updates(monkeypatch):
     assert s.residual(b, x) <= 1e-10
 
 
-def test_two_piece_fused_tdtype(monkeypatch):
-    """Two-piece via the chunked fused-scatter tier (gathermm cap 0) with
-    non-default T storage dtype matches the plain factorization."""
+def test_two_piece_gather_tier(monkeypatch):
+    """Two-piece via the scatter-free gather tier (gathermm cap floored to
+    its 256 MB minimum, so small tests route B2<4 transitions through
+    _apply_gather_2) matches the plain factorization."""
     import jax.numpy as jnp
 
     monkeypatch.setattr(frontal, "_TWO_PIECE_BYTES", 1)
     monkeypatch.setattr(frontal, "_GATHERMM_BYTES_CAP", 1)
-    monkeypatch.setattr(frontal, "_FUSED2_CHUNK", 32)
     n, r, c, v, o, cl, b = generate_problem((15, 14), 4)
     s = SparseCholesky.from_coo(n, r, c, v, o, cl)
     fp = s.fplan
