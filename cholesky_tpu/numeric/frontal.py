@@ -1079,6 +1079,17 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
             u_arr, utag = nxt, "arr"
         if work > _STREAM_SYNC_BYTES:
             np.asarray(fac[:1, :1, 0])        # forced completion sync
+        if _os.environ.get("CHOLESKY_TPU_STREAM_DEBUG") == "1":
+            np.asarray(fac[:1, :1, 0])
+            stats = {}
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+            except Exception:  # noqa: BLE001
+                pass
+            used = stats.get("bytes_in_use", -1)
+            print(f"# stream lvl{lvl} done: out={fac.shape}{fac.dtype} "
+                  f"u={getattr(u_arr, 'shape', None)} "
+                  f"hbm_in_use={used/2**30:.2f} GiB", flush=True)
     return tuple(out)
 
 
