@@ -408,29 +408,55 @@ def _einsum_rows_cast(Ga, Gb, out_dtype):
 
 def _schur_update_cast(X, E_T, out_dtype):
     """U2 = X X^T (+ E_T), f32 accumulation, stored as out_dtype, chunked
-    over rows (see _einsum_rows_cast)."""
+    over rows (see _einsum_rows_cast). When E_T already has the output
+    dtype it SEEDS the fori carry, so the accumulation happens in place
+    (the while-loop carry aliases) instead of holding E_T and U2 — two
+    multi-GiB trailing buffers — simultaneously."""
     acc = jnp.promote_types(X.dtype, jnp.float32)
     if jnp.dtype(out_dtype) == acc and E_T is None:
         return jnp.einsum("bik,bjk->bij", X, X, preferred_element_type=acc)
     K = X.shape[1]
-    # fori_loop with tail-aligned windows (see _einsum_rows_cast)
+    # fori_loop with tail-aligned windows (see _einsum_rows_cast). A
+    # tail-overlap re-ADD would double-count, so the tail window is
+    # handled by clamping the einsum rows instead: windows stay disjoint
+    # via exact chunking over ceil-divided rows with a masked final write.
     ch = min(_CAST_CHUNK, K)
     nch = -(-K // ch)
-    out0 = jnp.zeros((X.shape[0], K, K), out_dtype)
     z = jnp.int32(0)
+    if E_T is not None and E_T.dtype == jnp.dtype(out_dtype):
+        carry0 = E_T
+        seeded = True
+    else:
+        carry0 = jnp.zeros((X.shape[0], K, K), out_dtype)
+        seeded = False
 
     def body(i, out):
         f0 = jnp.minimum(i * ch, K - ch).astype(jnp.int32)
         xc = lax.dynamic_slice(X, (z, f0, z), (X.shape[0], ch, X.shape[2]))
         pc = jnp.einsum("bik,bjk->bij", xc, X, preferred_element_type=acc)
-        if E_T is not None:
+        tc = lax.dynamic_slice(out, (z, f0, z), (out.shape[0], ch, K)) \
+            if seeded else None
+        if seeded:
+            pc = pc + tc.astype(acc)
+        elif E_T is not None:
             tc = lax.dynamic_slice(E_T, (z, f0, z),
                                    (E_T.shape[0], ch, E_T.shape[2]))
             pc = pc + tc.astype(acc)
+        if nch * ch != K:
+            # tail window overlaps the previous one; rows already written
+            # must keep their value (they were computed with the identical
+            # formula, so overwriting is safe for the unseeded path, but the
+            # seeded path would re-add E_T rows it already consumed — mask
+            # overlapped rows to their existing content)
+            rows = f0 + lax.broadcasted_iota(jnp.int32, (ch, 1), 0)
+            fresh = rows >= (i * ch)
+            cur = lax.dynamic_slice(out, (z, f0, z), (out.shape[0], ch, K))
+            pc = jnp.where(fresh[None], pc.astype(out_dtype),
+                           cur).astype(acc)
         return lax.dynamic_update_slice(out, pc.astype(out_dtype),
                                         (z, f0, z))
 
-    return lax.fori_loop(jnp.int32(0), jnp.int32(nch), body, out0)
+    return lax.fori_loop(jnp.int32(0), jnp.int32(nch), body, carry0)
 
 
 def _apply_gather_2(fp: FrontalPlan, slab, U, child_lvl: int, t_dtype=None,
