@@ -235,3 +235,20 @@ def test_streamed_compressed_offload(monkeypatch):
     assert all(p.dtype == jnp.bfloat16 for p in s.panels)
     x = s.solve(b)
     assert s.residual(b, x) <= 1e-10
+
+
+def test_streamed_upload_matches_monolithic():
+    """upload=True (host arrays shipped level by level) with no storage
+    cast produces bit-identical factors to the monolithic program."""
+    n, r, c, v, o, cl, b = generate_problem((14, 14, 7), 4)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    fp = s.fplan
+    fronts = frontal.assemble_fronts(fp, s.rows, s.cols, s.vals,
+                                     dtype=np.float64)
+    import jax.numpy as jnp2
+
+    ref = frontal.frontal_factor(fp, tuple(jnp2.asarray(f) for f in fronts))
+    out = frontal.frontal_factor_streamed(
+        fp, [f.copy() for f in fronts], upload=True)
+    for a_, b_ in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
