@@ -53,11 +53,10 @@ class SparseCholesky:
         if banner.rows != plan.n:
             raise ValueError(
                 f"matrix dim {banner.rows} != ordering dof count {plan.n}")
-        # normalize to lower triangle (symmetric input may store either)
-        swap = c > r
-        r2 = np.where(swap, c, r)
-        c2 = np.where(swap, r, c)
-        return cls(plan, r2, c2, v, dtype=dtype, mesh=mesh, engine=engine)
+        # normalize to lower triangle; 'general'-symmetry files store both
+        # triangles, so deduplicate (mmio.dedup_lower)
+        r2, c2, v2 = mmio.dedup_lower(r, c, v)
+        return cls(plan, r2, c2, v2, dtype=dtype, mesh=mesh, engine=engine)
 
     @classmethod
     def from_matrix(cls, n: int, rows, cols, vals, levels=None,
@@ -81,13 +80,8 @@ class SparseCholesky:
         plan = build_plan(ordng, clusters, pad_to=pad_to)
         if plan.n != n:
             raise ValueError("ordering does not cover the matrix dimension")
-        rows = np.asarray(rows, dtype=np.int64)
-        cols = np.asarray(cols, dtype=np.int64)
-        vals = np.asarray(vals, dtype=np.float64)
-        swap = cols > rows
-        r2 = np.where(swap, cols, rows)
-        c2 = np.where(swap, rows, cols)
-        return cls(plan, r2, c2, vals, dtype=dtype, mesh=mesh, engine=engine)
+        r2, c2, v2 = mmio.dedup_lower(rows, cols, vals)
+        return cls(plan, r2, c2, v2, dtype=dtype, mesh=mesh, engine=engine)
 
     # ------------------------------------------------------------------
     @property
@@ -268,10 +262,7 @@ class SparseCholesky:
     def _perm_coo(self):
         """Symmetrized COO in permuted coordinates (for device matvec)."""
         if not hasattr(self, "_perm_coo_cache") or self._perm_coo_cache is None:
-            off = self.rows != self.cols
-            r = np.concatenate([self.rows, self.cols[off]])
-            c = np.concatenate([self.cols, self.rows[off]])
-            v = np.concatenate([self.vals, self.vals[off]])
+            r, c, v = mmio.symmetrize_coo(self.rows, self.cols, self.vals)
             self._perm_coo_cache = (self.plan.iperm[r], self.plan.iperm[c], v)
         return self._perm_coo_cache
 
@@ -279,10 +270,7 @@ class SparseCholesky:
         if self._csr is None:
             import scipy.sparse
 
-            off = self.rows != self.cols
-            r = np.concatenate([self.rows, self.cols[off]])
-            c = np.concatenate([self.cols, self.rows[off]])
-            v = np.concatenate([self.vals, self.vals[off]])
+            r, c, v = mmio.symmetrize_coo(self.rows, self.cols, self.vals)
             self._csr = scipy.sparse.csr_matrix(
                 (v, (r, c)), shape=(self.plan.n, self.plan.n))
         return self._csr

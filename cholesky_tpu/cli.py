@@ -65,8 +65,14 @@ def parse_args(argv):
         elif a == "--bench":
             opts["bench"] = True; i += 1
         elif a in _LEGION_FLAGS_WITH_ARG or a.startswith(_LEGION_PREFIXES):
-            # Legion runtime passthroughs — accepted, ignored
-            i += 2 if i + 1 < len(argv) else 1
+            # Legion runtime passthroughs — accepted, ignored. Consume a
+            # following value only when it is not itself a flag: zero-arg
+            # Legion flags (-lg:spy, -ll:show_rsrv, ...) must not swallow
+            # the next real option.
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 2
+            else:
+                i += 1
         else:
             i += 1
     return opts
@@ -206,9 +212,12 @@ def main(argv=None) -> int:
     if opts["bench"]:
         import json
 
-        best = min(factor_times)
-        print(json.dumps({"metric": "factor_wall_s", "value": best,
-                          "unit": "s"}))
+        if factor_times:
+            print(json.dumps({"metric": "factor_wall_s",
+                              "value": min(factor_times), "unit": "s"}))
+        else:
+            print(json.dumps({"metric": "factor_wall_s", "value": None,
+                              "unit": "s", "note": "--iterations 0"}))
     return 0
 
 

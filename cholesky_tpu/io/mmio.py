@@ -51,6 +51,8 @@ def read_banner(path: str) -> MMBanner:
         _, obj, fmt, field, sym = parts
         line = f.readline()
         while line.startswith("%") or line.strip() == "":
+            if line == "":        # EOF — readline() returns '' forever
+                raise MMIOError(f"{path}: missing size line")
             line = f.readline()
         toks = line.split()
         if fmt == "coordinate":
@@ -71,6 +73,9 @@ def read_coo(path: str):
     banner = read_banner(path)
     if banner.format != "coordinate":
         raise MMIOError(f"{path}: expected coordinate format, got {banner.format}")
+    if banner.field == "complex":
+        # 4-column bodies: the 3-column parsers would silently mis-read them
+        raise MMIOError(f"{path}: complex matrices are not supported")
     if banner.field != "pattern":      # native fscanf path needs 3 columns
         try:
             from cholesky_tpu.native import ext as _ext
@@ -87,7 +92,11 @@ def read_coo(path: str):
     while lines[i].startswith("%") or lines[i].strip() == "":
         i += 1
     i += 1  # size line
-    data = np.loadtxt(lines[i:i + banner.nnz], dtype=np.float64, ndmin=2)
+    body = [ln for ln in lines[i:] if ln.strip() and not ln.startswith("%")]
+    if len(body) < banner.nnz:
+        raise MMIOError(
+            f"{path}: expected {banner.nnz} entries, found {len(body)}")
+    data = np.loadtxt(body[:banner.nnz], dtype=np.float64, ndmin=2)
     if data.shape[1] == 2:  # pattern
         rows, cols = data[:, 0], data[:, 1]
         vals = np.ones(len(rows))
@@ -181,3 +190,32 @@ def write_dense_coo(path: str, mat: np.ndarray, symmetry: str = "hermitian",
     (the reference dumps its whole dense region this way, mmat.rg:114-144)."""
     r, c = np.nonzero(np.abs(mat) > tol)
     write_coo(path, r, c, mat[r, c], mat.shape, symmetry=symmetry)
+
+
+def symmetrize_coo(rows, cols, vals):
+    """Expand a lower-triangle COO set to the full symmetric matrix:
+    off-diagonal entries mirrored once. Input must be deduplicated lower
+    triangle (see dedup_lower) — the single place the mirror idiom lives."""
+    off = rows != cols
+    return (np.concatenate([rows, cols[off]]),
+            np.concatenate([cols, rows[off]]),
+            np.concatenate([vals, vals[off]]))
+
+
+def dedup_lower(rows, cols, vals):
+    """Normalize COO entries to the lower triangle and drop duplicate
+    coordinates (keeping the first value). MatrixMarket files with
+    'general' symmetry store BOTH triangles of a symmetric matrix; after
+    lower-normalization each off-diagonal appears twice, and downstream
+    mirroring would double it (assembly uses assignment, so it is the
+    residual/refinement matvecs that would see 2x off-diagonals)."""
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+    swap = cols > rows
+    r = np.where(swap, cols, rows)
+    c = np.where(swap, rows, cols)
+    keys = r * (max(int(c.max(initial=0)), int(r.max(initial=0))) + 1) + c
+    _, first = np.unique(keys, return_index=True)
+    first.sort()
+    return r[first], c[first], vals[first]
