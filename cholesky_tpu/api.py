@@ -107,7 +107,7 @@ class SparseCholesky:
         if self.mesh is not None:
             from cholesky_tpu.parallel.mesh import distribute_panels
 
-            buffers = distribute_panels(self.plan, buffers, self.mesh)
+            buffers = distribute_panels(buffers, self.mesh)
         self.panels = buffers
         self.factored = False
         return self.panels
@@ -148,7 +148,7 @@ class SparseCholesky:
         if self.mesh is not None:
             from cholesky_tpu.parallel.mesh import distribute_rhs
 
-            blv = distribute_rhs(self.plan, blv, self.mesh)
+            blv = distribute_rhs(blv, self.mesh)
         xlv = nfactor.solve(self.plan, self.panels, blv)
         return assemble.extract_solution(self.plan, [np.asarray(x) for x in xlv])
 

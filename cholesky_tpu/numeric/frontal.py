@@ -37,10 +37,13 @@ import numpy as np
 from jax import lax
 
 from cholesky_tpu.symbolic.plan import SolvePlan
+from cholesky_tpu.utils import round_up
 
 
 def _round_up(x: int, m: int) -> int:
-    return -(-max(x, 1) // m) * m
+    # shared rule, with the frontal engine's zero-size clamp (an empty
+    # separator still gets a 1-row (-> pad_to) slot so level shapes are valid)
+    return round_up(max(x, 1), m)
 
 
 @dataclasses.dataclass

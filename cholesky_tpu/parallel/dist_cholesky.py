@@ -27,10 +27,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cholesky_tpu.parallel.mesh import TREE_AXIS
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from cholesky_tpu.utils import round_up as _round_up
 
 
 def distributed_cholesky(a: jax.Array, mesh: Mesh, block: int = 256) -> jax.Array:

@@ -25,8 +25,6 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cholesky_tpu.symbolic.plan import SolvePlan
-
 TREE_AXIS = "tree"
 
 
@@ -56,11 +54,11 @@ def rhs_sharding(mesh: Mesh, level: int) -> NamedSharding:
     return NamedSharding(mesh, P(None, None))
 
 
-def distribute_panels(plan: SolvePlan, panels: Sequence, mesh: Mesh) -> List[jax.Array]:
+def distribute_panels(panels: Sequence, mesh: Mesh) -> List[jax.Array]:
     return [jax.device_put(p, panel_sharding(mesh, lvl))
             for lvl, p in enumerate(panels)]
 
 
-def distribute_rhs(plan: SolvePlan, b: Sequence, mesh: Mesh) -> List[jax.Array]:
+def distribute_rhs(b: Sequence, mesh: Mesh) -> List[jax.Array]:
     return [jax.device_put(x, rhs_sharding(mesh, lvl))
             for lvl, x in enumerate(b)]

@@ -114,6 +114,9 @@ def _initial_filled(plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
     lvl_c = np.int64(np.log2(heap_c))
     diag = (sr == sc) & (lr >= lc)
     anc = (lvl_r < lvl_c) & ((heap_c >> (lvl_c - lvl_r).clip(0)) == heap_r)
+    # explicit stored zeros are dropped, matching the reference: its hash
+    # table probes with `val != 0` (mnd.c:186), so a stored 0.0 is invisible
+    # to search()/fill_block and never marks a cluster filled
     keep = (diag | anc) & (v != 0.0)
 
     filled: Dict[Tuple[int, int], np.ndarray] = {}
@@ -153,12 +156,13 @@ def analyze_fill(plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
     """Run the full interval-scheduled fill analysis; returns one snapshot of
     every block's cluster grid + filled flags per interval label."""
     try:
+        # a stale libmndio.so missing the fill symbols raises AttributeError
+        # here (ctypes resolves symbols at ext import time)
         from cholesky_tpu.native import ext as _ext  # noqa: F401
-
-        return _analyze_fill_native(plan, rows, cols, vals)
-    except ImportError:
-        pass
-    return _analyze_fill_py(plan, rows, cols, vals)
+    except (ImportError, AttributeError):
+        return _analyze_fill_py(plan, rows, cols, vals)
+    # errors inside the native analysis itself propagate (no silent fallback)
+    return _analyze_fill_native(plan, rows, cols, vals)
 
 
 def _analyze_fill_py(plan: SolvePlan, rows, cols, vals) -> FillAnalysis:

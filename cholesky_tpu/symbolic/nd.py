@@ -85,11 +85,8 @@ def _split(indptr, indices, verts: np.ndarray
     mask[verts] = True
     src = _pseudo_peripheral(indptr, indices, verts, mask)
     lv = _bfs_levels(indptr, indices, mask, src)
-    reach = verts[lv[verts] >= 0]
+    reach = verts[lv[verts] >= 0]         # always contains src (lv[src] = 0)
     unreach = verts[lv[verts] < 0]        # disconnected pieces -> side B
-    if len(reach) == 0:
-        half = len(verts) // 2
-        return verts[:half], verts[half:], np.empty(0, np.int64)
     # split level sets at the median vertex
     order = np.argsort(lv[reach], kind="stable")
     sorted_r = reach[order]

@@ -41,10 +41,7 @@ import numpy as np
 
 from cholesky_tpu.io.ordering import ClusterHierarchy, Ordering
 from cholesky_tpu.symbolic.tree import SeparatorTree
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from cholesky_tpu.utils import round_up as _round_up
 
 
 @dataclasses.dataclass

@@ -15,8 +15,10 @@ import numpy as np
 
 
 def depth(dim: int, max_size: int = 64) -> int:
-    """Tree depth so leaf blocks are at most `max_size` dofs (utils.py:6-8)."""
-    return int(math.ceil(math.log2(dim / max_size))) + 1
+    """Tree depth so leaf blocks are at most `max_size` dofs (utils.py:6-8),
+    clamped to >= 1 so small problems (dim <= max_size) still get a valid
+    single-level plan instead of a zero/negative depth."""
+    return max(1, int(math.ceil(math.log2(dim / max_size))) + 1)
 
 
 def leaf_size(dim: int, levels: int) -> float:

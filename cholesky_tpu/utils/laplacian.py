@@ -92,7 +92,13 @@ def nested_dissection(shape: Tuple[int, ...], levels: int,
         box = boxes[h]
         if h < (1 << (levels - 1)):      # internal node: separator plane
             ax, plane, lo_box, hi_box = _bisect(box)
-            dofs[h] = _plane_dofs(idx, box, ax, plane)
+            if box[ax][1] <= box[ax][0]:
+                # empty box (tree deeper than the grid): empty separator,
+                # empty halves — slicing idx[lo:lo+1] here would steal a dof
+                # that belongs to an ancestor separator
+                dofs[h] = np.empty(0, dtype=idx.dtype)
+            else:
+                dofs[h] = _plane_dofs(idx, box, ax, plane)
             boxes[2 * h] = lo_box
             boxes[2 * h + 1] = hi_box
         else:                             # leaf: whole remaining box
@@ -136,8 +142,10 @@ def make_clusters(ordering: Ordering, cluster_size: Optional[int] = None
             # cluster by elim_interval: start with at most 2^elim clusters
             nc0 = min(-(-size // cluster_size), 1 << elim_interval)
             nc0 = max(nc0, 1)
-            b = np.linspace(0, size, nc0 + 1).round().astype(np.int64)
-            ivs.append(np.unique(b))
+            b = np.unique(np.linspace(0, size, nc0 + 1).round().astype(np.int64))
+            if len(b) < 2:     # empty separator: one zero-size cluster
+                b = np.array([0, size], dtype=np.int64)
+            ivs.append(b)
             nc = len(ivs[0]) - 1
             for _ in range(1, n_int):
                 nxt = np.arange(0, nc + 1, 2, dtype=np.int64)

@@ -60,9 +60,16 @@ def format_cluster_lines(plan: SolvePlan, fill: FillAnalysis):
 
 
 def format_fill_lines(plan: SolvePlan, fill: FillAnalysis):
+    t = plan.tree
     for lbl, snap in enumerate(fill.snapshots):
         lvl = plan.levels - 1 - lbl
         for (rs, cs), bc in snap.items():
+            if t.level_of(cs) > lvl:
+                # levels-1 and levels-2 share interval 0: skip blocks of
+                # separators already eliminated at this label (same filter
+                # as format_cluster_lines; the reference only logs blocks
+                # reachable from the active level, mmat.rg:1000-1016)
+                continue
             nc = bc.nc
             for r in range(bc.nr):
                 for c in range(nc):

@@ -158,3 +158,21 @@ def test_debug_factor_catches_corruption(tmp_path):
     with pytest.raises(AssertionError, match="diverges"):
         replay.debug_factor(p["mat"], p["separators"], fac, log,
                             directory=dbg)
+
+
+def test_fill_lines_skip_eliminated_separators():
+    """Interval label 1 must not emit Fill: lines for separators already
+    eliminated at the deepest level (same filter as Cluster: lines)."""
+    import re
+
+    from cholesky_tpu.utils.laplacian import generate_problem
+
+    n, r, c, v, o, cl, b = generate_problem((11, 11), 4)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    fa = fillmod.analyze_fill(s.plan, s.rows, s.cols, s.vals)
+    t = s.plan.tree
+    for line in debuglog.format_fill_lines(s.plan, fa):
+        m = re.search(r"'Level': (\d+), 'Interval': (\d+), "
+                      r"'Block': \((\d+), (\d+)\)", line)
+        lvl, lbl, rs, cs = map(int, m.groups())
+        assert t.level_of(cs) <= lvl, line

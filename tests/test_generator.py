@@ -91,3 +91,34 @@ def test_generated_ord_clust_files_roundtrip(tmp_path):
     s = SparseCholesky.from_files(mtx, ordf, clustf)
     x = s.solve(b)
     assert s.residual(b, x) <= 1e-10
+
+
+def test_deep_tree_on_small_grid_no_duplicate_dofs():
+    """Trees deeper than the grid create empty internal boxes; their
+    separators must be empty, not steal ancestor dofs (regression: 1-D
+    deep trees duplicated dofs across separators)."""
+    for shape, levels in [((4,), 4), ((5,), 5), ((3, 3), 5)]:
+        o, cl = nested_dissection(shape, levels)
+        n = int(np.prod(shape))
+        all_dofs = np.concatenate(
+            [o.dofs[s] for s in range(1, o.num_separators + 1)])
+        assert len(all_dofs) == n, (shape, levels)
+        assert sorted(all_dofs) == list(range(n))
+
+
+def test_make_clusters_empty_separator_with_cluster_size():
+    """Empty separators are legal; the clustered path must produce one
+    zero-size cluster for them (regression: AssertionError)."""
+    o, cl = nested_dissection((3,), 3, cluster_size=2)
+    for s in range(1, o.num_separators + 1):
+        rng = cl.cluster_dof_ranges(s, 0)
+        assert rng[0] == 0 and rng[-1] == len(o.dofs[s])
+
+
+def test_deep_tree_problem_still_solves():
+    """End to end on a grid whose tree has empty separators."""
+    n, r, c, v, o, cl, b = generate_problem((6, 5), 5)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    s.factorize()
+    x = s.solve(b)
+    assert s.residual(b, x) <= 1e-10

@@ -68,3 +68,13 @@ def test_profile_panels_emits():
     recs = profile.profile_factor(s.plan, panels, iters=1, emit=lines.append)
     assert any(rec["op"] == "POTRF" for rec in recs)
     assert len(lines) == len(recs)
+
+
+def test_depth_clamped_for_small_problems():
+    from cholesky_tpu.utils import capacity
+
+    assert capacity.depth(16) == 1          # regression: was -1
+    assert capacity.depth(64) == 1
+    assert capacity.depth(125000) >= 8
+    rows = capacity.grid_plan_table((4, 4))
+    assert rows, "small grids must still tabulate candidate depths"
