@@ -176,6 +176,12 @@ def main(argv=None):
         from cholesky_tpu.verify import replay
         import scipy.sparse
 
+        dense_gib = n * n * 8 / 2 ** 30
+        if dense_gib > 32:
+            print(f"# --measure-baseline replays a dense {n}^2 matrix "
+                  f"({dense_gib:.0f} GiB) on the host — use --quick or a "
+                  f"smaller --shape", file=sys.stderr)
+            return 2
         off = solver.rows != solver.cols
         a_full = scipy.sparse.coo_matrix(
             (np.concatenate([solver.vals, solver.vals[off]]),
@@ -235,6 +241,10 @@ def main(argv=None):
     stream = os.environ.get("CHOLESKY_TPU_STREAM", "auto")
     use_stream = stream == "1" or (
         stream == "auto" and front_bytes > frontal._STREAM_BYTES)
+    # host-resident fronts can only be consumed by the level-streamed upload
+    # driver — without this the monolithic program would silently re-transfer
+    # the numpy fronts inside every timed iteration
+    use_stream = use_stream or offload
     donate = donate or use_stream      # streamed level programs always donate
 
     if use_stream:
@@ -289,7 +299,12 @@ def main(argv=None):
             float(cs)
             break
         except Exception as e:  # noqa: BLE001
-            if use_stream or attempt == 3:
+            # a donating program that failed AFTER dispatch has already
+            # invalidated its inputs — retrying would mask the real error
+            # with "Array has been deleted"
+            consumed = donate and any(
+                getattr(f, "is_deleted", lambda: False)() for f in fronts)
+            if use_stream or consumed or attempt == 3:
                 raise
             print(f"# compile attempt {attempt} failed ({type(e).__name__}); "
                   f"retrying", file=sys.stderr)

@@ -20,7 +20,9 @@ def build(force: bool = False) -> str:
     if (not force and os.path.exists(LIB)
             and os.path.getmtime(LIB) >= os.path.getmtime(SRC)):
         return LIB
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", LIB, SRC]
+    # portable ISA on purpose: the library is rebuilt on whatever host
+    # imports it, and -march=native binaries SIGILL on lesser CPUs
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", LIB, SRC]
     subprocess.run(cmd, check=True)
     return LIB
 

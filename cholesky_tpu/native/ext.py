@@ -16,13 +16,15 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_HERE, "libmndio.so")
 
-if not os.path.exists(_LIB_PATH):
-    try:
-        from cholesky_tpu.native.build import build
+try:
+    from cholesky_tpu.native.build import build
 
-        build()
-    except Exception as e:  # noqa: BLE001
-        raise ImportError(f"libmndio.so unavailable: {e}") from e
+    # always goes through build(): it is a no-op when the library is newer
+    # than src/mndio.cc, and rebuilds a stale one (a silently stale .so
+    # would make native-vs-Python parity tests compare against old code)
+    build()
+except Exception as e:  # noqa: BLE001
+    raise ImportError(f"libmndio.so unavailable: {e}") from e
 
 _lib = ctypes.CDLL(_LIB_PATH)
 
@@ -107,15 +109,28 @@ def write_coo(path: str, banner: str, m: int, n: int, rows, cols, vals):
         raise IOError(f"cannot write {path}")
 
 
-def build_hash_table(rows, cols, vals, ncols: int, capacity: int):
+def build_hash_table(rows, cols, vals, ncols: int, capacity=None):
     """The reference's open-addressing COO table (mnd.c:152-199): returns
-    (tbl_idx [cap,2], tbl_val [cap]) with hash_sax + linear probing."""
+    (tbl_idx [cap,2], tbl_val [cap]) with hash_sax + linear probing.
+    capacity defaults to the reference's ceil(nz/0.75) (mnd.c:168)."""
+    import math
+
+    vals = np.ascontiguousarray(vals, np.float64)
+    if capacity is None:
+        capacity = int(math.ceil(len(vals) / 0.75))
+    stored = int(np.count_nonzero(vals))
+    if capacity <= stored:
+        # a full table would make the linear-probe insert spin forever
+        # (zero values are the empty-slot marker, so only nonzeros occupy)
+        raise ValueError(
+            f"hash capacity {capacity} must exceed the {stored} nonzero "
+            f"entries (reference uses ceil(nz/0.75), mnd.c:168)")
     tbl_idx = np.empty((capacity, 2), dtype=np.int64)
     tbl_val = np.empty(capacity, dtype=np.float64)
     _lib.mnd_build_hash_table(
         np.ascontiguousarray(rows, np.int64),
         np.ascontiguousarray(cols, np.int64),
-        np.ascontiguousarray(vals, np.float64),
+        vals,
         _i64(len(vals)), _u64(ncols), _i64(capacity),
         tbl_idx.reshape(-1), tbl_val)
     return tbl_idx, tbl_val

@@ -83,15 +83,19 @@ int64_t mm_read_coo_body(const char* path, int64_t nnz, int64_t* rows,
     if (!std::fgets(buf, sizeof buf, fp)) { std::fclose(fp); return -1; }
   } while (buf[0] == '%' || buf[0] == '\n' || buf[0] == '\r');
   int64_t k = 0;
-  for (; k < nnz; ++k) {
+  // line-bounded parse: a raw fscanf "%lg" would skip the newline of a
+  // 2-column pattern row and consume the NEXT row's index as the value
+  while (k < nnz && std::fgets(buf, sizeof buf, fp)) {
+    if (buf[0] == '%' || buf[0] == '\n' || buf[0] == '\r') continue;
     long long i, j;
     double v = 1.0;
-    int got = std::fscanf(fp, "%lld %lld %lg", &i, &j, &v);
+    int got = std::sscanf(buf, "%lld %lld %lg", &i, &j, &v);
     if (got < 2) break;
     if (got == 2) v = 1.0;  // pattern files
     rows[k] = i - 1;
     cols[k] = j - 1;
     vals[k] = v;
+    ++k;
   }
   std::fclose(fp);
   return k;

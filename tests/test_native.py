@@ -125,3 +125,30 @@ def test_fill_analysis_native_parity(shape, levels):
             np.testing.assert_array_equal(sp[k].filled, sc[k].filled)
             np.testing.assert_array_equal(sp[k].row_bounds, sc[k].row_bounds)
             np.testing.assert_array_equal(sp[k].col_bounds, sc[k].col_bounds)
+
+
+def test_read_coo_body_pattern_two_columns(tmp_path):
+    """2-column (pattern) bodies parse line-bounded — a raw fscanf %lg
+    would consume the next row's index as the value (regression)."""
+    p = str(tmp_path / "pat.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern general\n"
+                "4 4 3\n3 1\n4 2\n4 4\n")
+    r, c, v = ext.read_coo_body(p, 3)
+    assert r.tolist() == [2, 3, 3]
+    assert c.tolist() == [0, 1, 3]
+    assert v.tolist() == [1.0, 1.0, 1.0]
+
+
+def test_build_hash_table_capacity_validation():
+    r = np.array([0, 1, 2], dtype=np.int64)
+    c = np.array([0, 1, 2], dtype=np.int64)
+    v = np.array([1.0, 2.0, 3.0])
+    # default capacity = ceil(nz/0.75) (mnd.c:168)
+    ti, tv = ext.build_hash_table(r, c, v, 3)
+    assert len(tv) == 4
+    assert ext.hash_lookup(ti, tv, 3, 2, 2) == 3.0
+    with pytest.raises(ValueError):
+        ext.build_hash_table(r, c, v, 3, capacity=3)   # would probe forever
+    with pytest.raises(ValueError):
+        ext.build_hash_table(r, c, v, 3, capacity=0)   # modulo-by-zero
