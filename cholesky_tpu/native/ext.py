@@ -42,6 +42,10 @@ _lib.mnd_hash_ber.restype = _u64
 _lib.mnd_hash_ber.argtypes = [_u64]
 _lib.mnd_hash_oat.restype = _u64
 _lib.mnd_hash_oat.argtypes = [_u64]
+_lib.mnd_hash_jen.restype = _u64
+_lib.mnd_hash_jen.argtypes = [_u64]
+_lib.mnd_hash_sfh.restype = _u64
+_lib.mnd_hash_sfh.argtypes = [_u64]
 
 _lib.mm_read_coo_body.restype = _i64
 _lib.mm_read_coo_body.argtypes = [ctypes.c_char_p, _i64, _i64p, _i64p, _dblp]
@@ -88,6 +92,14 @@ def hash_ber(key: int) -> int:
 
 def hash_oat(key: int) -> int:
     return int(_lib.mnd_hash_oat(_u64(key)))
+
+
+def hash_jen(key: int) -> int:
+    return int(_lib.mnd_hash_jen(_u64(key)))
+
+
+def hash_sfh(key: int) -> int:
+    return int(_lib.mnd_hash_sfh(_u64(key)))
 
 
 def read_coo_body(path: str, nnz: int):

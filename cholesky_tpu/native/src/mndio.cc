@@ -53,6 +53,55 @@ uint64_t mnd_hash_ber(uint64_t key) {
   return h;
 }
 
+static inline void hash_jen_mix(uint32_t& a, uint32_t& b, uint32_t& c) {
+  a -= b; a -= c; a ^= (c >> 13);
+  b -= c; b -= a; b ^= (a << 8);
+  c -= a; c -= b; c ^= (b >> 13);
+  a -= b; a -= c; a ^= (c >> 12);
+  b -= c; b -= a; b ^= (a << 16);
+  c -= a; c -= b; c ^= (b >> 5);
+  a -= b; a -= c; a ^= (c >> 3);
+  b -= c; b -= a; b ^= (a << 10);
+  c -= a; c -= b; c ^= (b >> 15);
+}
+
+uint64_t mnd_hash_jen(uint64_t key) {
+  // uthash.h HASH_JEN (Bob Jenkins lookup2) on the 8-byte key: golden-ratio
+  // seeds, initial hashv 0xfeedbeef, tail loads bytes 0-3 into a and 4-7
+  // into b, one mix; the 32-bit result is the reference's hash value
+  const unsigned char* k = reinterpret_cast<const unsigned char*>(&key);
+  uint32_t a = 0x9e3779b9u, b = 0x9e3779b9u, c = 0xfeedbeefu;
+  c += 8u;  // keylen
+  b += ((uint32_t)k[7] << 24) | ((uint32_t)k[6] << 16) |
+       ((uint32_t)k[5] << 8) | (uint32_t)k[4];
+  a += ((uint32_t)k[3] << 24) | ((uint32_t)k[2] << 16) |
+       ((uint32_t)k[1] << 8) | (uint32_t)k[0];
+  hash_jen_mix(a, b, c);
+  return c;
+}
+
+uint64_t mnd_hash_sfh(uint64_t key) {
+  // uthash.h HASH_SFH (Paul Hsieh SuperFastHash) on the 8-byte key:
+  // initial 0xcafebabe, two 4-byte rounds (rem 0), final avalanche
+  const unsigned char* k = reinterpret_cast<const unsigned char*>(&key);
+  uint32_t h = 0xcafebabeu;
+  for (int round = 0; round < 2; ++round, k += 4) {
+    uint32_t lo = (uint32_t)k[0] | ((uint32_t)k[1] << 8);
+    uint32_t hi = (uint32_t)k[2] | ((uint32_t)k[3] << 8);
+    h += lo;
+    uint32_t tmp = (hi << 11) ^ h;
+    h = (h << 16) ^ tmp;
+    h += h >> 11;
+  }
+  h ^= h << 3;
+  h += h >> 5;
+  h ^= h << 4;
+  h += h >> 17;
+  h ^= h << 25;
+  h += h >> 6;
+  return h;
+}
+
 uint64_t mnd_hash_oat(uint64_t key) {
   // uthash.h HASH_OAT (one-at-a-time)
   uint64_t h = 0;

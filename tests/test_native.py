@@ -152,3 +152,51 @@ def test_build_hash_table_capacity_validation():
         ext.build_hash_table(r, c, v, 3, capacity=3)   # would probe forever
     with pytest.raises(ValueError):
         ext.build_hash_table(r, c, v, 3, capacity=0)   # modulo-by-zero
+
+
+def _jen_mix(a, b, c):
+    M = 0xFFFFFFFF
+    a = (a - b - c) & M; a ^= c >> 13
+    b = (b - c - a) & M; b ^= (a << 8) & M
+    c = (c - a - b) & M; c ^= b >> 13
+    a = (a - b - c) & M; a ^= c >> 12
+    b = (b - c - a) & M; b ^= (a << 16) & M
+    c = (c - a - b) & M; c ^= b >> 5
+    a = (a - b - c) & M; a ^= c >> 3
+    b = (b - c - a) & M; b ^= (a << 10) & M
+    c = (c - a - b) & M; c ^= b >> 15
+    return a, b, c
+
+
+def hash_jen_py(key: int) -> int:
+    """Model of uthash.h HASH_JEN for an 8-byte little-endian key."""
+    k = [(key >> (8 * i)) & 0xFF for i in range(8)]
+    a = b = 0x9E3779B9
+    c = (0xFEEDBEEF + 8) & 0xFFFFFFFF
+    b = (b + ((k[7] << 24) | (k[6] << 16) | (k[5] << 8) | k[4])) & 0xFFFFFFFF
+    a = (a + ((k[3] << 24) | (k[2] << 16) | (k[1] << 8) | k[0])) & 0xFFFFFFFF
+    return _jen_mix(a, b, c)[2]
+
+
+def hash_sfh_py(key: int) -> int:
+    """Model of uthash.h HASH_SFH for an 8-byte little-endian key."""
+    M = 0xFFFFFFFF
+    k = [(key >> (8 * i)) & 0xFF for i in range(8)]
+    h = 0xCAFEBABE
+    for r in (0, 4):
+        lo = k[r] | (k[r + 1] << 8)
+        hi = k[r + 2] | (k[r + 3] << 8)
+        h = (h + lo) & M
+        tmp = ((hi << 11) & M) ^ h
+        h = (((h << 16) & M) ^ tmp) & M
+        h = (h + (h >> 11)) & M
+    h ^= (h << 3) & M; h = (h + (h >> 5)) & M
+    h ^= (h << 4) & M; h = (h + (h >> 17)) & M
+    h ^= (h << 25) & M; h = (h + (h >> 6)) & M
+    return h
+
+
+@pytest.mark.parametrize("key", [0, 1, 7, 12345, 2**40 + 17, 2**63 - 1])
+def test_hash_jen_sfh_match_models(key):
+    assert ext.hash_jen(key) == hash_jen_py(key)
+    assert ext.hash_sfh(key) == hash_sfh_py(key)
