@@ -42,6 +42,19 @@ def _build_adjacency(n: int, rows: np.ndarray, cols: np.ndarray):
     return indptr, c
 
 
+def _gather_neighbors(indptr, indices, verts: np.ndarray) -> np.ndarray:
+    """Concatenated neighbor lists of `verts` (with repeats), vectorized."""
+    starts = indptr[verts]
+    counts = indptr[verts + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=indices.dtype)
+    cc = np.cumsum(counts)
+    pos = np.arange(total, dtype=np.int64) + np.repeat(starts - (cc - counts),
+                                                       counts)
+    return indices[pos]
+
+
 def _bfs_levels(indptr, indices, mask: np.ndarray, start: int) -> np.ndarray:
     """BFS level of every vertex in the masked subgraph (-1 = unreached)."""
     n = len(mask)
@@ -51,26 +64,37 @@ def _bfs_levels(indptr, indices, mask: np.ndarray, start: int) -> np.ndarray:
     d = 0
     while len(frontier):
         d += 1
-        nbrs = np.concatenate([indices[indptr[v]:indptr[v + 1]]
-                               for v in frontier]) if len(frontier) else []
-        nbrs = np.unique(nbrs)
+        nbrs = np.unique(_gather_neighbors(indptr, indices, frontier))
         nbrs = nbrs[mask[nbrs] & (level[nbrs] < 0)]
         level[nbrs] = d
         frontier = nbrs
     return level
 
 
-def _pseudo_peripheral(indptr, indices, verts: np.ndarray, mask) -> int:
-    """A vertex of near-maximal eccentricity in the masked subgraph."""
+def _frontier(indptr, indices, verts: np.ndarray,
+              into: np.ndarray) -> np.ndarray:
+    """Boolean mask over `verts`: which have a neighbor with into[nbr] True."""
+    starts = indptr[verts]
+    counts = indptr[verts + 1] - starts
+    hits = into[_gather_neighbors(indptr, indices, verts)]
+    seg = np.repeat(np.arange(len(verts), dtype=np.int64), counts)
+    return np.bincount(seg[hits], minlength=len(verts)).astype(bool)
+
+
+def _pseudo_peripheral(indptr, indices, verts: np.ndarray, mask
+                       ) -> Tuple[int, np.ndarray]:
+    """A vertex of near-maximal eccentricity in the masked subgraph, plus the
+    BFS level array from it (reused by the caller — saves a full sweep)."""
     v = int(verts[0])
-    for _ in range(3):
-        lv = _bfs_levels(indptr, indices, mask, v)
+    lv = _bfs_levels(indptr, indices, mask, v)
+    for _ in range(2):
         reach = verts[lv[verts] >= 0]
-        far = reach[np.argmax(lv[reach])]
+        far = int(reach[np.argmax(lv[reach])])
         if lv[far] == 0:
             break
-        v = int(far)
-    return v
+        v = far
+        lv = _bfs_levels(indptr, indices, mask, v)
+    return v, lv
 
 
 def _split(indptr, indices, verts: np.ndarray
@@ -83,8 +107,7 @@ def _split(indptr, indices, verts: np.ndarray
     n = max(n, int(verts.max()) + 1)
     mask = np.zeros(n, dtype=bool)
     mask[verts] = True
-    src = _pseudo_peripheral(indptr, indices, verts, mask)
-    lv = _bfs_levels(indptr, indices, mask, src)
+    _, lv = _pseudo_peripheral(indptr, indices, verts, mask)
     reach = verts[lv[verts] >= 0]         # always contains src (lv[src] = 0)
     unreach = verts[lv[verts] < 0]        # disconnected pieces -> side B
     # split level sets at the median vertex
@@ -97,27 +120,35 @@ def _split(indptr, indices, verts: np.ndarray
     if len(a_side) == 0:                  # degenerate: one level dominates
         a_side = reach[: len(reach) // 2]
         rest = reach[len(reach) // 2:]
-        in_a = np.zeros(n, dtype=bool)
-        in_a[a_side] = True
-        sep_mask = np.zeros(n, dtype=bool)
-        for v in rest:
-            if in_a[indices[indptr[v]:indptr[v + 1]]].any():
-                sep_mask[v] = True
-        sep = rest[sep_mask[rest]]
-        b = rest[~sep_mask[rest]]
-        return a_side, np.concatenate([b, unreach]), sep
-    # separator: vertices of `rest` adjacent to a_side
+    if len(rest) == 0:
+        # BFS covered reach entirely on side A; unreach is a separate
+        # component, so A-B has no edges and no separator is needed.
+        return a_side, unreach, np.empty(0, np.int64)
+    # Two valid vertex separators exist for the (a_side, rest) bipartition:
+    # the frontier of `rest` facing A, or the frontier of `a_side` facing
+    # rest. Both satisfy "removing S leaves no A-B edge"; take the smaller
+    # (fewer separator dofs -> smaller fronts -> less fill).
     in_a = np.zeros(n, dtype=bool)
     in_a[a_side] = True
-    sep_list = []
-    for v in rest:
-        if in_a[indices[indptr[v]:indptr[v + 1]]].any():
-            sep_list.append(v)
-    sep = np.array(sorted(sep_list), dtype=np.int64)
-    sep_mask = np.zeros(n, dtype=bool)
-    sep_mask[sep] = True
-    b = rest[~sep_mask[rest]]
-    return a_side, np.concatenate([b, unreach]), sep
+    in_r = np.zeros(n, dtype=bool)
+    in_r[rest] = True
+    front_r = _frontier(indptr, indices, rest, in_a)     # rest facing A
+    front_a = _frontier(indptr, indices, a_side, in_r)   # a_side facing rest
+    if int(front_r.sum()) <= int(front_a.sum()):
+        sep = np.sort(rest[front_r])
+        a, b = a_side, rest[~front_r]
+    else:
+        sep = np.sort(a_side[front_a])
+        a, b = a_side[~front_a], rest
+    # Refinement: a separator vertex with no neighbor in B separates nothing
+    # (its edges all go to A or S) — return it to A.
+    if len(sep) and len(b):
+        in_b = np.zeros(n, dtype=bool)
+        in_b[b] = True
+        needed = _frontier(indptr, indices, sep, in_b)
+        a = np.concatenate([a, sep[~needed]])
+        sep = sep[needed]
+    return a, np.concatenate([b, unreach]), sep
 
 
 def nested_dissection_graph(n: int, rows: np.ndarray, cols: np.ndarray,
