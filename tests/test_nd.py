@@ -39,6 +39,30 @@ def test_separator_property():
     assemble_panels_numpy(plan, rows, cols, vals, check_structure=True)
 
 
+def test_separator_vertices_all_needed():
+    """Refinement invariant (_split): every vertex kept in a separator has
+    at least one neighbor on EACH side it separates — a vertex with all its
+    edges into one side plus the separator would have been returned to that
+    side instead of enlarging the root front."""
+    from cholesky_tpu.symbolic.nd import _build_adjacency, _split
+
+    rng = np.random.default_rng(11)
+    n, r, c, v = grid_laplacian((20, 20))
+    p = rng.permutation(n)
+    rows, cols = p[r], p[c]
+    indptr, indices = _build_adjacency(n, rows, cols)
+    a, b, s = _split(indptr, indices, np.arange(n, dtype=np.int64))
+    assert len(a) and len(b) and len(s)
+    in_a = np.zeros(n, bool); in_a[a] = True
+    in_b = np.zeros(n, bool); in_b[b] = True
+    for vtx in s:
+        nbrs = indices[indptr[vtx]:indptr[vtx + 1]]
+        assert in_a[nbrs].any() and in_b[nbrs].any()
+    # and the separator property itself: no A-B edge
+    for vtx in a:
+        assert not in_b[indices[indptr[vtx]:indptr[vtx + 1]]].any()
+
+
 def test_partition_is_complete():
     n = 300
     rng = np.random.default_rng(0)
