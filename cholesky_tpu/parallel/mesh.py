@@ -13,8 +13,9 @@ sharding annotations (segment-sum over slots>>k in numeric/factor.py).
 Shallow levels (fewer separators than chips) are replicated: every chip
 redundantly factors the top fronts, which removes all communication from the
 top of the tree at the cost of duplicate FLOPs — the standard trade for
-small root fronts. (A block-cyclic collective root factorization for very
-large root fronts is the planned extension.)
+small root fronts. Root fronts large enough to amortize collectives instead
+factor cooperatively with the column-block-sharded Cholesky in
+parallel/dist_cholesky.py (enabled via the frontal engine's root_mesh).
 """
 
 from __future__ import annotations
