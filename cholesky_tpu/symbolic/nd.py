@@ -110,11 +110,28 @@ def _split(indptr, indices, verts: np.ndarray
     _, lv = _pseudo_peripheral(indptr, indices, verts, mask)
     reach = verts[lv[verts] >= 0]         # always contains src (lv[src] = 0)
     unreach = verts[lv[verts] < 0]        # disconnected pieces -> side B
-    # split level sets at the median vertex
-    order = np.argsort(lv[reach], kind="stable")
-    sorted_r = reach[order]
-    cut = len(sorted_r) // 2
-    cut_level = lv[sorted_r[min(cut, len(sorted_r) - 1)]]
+    # Choose the cut level. In a BFS level structure every edge stays within
+    # a level or joins consecutive levels, so a cut between levels t-1 and t
+    # has its separator inside level t-1 or t — min(count[t-1], count[t]) is
+    # an exact upper bound on the separator size. Among balanced cuts
+    # (25-75% split) take the narrowest waist; fall back to the median cut
+    # when no level cut is balanced.
+    counts = np.bincount(lv[reach])
+    cum = np.cumsum(counts)
+    total = len(reach)
+    cut_level = None
+    if len(counts) > 1:
+        fracs = cum[:-1] / total               # A-side share for t = 1..L
+        ok = (fracs >= 0.25) & (fracs <= 0.75)
+        if ok.any():
+            proxy = np.minimum(counts[:-1], counts[1:])
+            cand = np.flatnonzero(ok)
+            cut_level = int(cand[np.argmin(proxy[cand])]) + 1
+    if cut_level is None:                      # median-vertex fallback
+        order = np.argsort(lv[reach], kind="stable")
+        sorted_r = reach[order]
+        cut = len(sorted_r) // 2
+        cut_level = lv[sorted_r[min(cut, len(sorted_r) - 1)]]
     a_side = reach[lv[reach] < cut_level]
     rest = reach[lv[reach] >= cut_level]
     if len(a_side) == 0:                  # degenerate: one level dominates
