@@ -302,6 +302,80 @@ class SparseCholesky:
         r, c = np.nonzero(ldense)
         return r, c, ldense[r, c]
 
+    # ------------------------------------------------------------------
+    def _factor_fingerprint(self) -> str:
+        """Identity of (matrix, ordering, dtype) a saved factor binds to."""
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(np.int64(self.plan.n).tobytes())
+        h.update(np.ascontiguousarray(self.plan.perm, dtype=np.int64).tobytes())
+        h.update(np.ascontiguousarray(self.rows, dtype=np.int64).tobytes())
+        h.update(np.ascontiguousarray(self.cols, dtype=np.int64).tobytes())
+        h.update(np.ascontiguousarray(self.vals, dtype=np.float64).tobytes())
+        h.update(str(np.dtype(self.dtype)).encode())
+        h.update(self.engine.encode())
+        return h.hexdigest()
+
+    @staticmethod
+    def _npz_path(path: str) -> str:
+        return path if path.endswith(".npz") else path + ".npz"
+
+    def save_factor(self, path: str) -> str:
+        """Checkpoint the completed factorization to `path` (.npz): the
+        factored per-level panels plus a fingerprint binding them to this
+        exact matrix/ordering/dtype. A solver in another process built from
+        the same inputs can `load_factor` and solve immediately — the
+        expensive numeric phase is skipped. (The reference has no resumable
+        state; its -m/-o outputs are MatrixMarket dumps, SURVEY §5.)
+        Returns the written path."""
+        if not self.factored:
+            self.factorize()
+        import json
+
+        arrays = {}
+        dtypes = []
+        for i, p in enumerate(self.panels):
+            a = np.asarray(p)
+            dtypes.append(str(a.dtype))
+            if a.dtype.kind != "f" or a.dtype.itemsize < 4:
+                a = a.astype(np.float32)     # bfloat16 -> f32 is exact
+            arrays[f"panel_{i}"] = a
+        meta = {"version": 1, "engine": self.engine,
+                "n_panels": len(dtypes), "panel_dtypes": dtypes,
+                "fingerprint": self._factor_fingerprint()}
+        arrays["meta"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8)
+        path = self._npz_path(path)
+        np.savez_compressed(path, **arrays)
+        return path
+
+    def load_factor(self, path: str) -> None:
+        """Load a factorization written by `save_factor`. Refuses a factor
+        whose fingerprint does not match this solver's matrix/ordering/dtype
+        (a mismatched factor would silently solve the wrong system)."""
+        import json
+
+        import jax.numpy as jnp
+
+        with np.load(self._npz_path(path)) as data:
+            meta = json.loads(bytes(data["meta"].tobytes()).decode())
+            if meta.get("fingerprint") != self._factor_fingerprint():
+                raise ValueError(
+                    "saved factor does not match this solver's "
+                    "matrix/ordering/dtype/engine")
+            panels = []
+            for i in range(meta["n_panels"]):
+                a = data[f"panel_{i}"]
+                panels.append(jnp.asarray(a).astype(
+                    jnp.dtype(meta["panel_dtypes"][i])))
+        if self.mesh is not None:
+            from cholesky_tpu.parallel.mesh import distribute_panels
+
+            panels = distribute_panels(panels, self.mesh)
+        self.panels = tuple(panels) if self.engine == "frontal" else panels
+        self.factored = True
+
     def permuted_dense(self) -> np.ndarray:
         """The permuted (unfactored) matrix as written by -p (mmat.rg:1187-1189)."""
         panels = assemble.assemble_panels(

@@ -1,0 +1,64 @@
+"""Factor checkpoint/resume: save_factor / load_factor round trip.
+
+The reference has no resumable state (SURVEY §5: its -m/-o outputs are
+MatrixMarket dumps) — this is a production capability on top: factor once,
+serve solves from any process.
+"""
+
+import numpy as np
+import pytest
+
+from cholesky_tpu import SparseCholesky
+from cholesky_tpu.utils.laplacian import generate_problem
+
+
+def _build(dtype=np.float32):
+    n, r, c, v, o, cl, b = generate_problem((7, 7, 7), 4)
+    return n, r, c, v, o, cl, b
+
+
+def test_save_load_round_trip(tmp_path):
+    n, r, c, v, o, cl, b = _build()
+    s1 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    s1.factorize()
+    x_ref = s1.solve(b)
+    path = s1.save_factor(str(tmp_path / "factor"))
+
+    # fresh solver from the same inputs: loads the factor, never factorizes
+    s2 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    s2.load_factor(path)
+    assert s2.factored
+    x2 = s2.solve(b)
+    assert s2.residual(b, x2) <= 1e-10
+    np.testing.assert_allclose(x2, x_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_load_rejects_mismatched_matrix(tmp_path):
+    n, r, c, v, o, cl, b = _build()
+    s1 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    path = s1.save_factor(str(tmp_path / "factor"))
+
+    v2 = v.copy()
+    v2[0] *= 2.0
+    s2 = SparseCholesky.from_coo(n, r, c, v2, o, cl, dtype=np.float32)
+    with pytest.raises(ValueError, match="does not match"):
+        s2.load_factor(path)
+
+
+def test_load_rejects_mismatched_dtype(tmp_path):
+    n, r, c, v, o, cl, b = _build()
+    s1 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    path = s1.save_factor(str(tmp_path / "factor"))
+    s2 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    with pytest.raises(ValueError, match="does not match"):
+        s2.load_factor(path)
+
+
+def test_save_load_f64(tmp_path):
+    n, r, c, v, o, cl, b = _build()
+    s1 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    path = s1.save_factor(str(tmp_path / "factor"))
+    s2 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    s2.load_factor(path)
+    x = s2.solve(b)
+    assert s2.residual(b, x) <= 1e-10
