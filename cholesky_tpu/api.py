@@ -310,6 +310,12 @@ class SparseCholesky:
         h = hashlib.sha256()
         h.update(np.int64(self.plan.n).tobytes())
         h.update(np.ascontiguousarray(self.plan.perm, dtype=np.int64).tobytes())
+        # panel layout: sep boundaries + padded bucket shapes (covers pad_to —
+        # same perm with different padding yields incompatible panel shapes)
+        h.update(np.ascontiguousarray(self.plan.sep_sizes,
+                                      dtype=np.int64).tobytes())
+        h.update(np.ascontiguousarray(self.plan.S, dtype=np.int64).tobytes())
+        h.update(np.ascontiguousarray(self.plan.H, dtype=np.int64).tobytes())
         h.update(np.ascontiguousarray(self.rows, dtype=np.int64).tobytes())
         h.update(np.ascontiguousarray(self.cols, dtype=np.int64).tobytes())
         h.update(np.ascontiguousarray(self.vals, dtype=np.float64).tobytes())

@@ -84,10 +84,11 @@ def _frontier(indptr, indices, verts: np.ndarray,
 def _pseudo_peripheral(indptr, indices, verts: np.ndarray, mask
                        ) -> Tuple[int, np.ndarray]:
     """A vertex of near-maximal eccentricity in the masked subgraph, plus the
-    BFS level array from it (reused by the caller — saves a full sweep)."""
+    BFS level array from it (reused by the caller — saves a full sweep).
+    Three improvement hops, matching the pre-vectorization behavior."""
     v = int(verts[0])
     lv = _bfs_levels(indptr, indices, mask, v)
-    for _ in range(2):
+    for _ in range(3):
         reach = verts[lv[verts] >= 0]
         far = int(reach[np.argmax(lv[reach])])
         if lv[far] == 0:
@@ -137,10 +138,6 @@ def _split(indptr, indices, verts: np.ndarray
     if len(a_side) == 0:                  # degenerate: one level dominates
         a_side = reach[: len(reach) // 2]
         rest = reach[len(reach) // 2:]
-    if len(rest) == 0:
-        # BFS covered reach entirely on side A; unreach is a separate
-        # component, so A-B has no edges and no separator is needed.
-        return a_side, unreach, np.empty(0, np.int64)
     # Two valid vertex separators exist for the (a_side, rest) bipartition:
     # the frontier of `rest` facing A, or the frontier of `a_side` facing
     # rest. Both satisfy "removing S leaves no A-B edge"; take the smaller
@@ -151,21 +148,30 @@ def _split(indptr, indices, verts: np.ndarray
     in_r[rest] = True
     front_r = _frontier(indptr, indices, rest, in_a)     # rest facing A
     front_a = _frontier(indptr, indices, a_side, in_r)   # a_side facing rest
+    # Refinement: a separator vertex missing a neighbor on one side separates
+    # nothing — return it to the far side. Each branch's separator touches
+    # its near side by construction, so only the far-side check can remove
+    # vertices; all removals go to ONE side, so two adjacent removable
+    # vertices can never land on opposite sides and re-join A to B.
     if int(front_r.sum()) <= int(front_a.sum()):
-        sep = np.sort(rest[front_r])
+        sep = rest[front_r]                   # every sep vertex touches A
         a, b = a_side, rest[~front_r]
+        if len(sep):
+            in_b = np.zeros(n, dtype=bool)
+            in_b[b] = True
+            has_b = _frontier(indptr, indices, sep, in_b)
+            a = np.concatenate([a, sep[~has_b]])
+            sep = sep[has_b]
     else:
-        sep = np.sort(a_side[front_a])
+        sep = a_side[front_a]                 # every sep vertex touches B
         a, b = a_side[~front_a], rest
-    # Refinement: a separator vertex with no neighbor in B separates nothing
-    # (its edges all go to A or S) — return it to A.
-    if len(sep) and len(b):
-        in_b = np.zeros(n, dtype=bool)
-        in_b[b] = True
-        needed = _frontier(indptr, indices, sep, in_b)
-        a = np.concatenate([a, sep[~needed]])
-        sep = sep[needed]
-    return a, np.concatenate([b, unreach]), sep
+        if len(sep):
+            in_a2 = np.zeros(n, dtype=bool)
+            in_a2[a] = True
+            has_a = _frontier(indptr, indices, sep, in_a2)
+            b = np.concatenate([b, sep[~has_a]])
+            sep = sep[has_a]
+    return a, np.concatenate([b, unreach]), np.sort(sep)
 
 
 def nested_dissection_graph(n: int, rows: np.ndarray, cols: np.ndarray,

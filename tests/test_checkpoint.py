@@ -12,9 +12,8 @@ from cholesky_tpu import SparseCholesky
 from cholesky_tpu.utils.laplacian import generate_problem
 
 
-def _build(dtype=np.float32):
-    n, r, c, v, o, cl, b = generate_problem((7, 7, 7), 4)
-    return n, r, c, v, o, cl, b
+def _build():
+    return generate_problem((7, 7, 7), 4)
 
 
 def test_save_load_round_trip(tmp_path):
@@ -41,6 +40,22 @@ def test_load_rejects_mismatched_matrix(tmp_path):
     v2 = v.copy()
     v2[0] *= 2.0
     s2 = SparseCholesky.from_coo(n, r, c, v2, o, cl, dtype=np.float32)
+    with pytest.raises(ValueError, match="does not match"):
+        s2.load_factor(path)
+
+
+def test_load_rejects_mismatched_padding(tmp_path):
+    """Same matrix/ordering but a different pad_to gives different panel
+    shapes — the fingerprint must cover the panel layout, not just perm."""
+    n, r, c, v, o, cl, b = _build()
+    s1 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32,
+                                 pad_to=8)
+    path = s1.save_factor(str(tmp_path / "factor"))
+    s2 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32,
+                                 pad_to=16)
+    if s2.plan.S.tolist() == s1.plan.S.tolist() and \
+            s2.plan.H.tolist() == s1.plan.H.tolist():
+        pytest.skip("pad_to 8 vs 16 produced identical buckets here")
     with pytest.raises(ValueError, match="does not match"):
         s2.load_factor(path)
 

@@ -39,28 +39,38 @@ def test_separator_property():
     assemble_panels_numpy(plan, rows, cols, vals, check_structure=True)
 
 
-def test_separator_vertices_all_needed():
-    """Refinement invariant (_split): every vertex kept in a separator has
-    at least one neighbor on EACH side it separates — a vertex with all its
-    edges into one side plus the separator would have been returned to that
-    side instead of enlarging the root front."""
+def _check_split_invariants(n, rows, cols):
     from cholesky_tpu.symbolic.nd import _build_adjacency, _split
 
-    rng = np.random.default_rng(11)
-    n, r, c, v = grid_laplacian((20, 20))
-    p = rng.permutation(n)
-    rows, cols = p[r], p[c]
     indptr, indices = _build_adjacency(n, rows, cols)
     a, b, s = _split(indptr, indices, np.arange(n, dtype=np.int64))
-    assert len(a) and len(b) and len(s)
     in_a = np.zeros(n, bool); in_a[a] = True
     in_b = np.zeros(n, bool); in_b[b] = True
     for vtx in s:
         nbrs = indices[indptr[vtx]:indptr[vtx + 1]]
         assert in_a[nbrs].any() and in_b[nbrs].any()
-    # and the separator property itself: no A-B edge
     for vtx in a:
         assert not in_b[indices[indptr[vtx]:indptr[vtx + 1]]].any()
+    return len(a), len(b), len(s)
+
+
+def test_separator_vertices_all_needed():
+    """Refinement invariant (_split): every vertex kept in a separator has
+    at least one neighbor on EACH side it separates — a vertex with all its
+    edges into one side plus the separator would have been returned to the
+    far side instead of enlarging the root front. Random graphs exercise
+    both frontier branches (separator drawn from `rest` or from `a_side`)."""
+    rng = np.random.default_rng(11)
+    n, r, c, v = grid_laplacian((20, 20))
+    p = rng.permutation(n)
+    na, nb, ns = _check_split_invariants(n, p[r], p[c])
+    assert na and nb and ns
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        m = 400
+        rr, cc, _ = random_spd(m, 4, rng)
+        off = rr != cc
+        _check_split_invariants(m, rr[off], cc[off])
 
 
 def test_partition_is_complete():
