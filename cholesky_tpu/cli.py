@@ -30,6 +30,7 @@ def parse_args(argv):
         "permuted_matrix_file": "", "debug_path": "", "debug": False,
         "iterations": 1, "dtype": "float64", "devices": 0, "bench": False,
         "engine": "frontal", "profile": False, "debug_dumps": False,
+        "save_factor": "", "load_factor": "",
     }
     i = 0
     while i < len(argv):
@@ -62,6 +63,10 @@ def parse_args(argv):
             opts["profile"] = True; i += 1
         elif a == "--debug-dumps":
             opts["debug_dumps"] = True; i += 1
+        elif a == "--save-factor":
+            opts["save_factor"] = argv[i + 1]; i += 2
+        elif a == "--load-factor":
+            opts["load_factor"] = argv[i + 1]; i += 2
         elif a == "--bench":
             opts["bench"] = True; i += 1
         elif a in _LEGION_FLAGS_WITH_ARG or a.startswith(_LEGION_PREFIXES):
@@ -98,7 +103,8 @@ def main(argv=None) -> int:
               "[-c clust.txt] [-b B.mtx] [-o solution.txt] [-m factor.mtx] "
               "[-p permuted.mtx] [-d debug_dir] [--iterations N] "
               "[--dtype float64|float32] [--devices N] "
-              "[--engine frontal|panels] [--profile]\n"
+              "[--engine frontal|panels] [--profile] "
+              "[--save-factor ckpt.npz] [--load-factor ckpt.npz]\n"
               "Without -s, a nested-dissection ordering is computed from the "
               "matrix sparsity graph.")
         return 2
@@ -178,16 +184,23 @@ def main(argv=None) -> int:
             prof.profile_factor(solver.plan, panels)
 
     factor_times = []
-    for iteration in range(opts["iterations"]):
-        solver.assemble()
-        t0 = time.perf_counter()
-        panels = solver.factorize()
-        jax.block_until_ready(panels)
-        dt = time.perf_counter() - t0
-        factor_times.append(dt)
-        print(f"Done factoring Iteration: {iteration}.")
-        print(f"FACTOR: {{'op': 'factor', 'iteration': {iteration}, "
-              f"'time_s': {dt:.6f}}}")
+    if opts["load_factor"]:
+        # resume a checkpointed factorization (fingerprint-verified)
+        solver.load_factor(opts["load_factor"])
+        print(f"Loaded factor: {opts['load_factor']}")
+    else:
+        for iteration in range(opts["iterations"]):
+            solver.assemble()
+            t0 = time.perf_counter()
+            panels = solver.factorize()
+            jax.block_until_ready(panels)
+            dt = time.perf_counter() - t0
+            factor_times.append(dt)
+            print(f"Done factoring Iteration: {iteration}.")
+            print(f"FACTOR: {{'op': 'factor', 'iteration': {iteration}, "
+                  f"'time_s': {dt:.6f}}}")
+    if opts["save_factor"]:
+        print(f"Saved factor: {solver.save_factor(opts['save_factor'])}")
 
     if opts["factor_file"]:
         fr, fc, fv = solver.factor_coo()

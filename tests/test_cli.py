@@ -100,6 +100,24 @@ def test_cli_debug_log(tmp_path):
     assert np.allclose(np.tril(mat), lref, rtol=1e-10, atol=1e-10)
 
 
+def test_cli_factor_checkpoint(tmp_path):
+    """--save-factor then --load-factor: the second run skips the numeric
+    phase and still produces the verified solution."""
+    p = fixture_paths("lapl_25x25")
+    ckpt = str(tmp_path / "ckpt.npz")
+    sol = str(tmp_path / "sol.txt")
+    r = run_cli(["-i", p["mat"], "-s", p["separators"], "-c", p["clusters"],
+                 "--save-factor", ckpt])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(ckpt)
+    r2 = run_cli(["-i", p["mat"], "-s", p["separators"], "-c", p["clusters"],
+                  "--load-factor", ckpt, "-b", p["b"], "-o", sol])
+    assert r2.returncode == 0, r2.stderr
+    assert "Loaded factor" in r2.stdout
+    assert "Done factoring" not in r2.stdout
+    assert check_solution(p["mat"], p["b"], sol)
+
+
 def test_cli_usage_error():
     r = run_cli([])
     assert r.returncode == 2
