@@ -303,6 +303,28 @@ class SparseCholesky:
         return r, c, ldense[r, c]
 
     # ------------------------------------------------------------------
+    def logdet(self) -> float:
+        """log det(A) = 2 Σ log diag(L), read off the factor's per-level
+        pivot blocks. Padded diagonal entries are exactly 1 in both engines
+        (assemble_fronts / _pad_identity) and contribute nothing. Standard
+        SPD-solver capability (GP likelihoods, model evidence) the reference
+        lacks."""
+        if not self.factored:
+            self.factorize()
+        import jax.numpy as jnp
+
+        widths = (self.fplan.W if self.engine == "frontal"
+                  else [int(s) for s in self.plan.S])
+        total = 0.0
+        for lvl, p in enumerate(self.panels):
+            w = int(widths[lvl])
+            if w == 0 or p.shape[0] == 0:
+                continue
+            d = jnp.diagonal(p[:, :w, :w], axis1=1, axis2=2)
+            total += float(np.log(np.asarray(d).astype(np.float64)).sum())
+        return 2.0 * total
+
+    # ------------------------------------------------------------------
     def _factor_fingerprint(self) -> str:
         """Identity of (matrix, ordering, dtype) a saved factor binds to."""
         import hashlib

@@ -77,3 +77,21 @@ def test_save_load_f64(tmp_path):
     s2.load_factor(path)
     x = s2.solve(b)
     assert s2.residual(b, x) <= 1e-10
+
+
+def test_logdet_matches_scipy():
+    import scipy.sparse
+
+    n, r, c, v, o, cl, b = _build()
+    for dtype in (np.float64, np.float32):
+        s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=dtype)
+        s.factorize()
+        off = r != c
+        a = scipy.sparse.coo_matrix(
+            (np.concatenate([v, v[off]]),
+             (np.concatenate([r, c[off]]), np.concatenate([c, r[off]]))),
+            shape=(n, n)).toarray()
+        sign, ref = np.linalg.slogdet(a)
+        assert sign > 0
+        rtol = 1e-10 if dtype == np.float64 else 1e-4
+        assert abs(s.logdet() - ref) <= rtol * abs(ref)
