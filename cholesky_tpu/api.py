@@ -212,7 +212,8 @@ class SparseCholesky:
                 x_perm, _, rn_rel = refine.solve_refined_df(
                     self.fplan, self.panels, b[self.plan.perm], ell,
                     tol=tol / 3.0, max_iter=max_iter,
-                    inv_pivots=self._inv_pivots())
+                    inv_pivots=(self._inv_pivots()
+                                if self._want_inv_pivots() else None))
                 x = np.empty(self.plan.n)
                 x[self.plan.perm] = x_perm
                 if rn_rel <= tol:
@@ -231,6 +232,43 @@ class SparseCholesky:
                 break
             x = x + self._solve_once(r).astype(np.float64)
         return x
+
+    def _want_inv_pivots(self) -> bool:
+        """Explicit pivot inverses trade HBM for per-iteration speed in the
+        refinement loop (MXU matmuls instead of latency-bound triangular
+        solves). At large scale the factor + inverses + solve temps can
+        exceed HBM — skip the inverses when the estimated footprint leaves
+        too little headroom (the triangular-solve path is slower per
+        iteration but needs no extra residency). Override with
+        CHOLESKY_TPU_INV_PIVOTS=0/1."""
+        import os
+
+        flag = os.environ.get("CHOLESKY_TPU_INV_PIVOTS")
+        if flag in ("0", "1"):
+            return flag == "1"
+        try:
+            fp = self.fplan
+            item = np.dtype(self.dtype).itemsize
+            factor_bytes = sum(
+                (1 << l) * fp.F[l] * fp.W[l] * item for l in range(fp.levels))
+            inv_bytes = sum(
+                (1 << l) * fp.W[l] * fp.W[l] * item for l in range(fp.levels))
+        except Exception:  # noqa: BLE001 — panels engine has no fplan
+            return True
+        import jax
+
+        budget = 12 << 30
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            budget = int(stats.get("bytes_limit", budget) * 0.85)
+        except Exception:  # noqa: BLE001 — CPU/interpret backends
+            pass
+        # factor + inverses + ~2x the inverses for inversion/transposition
+        # temps + fixed slack for the solve programs' chunk buffers, the ELL
+        # planes, and allocator fragmentation (an 80^3 in-core gate measured
+        # OOM at 4.65 GiB factor + 2.38 GiB inverses on a 16 GB chip)
+        slack = 2 << 30
+        return factor_bytes + 3 * inv_bytes + slack <= budget
 
     def _inv_pivots(self):
         """Cached per-level explicit pivot-factor inverses for the

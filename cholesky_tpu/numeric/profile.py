@@ -96,28 +96,53 @@ def profile_frontal(fp, fronts: Sequence, iters: int = 3,
             full = jnp.concatenate(
                 [piv, jnp.zeros((B, Fl, Fl - Wl), piv.dtype)], axis=2)
 
-        potrf = jax.jit(lambda a: lax.linalg.cholesky(
-            a[:, :Wl, :Wl], symmetrize_input=False))
-        Ld, t = timed(potrf, full)
-        fl = B * Wl ** 3 / 3
-        rec = {"op": "POTRF", "level": lvl, "batch": B, "n": Wl,
-               "time_us": int(t * 1e6), "gflops": fl / max(t, 1e-12) / 1e9}
-        records.append(rec)
-        emit(f"BLAS: {{'op': 'POTRF', 'Level': {lvl}, 'Batch': {B}, "
-             f"'N': {Wl}, 'Time': {rec['time_us']}}}")
+        # Time the pivot factorization the way PRODUCTION dispatches it:
+        # the batch-in-lanes Pallas slab kernel when eligible (it fuses
+        # POTRF + boundary TRSM), plain XLA POTRF/TRSM otherwise. Timing
+        # raw lax.linalg.cholesky where the engine runs the lanes kernel
+        # overstates POTRF cost ~4x.
+        use_lanes = fr._use_lanes(B, Wl, full.dtype)
+        m = Fl - Wl
+        if use_lanes:
+            from cholesky_tpu.numeric.pallas_kernels import factor_slab_lanes
+
+            slab = jax.jit(
+                lambda a, _W=Wl: factor_slab_lanes(a[:, :, :_W], _W))
+            LX, t = timed(slab, full)
+            fl = B * (Wl ** 3 / 3 + m * Wl * Wl)
+            rec = {"op": "FACTOR_SLAB", "level": lvl, "batch": B, "n": Wl,
+                   "m": m, "time_us": int(t * 1e6),
+                   "gflops": fl / max(t, 1e-12) / 1e9}
+            records.append(rec)
+            emit(f"BLAS: {{'op': 'FACTOR_SLAB', 'Level': {lvl}, "
+                 f"'Batch': {B}, 'N': {Wl}, 'M': {m}, "
+                 f"'Time': {rec['time_us']}}}")
+            Ld = LX[:, :Wl, :Wl]
+            X = LX[:, Wl:, :Wl]
+        else:
+            potrf = jax.jit(lambda a: lax.linalg.cholesky(
+                a[:, :Wl, :Wl], symmetrize_input=False))
+            Ld, t = timed(potrf, full)
+            fl = B * Wl ** 3 / 3
+            rec = {"op": "POTRF", "level": lvl, "batch": B, "n": Wl,
+                   "time_us": int(t * 1e6),
+                   "gflops": fl / max(t, 1e-12) / 1e9}
+            records.append(rec)
+            emit(f"BLAS: {{'op': 'POTRF', 'Level': {lvl}, 'Batch': {B}, "
+                 f"'N': {Wl}, 'Time': {rec['time_us']}}}")
 
         if Fl > Wl:
-            trsm = jax.jit(lambda ld, a: lax.linalg.triangular_solve(
-                ld, a[:, Wl:, :Wl], left_side=False, lower=True,
-                transpose_a=True))
-            X, t = timed(trsm, Ld, full)
-            m = Fl - Wl
-            rec = {"op": "TRSM", "level": lvl, "batch": B, "m": m, "n": Wl,
-                   "time_us": int(t * 1e6),
-                   "gflops": B * m * Wl * Wl / max(t, 1e-12) / 1e9}
-            records.append(rec)
-            emit(f"BLAS: {{'op': 'TRSM', 'Level': {lvl}, 'Batch': {B}, "
-                 f"'M': {m}, 'N': {Wl}, 'Time': {rec['time_us']}}}")
+            if not use_lanes:
+                trsm = jax.jit(lambda ld, a: lax.linalg.triangular_solve(
+                    ld, a[:, Wl:, :Wl], left_side=False, lower=True,
+                    transpose_a=True))
+                X, t = timed(trsm, Ld, full)
+                rec = {"op": "TRSM", "level": lvl, "batch": B, "m": m,
+                       "n": Wl, "time_us": int(t * 1e6),
+                       "gflops": B * m * Wl * Wl / max(t, 1e-12) / 1e9}
+                records.append(rec)
+                emit(f"BLAS: {{'op': 'TRSM', 'Level': {lvl}, 'Batch': {B}, "
+                     f"'M': {m}, 'N': {Wl}, 'Time': {rec['time_us']}}}")
             if lvl > 0:
                 schur = jax.jit(lambda x, f: jnp.einsum(
                     "bik,bjk->bij", x, x,
