@@ -233,6 +233,10 @@ class SparseCholesky:
             x = x + self._solve_once(r).astype(np.float64)
         return x
 
+    @staticmethod
+    def _panel_itemsize(p) -> int:
+        return np.dtype(p.dtype).itemsize if hasattr(p, "dtype") else 4
+
     def _want_inv_pivots(self) -> bool:
         """Explicit pivot inverses trade HBM for per-iteration speed in the
         refinement loop (MXU matmuls instead of latency-bound triangular
@@ -248,11 +252,19 @@ class SparseCholesky:
             return flag == "1"
         try:
             fp = self.fplan
-            item = np.dtype(self.dtype).itemsize
-            factor_bytes = sum(
-                (1 << l) * fp.F[l] * fp.W[l] * item for l in range(fp.levels))
+            if self.factored and self.panels is not None:
+                # actual residency: out-of-core factors are bf16 (2 B)
+                factor_bytes = sum(
+                    int(np.prod(p.shape)) * self._panel_itemsize(p)
+                    for p in self.panels)
+            else:
+                item = np.dtype(self.dtype).itemsize
+                factor_bytes = sum((1 << l) * fp.F[l] * fp.W[l] * item
+                                   for l in range(fp.levels))
+            # inverses are computed in f32 regardless of factor storage
+            # (frontal._invert_pivot_level_jit)
             inv_bytes = sum(
-                (1 << l) * fp.W[l] * fp.W[l] * item for l in range(fp.levels))
+                (1 << l) * fp.W[l] * fp.W[l] * 4 for l in range(fp.levels))
         except Exception:  # noqa: BLE001 — panels engine has no fplan
             return True
         import jax
