@@ -275,10 +275,18 @@ class SparseCholesky:
             budget = int(stats.get("bytes_limit", budget) * 0.85)
         except Exception:  # noqa: BLE001 — CPU/interpret backends
             pass
-        # factor + inverses + ~2x the inverses for inversion/transposition
-        # temps + fixed slack for the solve programs' chunk buffers, the ELL
-        # planes, and allocator fragmentation (an 80^3 in-core gate measured
-        # OOM at 4.65 GiB factor + 2.38 GiB inverses on a 16 GB chip)
+        # Streamed factorizations (fronts past _STREAM_BYTES) bound per-level
+        # residency and measured fine WITH inverses at 1M dofs (6.5 GiB
+        # factor + 1.9 GiB inverses); the failure mode is the MONOLITHIC
+        # donating factor program, whose multi-GiB HLO-temp working set
+        # leaves less usable headroom than steady-state arithmetic suggests
+        # (80^3: OOM at 4.65 GiB factor + 2.38 GiB inverses on 16 GB).
+        from cholesky_tpu.numeric import frontal as _frontal
+
+        if factor_bytes > _frontal._STREAM_BYTES:
+            return True
+        # monolithic path: factor + inverses + inversion/transposition temps
+        # + fixed slack for solve chunk buffers, ELL planes, fragmentation
         slack = 2 << 30
         return factor_bytes + 3 * inv_bytes + slack <= budget
 
