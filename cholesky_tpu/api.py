@@ -382,6 +382,36 @@ class SparseCholesky:
             total += float(np.log(np.asarray(d).astype(np.float64)).sum())
         return 2.0 * total
 
+    def condest(self, iters: int = 12, seed: int = 0) -> float:
+        """2-norm condition-number estimate κ₂(A) ≈ λmax(A)/λmin(A) by power
+        iteration: λmax on A (sparse matvecs), 1/λmin on A⁻¹ (triangular
+        solves through the factor). For SPD matrices the 2-norm equals the
+        spectral radius, so both iterations converge monotonically from
+        random starts. Cost: `iters` matvecs + `iters` solves."""
+        if not self.factored:
+            self.factorize()
+        a = self._matrix_csr()
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(self.plan.n)
+        v /= np.linalg.norm(v)
+        lam_max = 0.0
+        for _ in range(iters):
+            w = a @ v
+            lam_max = float(np.linalg.norm(w))
+            if lam_max == 0.0:
+                break
+            v = w / lam_max
+        v = rng.standard_normal(self.plan.n)
+        v /= np.linalg.norm(v)
+        inv_max = 0.0
+        for _ in range(iters):
+            w = self._solve_once(v).astype(np.float64)
+            inv_max = float(np.linalg.norm(w))
+            if not np.isfinite(inv_max) or inv_max == 0.0:
+                return float("inf")
+            v = w / inv_max
+        return lam_max * inv_max
+
     # ------------------------------------------------------------------
     def _factor_fingerprint(self) -> str:
         """Identity of (matrix, ordering, dtype) a saved factor binds to."""

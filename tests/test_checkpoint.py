@@ -95,3 +95,19 @@ def test_logdet_matches_scipy():
         assert sign > 0
         rtol = 1e-10 if dtype == np.float64 else 1e-4
         assert abs(s.logdet() - ref) <= rtol * abs(ref)
+
+
+def test_condest_matches_numpy():
+    import scipy.sparse
+
+    n, r, c, v, o, cl, b = _build()
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    off = r != c
+    a = scipy.sparse.coo_matrix(
+        (np.concatenate([v, v[off]]),
+         (np.concatenate([r, c[off]]), np.concatenate([c, r[off]]))),
+        shape=(n, n)).toarray()
+    ref = np.linalg.cond(a, 2)
+    est = s.condest(iters=30)
+    # power iteration underestimates; expect within a small factor
+    assert 0.5 * ref <= est <= 1.02 * ref
