@@ -112,7 +112,12 @@ class SparseCholesky:
         self.factored = False
         return self.panels
 
-    def factorize(self):
+    def factorize(self, check: bool = False):
+        """Numeric factorization. With `check=True`, verify every pivot came
+        out finite and positive afterwards and raise ArithmeticError naming
+        the first bad separator — the LAPACK `info`-style diagnosis the
+        reference also lacks (its dpotrf return is ignored, blas.rg:63-79).
+        Off by default: the check syncs the device once per level."""
         if self.panels is None or self.factored:
             self.assemble()
         if self.engine == "frontal":
@@ -123,7 +128,31 @@ class SparseCholesky:
         else:
             self.panels = nfactor.factor(self.plan, self.panels)
         self.factored = True
+        if check:
+            self._check_pivots()
         return self.panels
+
+    def _check_pivots(self) -> None:
+        """Raise if any factor pivot is non-finite or <= 0 (non-SPD input,
+        or catastrophic cancellation in low precision)."""
+        import jax.numpy as jnp
+
+        widths = (self.fplan.W if self.engine == "frontal"
+                  else [int(s) for s in self.plan.S])
+        for lvl, p in enumerate(self.panels):
+            w = int(widths[lvl])
+            if w == 0 or p.shape[0] == 0:
+                continue
+            d = np.asarray(jnp.diagonal(p[:, :w, :w], axis1=1, axis2=2)
+                           ).astype(np.float64)
+            bad = ~(np.isfinite(d) & (d > 0))
+            if bad.any():
+                slot, idx = np.argwhere(bad)[0]
+                raise ArithmeticError(
+                    f"factorization failed: non-positive/non-finite pivot at "
+                    f"tree level {lvl}, separator slot {slot}, local dof "
+                    f"{idx} — input matrix is not positive definite (or lost "
+                    f"definiteness in {np.dtype(self.dtype).name})")
 
     def _solve_once(self, b: np.ndarray) -> np.ndarray:
         if not self.factored:

@@ -111,3 +111,16 @@ def test_condest_matches_numpy():
     est = s.condest(iters=30)
     # power iteration underestimates; expect within a small factor
     assert 0.5 * ref <= est <= 1.02 * ref
+
+
+def test_factorize_check_rejects_indefinite():
+    n, r, c, v, o, cl, b = _build()
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    s.factorize(check=True)          # SPD: passes
+
+    v2 = v.copy()
+    diag = r == c
+    v2[diag] = -v2[diag]             # flip all diagonal signs: indefinite
+    s2 = SparseCholesky.from_coo(n, r, c, v2, o, cl, dtype=np.float64)
+    with pytest.raises(ArithmeticError, match="not positive definite"):
+        s2.factorize(check=True)
