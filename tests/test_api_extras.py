@@ -1,4 +1,5 @@
-"""Factor checkpoint/resume: save_factor / load_factor round trip.
+"""API extras beyond the reference: factor checkpoint/resume, logdet,
+condest, SPD failure diagnosis.
 
 The reference has no resumable state (SURVEY §5: its -m/-o outputs are
 MatrixMarket dumps) — this is a production capability on top: factor once,
