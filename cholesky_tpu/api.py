@@ -312,7 +312,13 @@ class SparseCholesky:
         # (80^3: OOM at 4.65 GiB factor + 2.38 GiB inverses on 16 GB).
         from cholesky_tpu.numeric import frontal as _frontal
 
-        if factor_bytes > _frontal._STREAM_BYTES:
+        # The stream decision keys on the INPUT front bytes (frontal.factor),
+        # not the stored factor bytes — an out-of-core bf16-stored factor is
+        # half the size of the f32 fronts that forced streaming.
+        front_bytes = sum(
+            (1 << l) * fp.F[l] * fp.W[l] * np.dtype(self.dtype).itemsize
+            for l in range(fp.levels))
+        if front_bytes > _frontal._STREAM_BYTES:
             return True
         # monolithic path: factor + inverses + inversion/transposition temps
         # + fixed slack for solve chunk buffers, ELL planes, fragmentation
