@@ -112,6 +112,63 @@ class SparseCholesky:
         self.factored = False
         return self.panels
 
+    def coo_pattern(self):
+        """The canonical sparsity pattern (0-based lower-triangle rows, cols)
+        that `update_values(vals)` must align with."""
+        return self.rows, self.cols
+
+    def update_values(self, vals, rows=None, cols=None):
+        """Replace the matrix's numeric values, keeping the sparsity pattern
+        and every symbolic artifact (ordering, fill plan, panel shapes).
+
+        The next factorize()/solve() re-runs only the numeric phase through
+        the already-compiled per-level programs — no recompilation, since the
+        shapes are unchanged. This is the production "same structure, new
+        coefficients" loop (time stepping, Newton iterations) and the API
+        form of the reference's per-iteration refill (mmat.rg:1212-1224,
+        which re-runs fill_block then refactors under the same partitions).
+
+        With only `vals`, entries must align with `coo_pattern()` (the
+        deduplicated lower triangle). With `rows`/`cols`, any COO layout of
+        the SAME pattern is accepted (either triangle, duplicates dropped as
+        at construction) and checked against the stored pattern.
+        """
+        if (rows is None) != (cols is None):
+            raise ValueError("pass both rows and cols, or neither")
+        if rows is not None:
+            r2, c2, v2 = mmio.dedup_lower(rows, cols, vals)
+            # dedup_lower preserves input entry order, so compare patterns
+            # canonically and realign the values to the stored entry order
+            n = int(self.plan.n)
+            key_new = r2 * n + c2
+            key_old = self.rows * n + self.cols
+            order_new = np.argsort(key_new)
+            order_old = np.argsort(key_old)
+            if (len(r2) != len(self.rows)
+                    or not np.array_equal(key_new[order_new],
+                                          key_old[order_old])):
+                raise ValueError(
+                    "sparsity pattern differs from the planned matrix — "
+                    "build a new SparseCholesky for a new pattern")
+            vals = np.empty_like(v2)
+            vals[order_old] = v2[order_new]
+        else:
+            vals = np.asarray(vals, dtype=np.float64)
+            if vals.shape != self.vals.shape:
+                raise ValueError(
+                    f"expected {self.vals.shape[0]} values aligned with "
+                    f"coo_pattern(), got {vals.shape}")
+        self.vals = vals
+        # drop everything derived from the old values; symbolic state
+        # (plan, fplan) and compiled programs are value-independent
+        self.panels = None
+        self.factored = False
+        self._csr = None
+        for attr in ("_ell_cache", "_perm_coo_cache", "_inv_cache",
+                     "_inv_cache_key"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
     def factorize(self, check: bool = False):
         """Numeric factorization. With `check=True`, verify every pivot came
         out finite and positive afterwards and raise ArithmeticError naming

@@ -125,3 +125,63 @@ def test_factorize_check_rejects_indefinite():
     s2 = SparseCholesky.from_coo(n, r, c, v2, o, cl, dtype=np.float64)
     with pytest.raises(ArithmeticError, match="not positive definite"):
         s2.factorize(check=True)
+
+
+def test_update_values_refactorizes():
+    """Same sparsity, new coefficients: the solver refactors in place and
+    every value-derived cache (CSR, ELL planes, pivot inverses) follows."""
+    n, r, c, v, o, cl, b = _build()
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    x1 = s.solve(b)
+    assert s.residual(b, x1) <= 1e-10
+
+    s.update_values(3.0 * s.vals)    # A -> 3A, exact expected x/3
+    assert not s.factored
+    x2 = s.solve(b)
+    assert s.residual(b, x2) <= 1e-10          # residual vs the NEW matrix
+    np.testing.assert_allclose(x2, x1 / 3.0, rtol=1e-9, atol=1e-12)
+
+
+def test_update_values_accepts_any_coo_layout():
+    """rows/cols form: upper-triangle entries and a permuted entry order of
+    the same pattern are normalized and matched against the plan."""
+    n, r, c, v, o, cl, b = _build()
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    x1 = s.solve(b)
+
+    shuffle = np.random.default_rng(0).permutation(len(r))
+    # transpose the coordinates: upper triangle, shuffled order, same pattern
+    s.update_values(2.0 * v[shuffle], rows=c[shuffle], cols=r[shuffle])
+    x2 = s.solve(b)
+    assert s.residual(b, x2) <= 1e-10
+    np.testing.assert_allclose(x2, x1 / 2.0, rtol=1e-9, atol=1e-12)
+
+
+def test_update_values_rejects_new_pattern():
+    n, r, c, v, o, cl, b = _build()
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    with pytest.raises(ValueError, match="aligned with"):
+        s.update_values(np.ones(len(s.vals) + 1))
+    with pytest.raises(ValueError, match="pattern differs"):
+        s.update_values(v[1:], rows=r[1:], cols=c[1:])
+    with pytest.raises(ValueError, match="both rows and cols"):
+        s.update_values(v, rows=r)
+
+
+def test_update_values_refreshes_refinement_path():
+    """fp32 + iterative refinement: the refinement loop's matvec and pivot
+    inverses must see the new values, or convergence silently targets the
+    stale matrix."""
+    n, r, c, v, o, cl, b = _build()
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    x1 = s.solve(b)
+    assert s.residual(b, x1) <= 1e-10
+
+    rng = np.random.default_rng(1)
+    v2 = v.copy()
+    diag = r == c
+    v2[diag] *= rng.uniform(1.5, 2.5, diag.sum())   # SPD-safe: boost diagonal
+    s.update_values(v2)
+    x2 = s.solve(b)
+    assert s.residual(b, x2) <= 1e-10
+    assert not np.allclose(x2, x1)
