@@ -127,3 +127,57 @@ def test_tiny_matrix():
     x = s.solve(np.array([1.0, 2.0]))
     a = np.array([[4.0, 1.0], [1.0, 3.0]])
     np.testing.assert_allclose(a @ x, [1.0, 2.0], atol=1e-12)
+
+
+def test_solve_fem_delaunay():
+    """Unstructured 2-D FEM: P1 stiffness + mass matrix on a random Delaunay
+    triangulation — realistic irregular sparsity (variable vertex degree, no
+    grid structure) through the full auto-ND pipeline. The fixture ladder and
+    grid generators never exercise this shape of graph."""
+    import scipy.spatial
+
+    rng = np.random.default_rng(7)
+    n = 1500
+    pts = rng.random((n, 2))
+    tri = scipy.spatial.Delaunay(pts)
+
+    rows_l, cols_l, vals_l = [], [], []
+    for simplex in tri.simplices:
+        p = pts[simplex]                      # [3, 2]
+        # P1 gradients: area and edge normals
+        b = np.array([p[1, 1] - p[2, 1], p[2, 1] - p[0, 1], p[0, 1] - p[1, 1]])
+        cc = np.array([p[2, 0] - p[1, 0], p[0, 0] - p[2, 0], p[1, 0] - p[0, 0]])
+        e1, e2 = p[1] - p[0], p[2] - p[0]
+        area = 0.5 * abs(e1[0] * e2[1] - e1[1] * e2[0])
+        ke = (np.outer(b, b) + np.outer(cc, cc)) / (4.0 * area)
+        me = area / 12.0 * (np.ones((3, 3)) + np.eye(3))   # lumped-ish mass
+        for i in range(3):
+            for j in range(3):
+                if simplex[i] >= simplex[j]:               # lower triangle
+                    rows_l.append(simplex[i])
+                    cols_l.append(simplex[j])
+                    vals_l.append(ke[i, j] + me[i, j])
+    rows = np.asarray(rows_l)
+    cols = np.asarray(cols_l)
+    vals = np.asarray(vals_l)
+    # sum duplicate COO entries (element assembly overlaps)
+    key = rows * n + cols
+    uniq, inv = np.unique(key, return_inverse=True)
+    acc = np.zeros(len(uniq))
+    np.add.at(acc, inv, vals)
+    rows, cols, vals = uniq // n, uniq % n, acc
+
+    s = SparseCholesky.from_matrix(n, rows, cols, vals, dtype=np.float64)
+    b_rhs = rng.standard_normal(n)
+    x = s.solve(b_rhs)
+    assert s.residual(b_rhs, x) <= 1e-10
+
+    import scipy.sparse
+
+    off = rows != cols
+    a = scipy.sparse.coo_matrix(
+        (np.concatenate([vals, vals[off]]),
+         (np.concatenate([rows, cols[off]]), np.concatenate([cols, rows[off]]))),
+        shape=(n, n)).toarray()
+    np.testing.assert_allclose(x, np.linalg.solve(a, b_rhs), rtol=1e-8,
+                               atol=1e-10)
