@@ -1,0 +1,118 @@
+"""Selected inversion: diag(A^{-1}) (and the separator-block entries of the
+inverse) from the frontal Cholesky factor, by a top-down batched recursion
+over the separator tree.
+
+Math. Let s be a separator with pivot factor L_ss and off-diagonal strip
+L_Ss (rows S = s's front boundary, all in ancestor separators). With
+X = L_Ss L_ss^{-1} and Phi = A^{-1}:
+
+    Phi_Ss = -Phi_SS X
+    Phi_ss =  L_ss^{-T} L_ss^{-1} + X^T Phi_SS X
+
+which follows from the restricted-inverse identity (A^{-1})_{TT} =
+(Schur complement of A onto T)^{-1} applied to the trailing set at s's
+elimination step, whose Cholesky factor is exactly [[L_ss, 0], [L_Ss, *]].
+Phi_SS is the TRUE global inverse on s's boundary rows — and since a child's
+boundary is contained in its parent's front (asserted at plan build,
+frontal.py), Phi_SS is a gather from the parent's front-inverse block
+P_parent = Phi over (parent pivot ∪ parent boundary). The recursion runs
+root → leaves, one batched step per tree level: every operation is a
+[B, ·, ·] matmul on the MXU, mirroring the factorization's level structure
+in reverse.
+
+Cost: ~2 extra factorizations' worth of FLOPs; memory: P is [B, F, F] per
+level (F/W times the front array), held for two adjacent levels — in-core
+for the scales the monolithic factor path handles.
+
+Reference parity: none — the reference (syamajala/cholesky) has no inverse
+capability. This is a standard production feature of sparse direct solvers
+(Takahashi equations; PSelInv) that the batched frontal layout makes
+TPU-native.
+"""
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cholesky_tpu.numeric.frontal import FrontalPlan, _tri_solve
+
+
+def _inv_L(fac, W: int, dtype):
+    """Explicit inverse of the batched pivot Cholesky factors [B, W, W]."""
+    Ld = fac[:, :W, :].astype(dtype)
+    eye = jnp.broadcast_to(jnp.eye(W, dtype=dtype), Ld.shape)
+    return _tri_solve(Ld, eye, left_side=True, lower=True)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _selinv_root(W: int, dtype_name: str, fac):
+    """Root separator: no ancestors, P = (L L^T)^{-1} over the pivot."""
+    invL = _inv_L(fac, W, jnp.dtype(dtype_name))
+    P = jnp.einsum("bki,bkj->bij", invL, invL,
+                   preferred_element_type=invL.dtype)
+    return P, jnp.diagonal(P, axis1=1, axis2=2)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _selinv_step(W: int, dtype_name: str, fac, idx, P_prev):
+    """One tree level down: fac [B, F, W] (pivot factor + strip L_Ss),
+    idx = fwd_child [B, F-W] (child boundary position -> parent front
+    position, sentinel F_prev), P_prev [B/2, F_prev, F_prev]. Returns
+    (P [B, F, F], pivot diagonal [B, W]).
+
+    Padding is self-cleaning: padded boundary rows have zero strip rows, so
+    X is zero there and any gathered garbage (clamped sentinel positions,
+    parent padding) is annihilated in X^T (.) X and -P X wherever a real
+    row reads the result; padded pivot rows produce diagonal entries tagged
+    with the sentinel row id n and are dropped at scatter time.
+    """
+    dtype = jnp.dtype(dtype_name)
+    invL = _inv_L(fac, W, dtype)
+    S = jnp.einsum("bki,bkj->bij", invL, invL, preferred_element_type=dtype)
+    B = fac.shape[0]
+    idxc = jnp.minimum(idx, P_prev.shape[1] - 1)          # clamp sentinel
+    par = jnp.arange(B) // 2
+    Pp = P_prev[par[:, None, None], idxc[:, :, None], idxc[:, None, :]]
+    Xs = jnp.einsum("bik,bkj->bij", fac[:, W:, :].astype(dtype), invL,
+                    preferred_element_type=dtype)          # [B, bnd, W]
+    PX = jnp.einsum("bik,bkj->bij", Pp, Xs,
+                    preferred_element_type=dtype)          # [B, bnd, W]
+    Phi_ss = S + jnp.einsum("bki,bkj->bij", Xs, PX,
+                            preferred_element_type=dtype)
+    top = jnp.concatenate([Phi_ss, -PX.transpose(0, 2, 1)], axis=2)
+    bot = jnp.concatenate([-PX, Pp], axis=2)
+    P = jnp.concatenate([top, bot], axis=1)                # [B, F, F]
+    return P, jnp.diagonal(Phi_ss, axis1=1, axis2=2)
+
+
+def _compute_dtype(factors) -> str:
+    return ("float64" if jnp.dtype(factors[0].dtype) == jnp.float64
+            else "float32")
+
+
+def selinv_diag(fp: FrontalPlan, factors: Sequence[jax.Array],
+                dtype: Optional[str] = None) -> np.ndarray:
+    """diag(A^{-1}) in PERMUTED coordinates, [n] float64.
+
+    Accuracy follows the factor precision: ~1e-13 relative from an f64
+    factor, ~kappa(A)*1e-7 from f32/bf16 (the inverse has no cheap residual
+    to iterate on — unlike solve, selected inversion has no refinement
+    loop; use dtype=float64 when the diagonal must be tight).
+    """
+    dt = dtype or _compute_dtype(factors)
+    n = fp.plan.n
+    diag = np.zeros(n + 1, dtype=np.float64)               # slot n = padding
+    P = None
+    for lvl in range(fp.levels):
+        W = fp.W[lvl]
+        if lvl == 0:
+            P, d = _selinv_root(W, dt, factors[0])
+        else:
+            P, d = _selinv_step(W, dt, factors[lvl],
+                                jnp.asarray(fp.fwd_child[lvl]), P)
+        ids = fp.front_rows[lvl][:, :W]                    # sentinel = n
+        diag[ids.ravel()] = np.asarray(d, dtype=np.float64).ravel()
+    return diag[:n]

@@ -1,0 +1,82 @@
+"""Selected inversion (diag(A^{-1})): the top-down batched recursion of
+numeric/selinv.py against dense NumPy inverses. Beyond the reference, which
+has no inverse capability (SURVEY §5)."""
+
+import numpy as np
+import pytest
+
+from cholesky_tpu import SparseCholesky
+from cholesky_tpu.utils.laplacian import generate_problem
+
+
+def _dense(n, r, c, v):
+    off = r != c
+    import scipy.sparse
+
+    return scipy.sparse.coo_matrix(
+        (np.concatenate([v, v[off]]),
+         (np.concatenate([r, c[off]]), np.concatenate([c, r[off]]))),
+        shape=(n, n)).toarray()
+
+
+def test_inv_diag_grid_f64():
+    n, r, c, v, o, cl, b = generate_problem((7, 7, 7), 4)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    d = s.inv_diag()
+    ref = np.diag(np.linalg.inv(_dense(n, r, c, v)))
+    np.testing.assert_allclose(d, ref, rtol=1e-10, atol=0)
+
+
+def test_inv_diag_grid_f32():
+    n, r, c, v, o, cl, b = generate_problem((6, 6, 6), 4)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    d = s.inv_diag()
+    ref = np.diag(np.linalg.inv(_dense(n, r, c, v)))
+    # f32 factor: inverse entries carry ~kappa * eps_f32
+    np.testing.assert_allclose(d, ref, rtol=5e-3, atol=0)
+
+
+def test_inv_diag_fixture_9x9():
+    base = "/root/reference/tests/lapl_9x9"
+    s = SparseCholesky.from_files(
+        f"{base}/lapl_3_2.mtx", f"{base}/lapl_3_2_ord_2.txt",
+        f"{base}/lapl_3_2_clust_2.txt", dtype=np.float64)
+    from cholesky_tpu.io import mmio
+
+    _, r, c, v = mmio.read_coo(f"{base}/lapl_3_2.mtx")
+    r, c, v = mmio.dedup_lower(r, c, v)
+    ref = np.diag(np.linalg.inv(_dense(9, r, c, v)))
+    np.testing.assert_allclose(s.inv_diag(), ref, rtol=1e-10)
+
+
+def test_inv_diag_auto_nd_irregular():
+    """Irregular sparsity through graph nested dissection (variable boundary
+    sizes, uneven fronts — exercises the fwd_child gather with sentinels)."""
+    from tests.test_nd import random_spd
+
+    rng = np.random.default_rng(5)
+    n = 400
+    r, c, v = random_spd(n, 5, rng)
+    s = SparseCholesky.from_matrix(n, r, c, v, dtype=np.float64)
+    ref = np.diag(np.linalg.inv(_dense(n, r, c, v)))
+    np.testing.assert_allclose(s.inv_diag(), ref, rtol=1e-9)
+
+
+def test_inv_diag_panels_engine():
+    n, r, c, v, o, cl, b = generate_problem((5, 5), 3)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64,
+                                engine="panels")
+    ref = np.diag(np.linalg.inv(_dense(n, r, c, v)))
+    np.testing.assert_allclose(s.inv_diag(), ref, rtol=1e-10)
+
+
+def test_inv_diag_consistent_with_solve():
+    """Cross-check against explicit unit-vector solves on a few columns."""
+    n, r, c, v, o, cl, b = generate_problem((6, 6), 3)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    d = s.inv_diag()
+    for i in (0, n // 2, n - 1):
+        e = np.zeros(n)
+        e[i] = 1.0
+        x = s.solve(e)
+        np.testing.assert_allclose(d[i], x[i], rtol=1e-10)
