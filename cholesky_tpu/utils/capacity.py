@@ -40,6 +40,19 @@ def plan_memory_bytes(plan, dtype_bytes: int = 4) -> int:
     return total
 
 
+def selinv_memory_bytes(fp, dtype_bytes: int = 4) -> int:
+    """Peak HBM of selected inversion (numeric/selinv.py): the recursion
+    holds the front-inverse blocks P = [B, F, F] of two adjacent levels at
+    once (parent consumed, child produced), alongside the factors. selinv is
+    in-core only — check this against HBM before calling inv_diag at
+    scale."""
+    p_bytes = [(1 << l) * fp.F[l] * fp.F[l] * dtype_bytes
+               for l in range(fp.levels)]
+    if len(p_bytes) == 1:
+        return p_bytes[0]
+    return max(p_bytes[l] + p_bytes[l + 1] for l in range(fp.levels - 1))
+
+
 def plan_flops(plan) -> float:
     """Dense-path factorization FLOPs (what the batched kernels execute,
     before cluster masking; unpadded sizes)."""

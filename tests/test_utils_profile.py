@@ -78,3 +78,15 @@ def test_depth_clamped_for_small_problems():
     assert capacity.depth(125000) >= 8
     rows = capacity.grid_plan_table((4, 4))
     assert rows, "small grids must still tabulate candidate depths"
+
+
+def test_selinv_memory_estimate():
+    from cholesky_tpu.utils.capacity import selinv_memory_bytes
+
+    n, r, c, v, o, cl, b = generate_problem((8, 8, 8), 4)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    fp = s.fplan
+    est = selinv_memory_bytes(fp, 4)
+    p = [(1 << l) * fp.F[l] ** 2 * 4 for l in range(fp.levels)]
+    assert est == max(p[l] + p[l + 1] for l in range(fp.levels - 1))
+    assert est > 0
