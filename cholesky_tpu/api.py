@@ -464,8 +464,32 @@ class SparseCholesky:
             self.factorize()
         out = np.empty(self.plan.n)
         if self.engine == "frontal":
-            from cholesky_tpu.numeric import selinv
+            import os
 
+            from cholesky_tpu.numeric import selinv
+            from cholesky_tpu.utils.capacity import selinv_memory_bytes
+
+            if os.environ.get("CHOLESKY_TPU_SELINV") != "force":
+                # in-core only: P blocks of two adjacent levels + resident
+                # factors must fit HBM — fail with numbers, not an OOM
+                item = 8 if np.dtype(self.dtype) == np.float64 else 4
+                need = selinv_memory_bytes(self.fplan, item) + sum(
+                    int(np.prod(p.shape)) * self._panel_itemsize(p)
+                    for p in self.panels)
+                budget = 12 << 30
+                try:
+                    import jax
+
+                    stats = jax.devices()[0].memory_stats() or {}
+                    budget = int(stats.get("bytes_limit", budget) * 0.9)
+                except Exception:  # noqa: BLE001 — CPU/interpret backends
+                    pass
+                if need > budget:
+                    raise MemoryError(
+                        f"selected inversion needs ~{need / 2**30:.1f} GiB "
+                        f"(two levels of front-inverse blocks + factors) but "
+                        f"~{budget / 2**30:.1f} GiB is available; it has no "
+                        f"streamed path. CHOLESKY_TPU_SELINV=force overrides.")
             out[self.plan.perm] = selinv.selinv_diag(self.fplan, self.panels)
             return out
         # panels engine (small-problem path): dense fallback via the factor

@@ -80,3 +80,20 @@ def test_inv_diag_consistent_with_solve():
         e[i] = 1.0
         x = s.solve(e)
         np.testing.assert_allclose(d[i], x[i], rtol=1e-10)
+
+
+def test_inv_diag_memory_guard(monkeypatch):
+    """Past-HBM problems fail with an estimate, not an opaque device OOM."""
+    from cholesky_tpu.utils import capacity
+
+    n, r, c, v, o, cl, b = generate_problem((6, 6), 3)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    s.factorize()
+    monkeypatch.setattr(capacity, "selinv_memory_bytes",
+                        lambda fp, item=4: 1 << 60)
+    with pytest.raises(MemoryError, match="selected inversion needs"):
+        s.inv_diag()
+    monkeypatch.setenv("CHOLESKY_TPU_SELINV", "force")
+    d = s.inv_diag()                 # override runs it anyway
+    ref = np.diag(np.linalg.inv(_dense(n, r, c, v)))
+    np.testing.assert_allclose(d, ref, rtol=1e-10)
