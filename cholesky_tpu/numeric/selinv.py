@@ -56,36 +56,66 @@ def _selinv_root(W: int, dtype_name: str, fac):
     return P, jnp.diagonal(P, axis1=1, axis2=2)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _selinv_step(W: int, dtype_name: str, fac, idx, P_prev):
-    """One tree level down: fac [B, F, W] (pivot factor + strip L_Ss),
-    idx = fwd_child [B, F-W] (child boundary position -> parent front
-    position, sentinel F_prev), P_prev [B/2, F_prev, F_prev]. Returns
-    (P [B, F, F], pivot diagonal [B, W]).
+def _selinv_core(W: int, dtype, fac, idx, P_prev):
+    """Shared per-level math: returns (Phi_ss [B, W, W], PX [B, bnd, W],
+    Pp [B, bnd, bnd]).
 
-    Padding is self-cleaning: padded boundary rows have zero strip rows, so
-    X is zero there and any gathered garbage (clamped sentinel positions,
-    parent padding) is annihilated in X^T (.) X and -P X wherever a real
-    row reads the result; padded pivot rows produce diagonal entries tagged
-    with the sentinel row id n and are dropped at scatter time.
+    The parent-inverse restriction Pp = P_prev[parent][idx, idx] is computed
+    as two one-hot batched matmuls (G @ P @ G^T), not an advanced-index
+    gather: XLA lowers the 2-D gather element-wise (~6 s for the 269M
+    gathered elements of a 50^3/L8 run) while the one-hot contraction is
+    ~3.8 TFLOP of MXU work (tens of ms) — the same trade the extend-add's
+    gathermm strategy measured (frontal.py). The one-hot products are exact
+    (1.0 times a float is exact in every matmul precision), and sentinel
+    positions (padded boundary rows, idx == F_prev) produce all-zero one-hot
+    rows, so no clamping and no gathered garbage: padded rows of Pp/PX are
+    exactly zero, and padded pivot diagonal entries are dropped at scatter
+    time via the sentinel row id n.
     """
-    dtype = jnp.dtype(dtype_name)
     invL = _inv_L(fac, W, dtype)
     S = jnp.einsum("bki,bkj->bij", invL, invL, preferred_element_type=dtype)
     B = fac.shape[0]
-    idxc = jnp.minimum(idx, P_prev.shape[1] - 1)          # clamp sentinel
-    par = jnp.arange(B) // 2
-    Pp = P_prev[par[:, None, None], idxc[:, :, None], idxc[:, None, :]]
+    Fp = P_prev.shape[1]
+    bnd = fac.shape[1] - W
+    # one-hot rows: G2[p, c, i, q] = 1 iff child (p,c)'s boundary row i sits
+    # at parent front position q; contracted against P_prev without ever
+    # materializing the 2x-expanded parent array
+    G2 = (idx.reshape(B // 2, 2, bnd, 1)
+          == jnp.arange(Fp, dtype=idx.dtype).reshape(1, 1, 1, Fp)
+          ).astype(dtype)                                  # [B/2, 2, bnd, Fp]
+    M = jnp.einsum("bpq,bciq->bcip", P_prev, G2,
+                   preferred_element_type=dtype)           # [B/2, 2, bnd, Fp]
+    Pp = jnp.einsum("bcip,bcjp->bcij", M, G2,
+                    preferred_element_type=dtype).reshape(B, bnd, bnd)
     Xs = jnp.einsum("bik,bkj->bij", fac[:, W:, :].astype(dtype), invL,
                     preferred_element_type=dtype)          # [B, bnd, W]
     PX = jnp.einsum("bik,bkj->bij", Pp, Xs,
                     preferred_element_type=dtype)          # [B, bnd, W]
     Phi_ss = S + jnp.einsum("bki,bkj->bij", Xs, PX,
                             preferred_element_type=dtype)
+    return Phi_ss, PX, Pp
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _selinv_step(W: int, dtype_name: str, fac, idx, P_prev):
+    """One tree level down: fac [B, F, W] (pivot factor + strip L_Ss),
+    idx = fwd_child [B, F-W] (child boundary position -> parent front
+    position, sentinel F_prev), P_prev [B/2, F_prev, F_prev]. Returns
+    (P [B, F, F], pivot diagonal [B, W])."""
+    Phi_ss, PX, Pp = _selinv_core(W, jnp.dtype(dtype_name), fac, idx, P_prev)
     top = jnp.concatenate([Phi_ss, -PX.transpose(0, 2, 1)], axis=2)
     bot = jnp.concatenate([-PX, Pp], axis=2)
     P = jnp.concatenate([top, bot], axis=1)                # [B, F, F]
     return P, jnp.diagonal(Phi_ss, axis1=1, axis2=2)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _selinv_step_last(W: int, dtype_name: str, fac, idx, P_prev):
+    """Leaf level: nothing consumes P below, so skip assembling the
+    [B, F, F] block matrix (a ~1 GiB concatenate at 50^3/L8) and return
+    only the pivot diagonal."""
+    Phi_ss, _, _ = _selinv_core(W, jnp.dtype(dtype_name), fac, idx, P_prev)
+    return jnp.diagonal(Phi_ss, axis1=1, axis2=2)
 
 
 def _compute_dtype(factors) -> str:
@@ -110,6 +140,9 @@ def selinv_diag(fp: FrontalPlan, factors: Sequence[jax.Array],
         W = fp.W[lvl]
         if lvl == 0:
             P, d = _selinv_root(W, dt, factors[0])
+        elif lvl == fp.levels - 1:
+            d = _selinv_step_last(W, dt, factors[lvl],
+                                  jnp.asarray(fp.fwd_child[lvl]), P)
         else:
             P, d = _selinv_step(W, dt, factors[lvl],
                                 jnp.asarray(fp.fwd_child[lvl]), P)
