@@ -30,7 +30,7 @@ def parse_args(argv):
         "permuted_matrix_file": "", "debug_path": "", "debug": False,
         "iterations": 1, "dtype": "float64", "devices": 0, "bench": False,
         "engine": "frontal", "profile": False, "debug_dumps": False,
-        "save_factor": "", "load_factor": "",
+        "save_factor": "", "load_factor": "", "inv_diag_file": "",
     }
     i = 0
     while i < len(argv):
@@ -69,6 +69,8 @@ def parse_args(argv):
             opts["load_factor"] = argv[i + 1]; i += 2
         elif a == "--bench":
             opts["bench"] = True; i += 1
+        elif a == "--inv-diag":
+            opts["inv_diag_file"] = argv[i + 1]; i += 2
         elif a in _LEGION_FLAGS_WITH_ARG or a.startswith(_LEGION_PREFIXES):
             # Legion runtime passthroughs — accepted, ignored. Consume a
             # following value only when it is not itself a flag: zero-arg
@@ -104,7 +106,8 @@ def main(argv=None) -> int:
               "[-p permuted.mtx] [-d debug_dir] [--iterations N] "
               "[--dtype float64|float32] [--devices N] "
               "[--engine frontal|panels] [--profile] "
-              "[--save-factor ckpt.npz] [--load-factor ckpt.npz]\n"
+              "[--save-factor ckpt.npz] [--load-factor ckpt.npz] "
+              "[--inv-diag out.txt]\n"
               "Without -s, a nested-dissection ordering is computed from the "
               "matrix sparsity graph.")
         return 2
@@ -221,6 +224,18 @@ def main(argv=None) -> int:
             with open(opts["solution_file"], "w") as f:
                 for v in x:
                     f.write(f"{v:.17g}\n")
+
+    if opts["inv_diag_file"]:
+        # selected inversion: diag(A^-1) in original dof order, one value
+        # per line (numeric/selinv.py; beyond the reference)
+        t0 = time.perf_counter()
+        d = solver.inv_diag()
+        print(f"INVDIAG: {{'op': 'inv_diag', "
+              f"'time_s': {time.perf_counter() - t0:.6f}}}")
+        with open(opts["inv_diag_file"], "w") as f:
+            for v in d:
+                f.write(f"{v:.17g}\n")
+        print(f"Saved diag(A^-1) to: {opts['inv_diag_file']}")
 
     if opts["bench"]:
         import json

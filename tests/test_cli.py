@@ -122,3 +122,16 @@ def test_cli_usage_error():
     r = run_cli([])
     assert r.returncode == 2
     assert "usage:" in r.stdout
+
+
+def test_cli_inv_diag(tmp_path):
+    """--inv-diag writes diag(A^-1) (selected inversion) in original order."""
+    p = fixture_paths("lapl_25x25")
+    out = tmp_path / "invdiag.txt"
+    r = run_cli(["-i", p["mat"], "-s", p["separators"], "-c", p["clusters"],
+                 "--inv-diag", str(out)])
+    assert r.returncode == 0, r.stderr
+    assert "INVDIAG:" in r.stdout
+    d = np.genfromtxt(out)
+    a = mmio.read_dense(p["mat"])
+    np.testing.assert_allclose(d, np.diag(np.linalg.inv(a)), rtol=1e-9)
