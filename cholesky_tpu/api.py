@@ -502,6 +502,26 @@ class SparseCholesky:
         out[self.plan.perm] = (linv * linv).sum(axis=0)
         return out
 
+    def inv_entries(self, rows, cols) -> np.ndarray:
+        """Selected entries (A⁻¹)[rows[k], cols[k]] in original dof order,
+        for entries within the factor pattern (L + Lᵀ + I): covariances
+        between coupled sites in a GMRF, off-diagonal posterior terms. Same
+        recursion as inv_diag, stopping at the deepest requested tree
+        level. Entries outside the pattern raise ValueError (solve unit
+        vectors for those). Frontal engine only."""
+        if self.engine != "frontal":
+            raise NotImplementedError(
+                "inv_entries requires the frontal engine")
+        if not self.factored:
+            self.factorize()
+        from cholesky_tpu.numeric import selinv
+
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        return selinv.selinv_entries(
+            self.fplan, self.panels,
+            self.plan.iperm[rows], self.plan.iperm[cols])
+
     # ------------------------------------------------------------------
     def logdet(self) -> float:
         """log det(A) = 2 Σ log diag(L), read off the factor's per-level

@@ -118,6 +118,14 @@ def _selinv_step_last(W: int, dtype_name: str, fac, idx, P_prev):
     return jnp.diagonal(Phi_ss, axis1=1, axis2=2)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _selinv_step_noP(W: int, dtype_name: str, fac, idx, P_prev):
+    """Entry-extraction variant for the leaf level: (Phi_ss, PX) only,
+    skipping the [B, F, F] block assembly (Phi_off = -PX)."""
+    Phi_ss, PX, _ = _selinv_core(W, jnp.dtype(dtype_name), fac, idx, P_prev)
+    return Phi_ss, PX
+
+
 def _compute_dtype(factors) -> str:
     return ("float64" if jnp.dtype(factors[0].dtype) == jnp.float64
             else "float32")
@@ -149,3 +157,98 @@ def selinv_diag(fp: FrontalPlan, factors: Sequence[jax.Array],
         ids = fp.front_rows[lvl][:, :W]                    # sentinel = n
         diag[ids.ravel()] = np.asarray(d, dtype=np.float64).ravel()
     return diag[:n]
+
+
+def _locate_entries(fp: FrontalPlan, pr: np.ndarray, pc: np.ndarray):
+    """Map permuted entry coordinates (i, j) to (level, slot, row_pos,
+    col_pos) in that level's front blocks. Each entry is normalized so the
+    COLUMN index belongs to the deeper separator; the row index must then
+    appear in that separator's front (pivot or boundary) — i.e. the entry
+    lies in the pattern of L + L^T + I. Raises ValueError otherwise (those
+    entries are not computed by selected inversion; use solves)."""
+    plan = fp.plan
+    t = plan.tree
+    nsep = t.num_separators
+    sep_of = np.empty(plan.n, dtype=np.int64)
+    for s in range(1, nsep + 1):
+        off = int(plan.sep_offset[s])
+        sep_of[off:off + int(plan.sep_sizes[s])] = s
+
+    out = []
+    for k in range(len(pr)):
+        i, j = int(pr[k]), int(pc[k])
+        si, sj = int(sep_of[i]), int(sep_of[j])
+        if t.level_of(si) > t.level_of(sj):                # deeper = column
+            i, j, si, sj = j, i, sj, si                    # Phi is symmetric
+        lvl = t.level_of(sj)
+        slot = t.slot_of(sj)
+        col_pos = j - int(plan.sep_offset[sj])
+        if si == sj:
+            row_pos = i - int(plan.sep_offset[sj])
+        else:
+            bnd = fp.front_rows[lvl][slot, fp.W[lvl]:]     # sorted, sentinel n
+            p = int(np.searchsorted(bnd, i))
+            if p >= len(bnd) or bnd[p] != i:
+                raise ValueError(
+                    f"entry ({pr[k]}, {pc[k]}) (permuted) is outside the "
+                    f"factor pattern — selected inversion only computes "
+                    f"Phi on pattern(L + L^T); solve unit vectors for "
+                    f"arbitrary entries")
+            row_pos = fp.W[lvl] + p
+        out.append((lvl, slot, row_pos, col_pos, k))
+    return out
+
+
+def selinv_entries(fp: FrontalPlan, factors: Sequence[jax.Array],
+                   pr: np.ndarray, pc: np.ndarray,
+                   dtype: Optional[str] = None) -> np.ndarray:
+    """Selected entries Phi[pr[k], pc[k]] of A^{-1} (PERMUTED coordinates),
+    for entries within the factor pattern: same recursion as selinv_diag,
+    reading requested values out of each level's front-inverse blocks
+    (non-leaf levels directly from P = [[Phi_ss, -PX^T], [-PX, Pp]]; the
+    leaf level from (Phi_ss, PX) without assembling P)."""
+    dt = dtype or _compute_dtype(factors)
+    located = _locate_entries(fp, np.asarray(pr), np.asarray(pc))
+    by_level = {}
+    for lvl, slot, rp, cp, k in located:
+        by_level.setdefault(lvl, []).append((slot, rp, cp, k))
+
+    vals = np.empty(len(located), dtype=np.float64)
+    if not located:
+        return vals
+    P = None
+    max_lvl = max(by_level)                # recursion stops at the deepest
+    for lvl in range(max_lvl + 1):         # requested level
+        W = fp.W[lvl]
+        terminal = lvl == max_lvl
+        blocks = None
+        if lvl == 0:
+            P, _ = _selinv_root(W, dt, factors[0])
+        elif terminal:                     # P is never consumed below here
+            blocks = _selinv_step_noP(W, dt, factors[lvl],
+                                      jnp.asarray(fp.fwd_child[lvl]), P)
+        else:
+            P, _ = _selinv_step(W, dt, factors[lvl],
+                                jnp.asarray(fp.fwd_child[lvl]), P)
+        want = by_level.get(lvl, ())
+        if not want:
+            continue
+        slots = np.array([w[0] for w in want])
+        rps = np.array([w[1] for w in want])
+        cps = np.array([w[2] for w in want])
+        ks = np.array([w[3] for w in want])
+        if blocks is None:
+            got = np.asarray(P[slots, rps, cps], dtype=np.float64)
+        else:
+            Phi_ss, PX = blocks
+            got = np.empty(len(ks), dtype=np.float64)
+            piv = rps < W
+            if piv.any():
+                got[piv] = np.asarray(
+                    Phi_ss[slots[piv], rps[piv], cps[piv]], dtype=np.float64)
+            if (~piv).any():
+                got[~piv] = -np.asarray(
+                    PX[slots[~piv], rps[~piv] - W, cps[~piv]],
+                    dtype=np.float64)
+        vals[ks] = got
+    return vals

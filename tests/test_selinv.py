@@ -97,3 +97,53 @@ def test_inv_diag_memory_guard(monkeypatch):
     d = s.inv_diag()                 # override runs it anyway
     ref = np.diag(np.linalg.inv(_dense(n, r, c, v)))
     np.testing.assert_allclose(d, ref, rtol=1e-10)
+
+
+def test_inv_entries_on_pattern():
+    """Arbitrary in-pattern entries (diagonal, same-separator off-diagonal,
+    cross-level couplings) against the dense inverse, in both index
+    orders."""
+    n, r, c, v, o, cl, b = generate_problem((7, 7, 7), 4)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    s.factorize()
+    phi = np.linalg.inv(_dense(n, r, c, v))
+
+    # every stored entry of A is in the pattern of L + L^T + I
+    got = s.inv_entries(r, c)
+    np.testing.assert_allclose(got, phi[r, c], rtol=1e-9)
+    got_t = s.inv_entries(c, r)                  # symmetric order
+    np.testing.assert_allclose(got_t, phi[r, c], rtol=1e-9)
+
+    # consistency with inv_diag on the diagonal subset
+    diag_idx = np.arange(0, n, 7)
+    np.testing.assert_allclose(s.inv_entries(diag_idx, diag_idx),
+                               s.inv_diag()[diag_idx], rtol=1e-12)
+
+
+def test_inv_entries_fill_pattern():
+    """Entries created by FILL (in pattern(L) but not in A) are valid
+    requests too: check via the factor's own coordinates."""
+    n, r, c, v, o, cl, b = generate_problem((6, 6), 3)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    fr, fc, fv = s.factor_coo()                  # permuted coords, with fill
+    keep = np.abs(fv) > 1e-12
+    orig_r = s.plan.perm[fr[keep]]
+    orig_c = s.plan.perm[fc[keep]]
+    phi = np.linalg.inv(_dense(n, r, c, v))
+    got = s.inv_entries(orig_r, orig_c)
+    np.testing.assert_allclose(got, phi[orig_r, orig_c], rtol=1e-9,
+                               atol=1e-12)
+
+
+def test_inv_entries_rejects_outside_pattern():
+    """Two dofs in sibling subtrees never couple in L: must raise."""
+    n, r, c, v, o, cl, b = generate_problem((6, 6, 6), 4)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    s.factorize()
+    t = s.plan.tree
+    lvl = s.plan.levels - 1
+    s1, s2 = t.sep_at(lvl, 0), t.sep_at(lvl, 1)  # sibling leaves
+    i = int(s.plan.perm[s.plan.sep_offset[s1]])
+    j = int(s.plan.perm[s.plan.sep_offset[s2]])
+    with pytest.raises(ValueError, match="outside the factor pattern"):
+        s.inv_entries([i], [j])
