@@ -61,3 +61,22 @@ def test_collective_root_in_solver(mesh):
         np.testing.assert_allclose(x, s2.solve(b), rtol=1e-9, atol=1e-9)
     finally:
         del os.environ["CHOLESKY_TPU_ROOT_DIST_MIN"]
+
+
+def test_selinv_on_mesh(mesh):
+    """Selected inversion over slot-sharded factors: the recursion is
+    batched over the slot axis, so GSPMD partitions it with the same
+    subtree sharding as the factorization — no selinv-specific collective
+    code."""
+    from cholesky_tpu import SparseCholesky
+    from cholesky_tpu.utils.laplacian import generate_problem
+
+    n, r, c, v, o, cl, b = generate_problem((8, 8, 8), 5)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64,
+                                mesh=mesh)
+    d = s.inv_diag()
+    s2 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    np.testing.assert_allclose(d, s2.inv_diag(), rtol=1e-11)
+    vals = s.inv_entries(r[:50], c[:50])
+    np.testing.assert_allclose(vals, s2.inv_entries(r[:50], c[:50]),
+                               rtol=1e-11)
