@@ -323,6 +323,32 @@ class SparseCholesky:
     def _panel_itemsize(p) -> int:
         return np.dtype(p.dtype).itemsize if hasattr(p, "dtype") else 4
 
+    @staticmethod
+    def _hbm_budget(fraction: float) -> int:
+        """Usable device-memory budget: `fraction` of the reported HBM
+        limit, 12 GiB fallback on backends without memory_stats."""
+        budget = 12 << 30
+        try:
+            import jax
+
+            stats = jax.devices()[0].memory_stats() or {}
+            budget = int(stats.get("bytes_limit", budget) * fraction)
+        except Exception:  # noqa: BLE001 — CPU/interpret backends
+            pass
+        return budget
+
+    def _factor_bytes(self) -> int:
+        """Device residency of the factors: actual panel dtypes when
+        factored (out-of-core factors are bf16), planned front sizes
+        otherwise."""
+        if self.factored and self.panels is not None:
+            return sum(int(np.prod(p.shape)) * self._panel_itemsize(p)
+                       for p in self.panels)
+        fp = self.fplan
+        item = np.dtype(self.dtype).itemsize
+        return sum((1 << l) * fp.F[l] * fp.W[l] * item
+                   for l in range(fp.levels))
+
     def _want_inv_pivots(self) -> bool:
         """Explicit pivot inverses trade HBM for per-iteration speed in the
         refinement loop (MXU matmuls instead of latency-bound triangular
@@ -338,29 +364,14 @@ class SparseCholesky:
             return flag == "1"
         try:
             fp = self.fplan
-            if self.factored and self.panels is not None:
-                # actual residency: out-of-core factors are bf16 (2 B)
-                factor_bytes = sum(
-                    int(np.prod(p.shape)) * self._panel_itemsize(p)
-                    for p in self.panels)
-            else:
-                item = np.dtype(self.dtype).itemsize
-                factor_bytes = sum((1 << l) * fp.F[l] * fp.W[l] * item
-                                   for l in range(fp.levels))
+            factor_bytes = self._factor_bytes()
             # inverses are computed in f32 regardless of factor storage
             # (frontal._invert_pivot_level_jit)
             inv_bytes = sum(
                 (1 << l) * fp.W[l] * fp.W[l] * 4 for l in range(fp.levels))
         except Exception:  # noqa: BLE001 — panels engine has no fplan
             return True
-        import jax
-
-        budget = 12 << 30
-        try:
-            stats = jax.devices()[0].memory_stats() or {}
-            budget = int(stats.get("bytes_limit", budget) * 0.85)
-        except Exception:  # noqa: BLE001 — CPU/interpret backends
-            pass
+        budget = self._hbm_budget(0.85)
         # Streamed factorizations (fronts past _STREAM_BYTES) bound per-level
         # residency and measured fine WITH inverses at 1M dofs (6.5 GiB
         # factor + 1.9 GiB inverses); the failure mode is the MONOLITHIC
@@ -464,32 +475,9 @@ class SparseCholesky:
             self.factorize()
         out = np.empty(self.plan.n)
         if self.engine == "frontal":
-            import os
-
             from cholesky_tpu.numeric import selinv
-            from cholesky_tpu.utils.capacity import selinv_memory_bytes
 
-            if os.environ.get("CHOLESKY_TPU_SELINV") != "force":
-                # in-core only: P blocks of two adjacent levels + resident
-                # factors must fit HBM — fail with numbers, not an OOM
-                item = 8 if np.dtype(self.dtype) == np.float64 else 4
-                need = selinv_memory_bytes(self.fplan, item) + sum(
-                    int(np.prod(p.shape)) * self._panel_itemsize(p)
-                    for p in self.panels)
-                budget = 12 << 30
-                try:
-                    import jax
-
-                    stats = jax.devices()[0].memory_stats() or {}
-                    budget = int(stats.get("bytes_limit", budget) * 0.9)
-                except Exception:  # noqa: BLE001 — CPU/interpret backends
-                    pass
-                if need > budget:
-                    raise MemoryError(
-                        f"selected inversion needs ~{need / 2**30:.1f} GiB "
-                        f"(two levels of front-inverse blocks + factors) but "
-                        f"~{budget / 2**30:.1f} GiB is available; it has no "
-                        f"streamed path. CHOLESKY_TPU_SELINV=force overrides.")
+            self._selinv_guard()
             out[self.plan.perm] = selinv.selinv_diag(self.fplan, self.panels)
             return out
         # panels engine (small-problem path): dense fallback via the factor
@@ -501,6 +489,28 @@ class SparseCholesky:
             ldense, np.eye(self.plan.n), lower=True)
         out[self.plan.perm] = (linv * linv).sum(axis=0)
         return out
+
+    def _selinv_guard(self) -> None:
+        """Selected inversion is in-core only: two adjacent levels of
+        front-inverse blocks (plus one-hot transients) and the resident
+        factors must fit HBM — fail with the numbers, not a device OOM.
+        CHOLESKY_TPU_SELINV=force overrides."""
+        import os
+
+        from cholesky_tpu.utils.capacity import selinv_memory_bytes
+
+        if os.environ.get("CHOLESKY_TPU_SELINV") == "force":
+            return
+        item = 8 if np.dtype(self.dtype) == np.float64 else 4
+        need = selinv_memory_bytes(self.fplan, item) + self._factor_bytes()
+        budget = self._hbm_budget(0.9)
+        if need > budget:
+            raise MemoryError(
+                f"selected inversion needs ~{need / 2**30:.1f} GiB "
+                f"(front-inverse blocks of two adjacent levels + one-hot "
+                f"transients + factors) but ~{budget / 2**30:.1f} GiB is "
+                f"available; it has no streamed path. "
+                f"CHOLESKY_TPU_SELINV=force overrides.")
 
     def inv_entries(self, rows, cols) -> np.ndarray:
         """Selected entries (A⁻¹)[rows[k], cols[k]] in original dof order,
@@ -516,8 +526,9 @@ class SparseCholesky:
             self.factorize()
         from cholesky_tpu.numeric import selinv
 
-        rows = np.asarray(rows, dtype=np.int64)
-        cols = np.asarray(cols, dtype=np.int64)
+        self._selinv_guard()
+        rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
+        cols = np.atleast_1d(np.asarray(cols, dtype=np.int64))
         return selinv.selinv_entries(
             self.fplan, self.panels,
             self.plan.iperm[rows], self.plan.iperm[cols])

@@ -168,11 +168,8 @@ def _locate_entries(fp: FrontalPlan, pr: np.ndarray, pc: np.ndarray):
     entries are not computed by selected inversion; use solves)."""
     plan = fp.plan
     t = plan.tree
-    nsep = t.num_separators
-    sep_of = np.empty(plan.n, dtype=np.int64)
-    for s in range(1, nsep + 1):
-        off = int(plan.sep_offset[s])
-        sep_of[off:off + int(plan.sep_sizes[s])] = s
+    # separator of each PERMUTED index (plan.sep_of_dof is original-indexed)
+    sep_of = plan.sep_of_dof[plan.perm]
 
     out = []
     for k in range(len(pr)):
@@ -208,7 +205,8 @@ def selinv_entries(fp: FrontalPlan, factors: Sequence[jax.Array],
     (non-leaf levels directly from P = [[Phi_ss, -PX^T], [-PX, Pp]]; the
     leaf level from (Phi_ss, PX) without assembling P)."""
     dt = dtype or _compute_dtype(factors)
-    located = _locate_entries(fp, np.asarray(pr), np.asarray(pc))
+    located = _locate_entries(fp, np.atleast_1d(np.asarray(pr)),
+                              np.atleast_1d(np.asarray(pc)))
     by_level = {}
     for lvl, slot, rp, cp, k in located:
         by_level.setdefault(lvl, []).append((slot, rp, cp, k))

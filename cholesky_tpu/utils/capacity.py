@@ -41,16 +41,24 @@ def plan_memory_bytes(plan, dtype_bytes: int = 4) -> int:
 
 
 def selinv_memory_bytes(fp, dtype_bytes: int = 4) -> int:
-    """Peak HBM of selected inversion (numeric/selinv.py): the recursion
-    holds the front-inverse blocks P = [B, F, F] of two adjacent levels at
-    once (parent consumed, child produced), alongside the factors. selinv is
-    in-core only — check this against HBM before calling inv_diag at
-    scale."""
+    """Peak HBM of selected inversion (numeric/selinv.py). Per step at
+    level l the program holds: the parent blocks P_{l-1} [B/2, Fp, Fp],
+    the output P_l [B, F, F] plus its pieces still live during the block
+    concatenate (counted as a second P_l), and the one-hot transients
+    G2 + M (each B·bnd·Fp elements). Deliberately conservative — XLA may
+    free G2/M before the concatenate — because this backs the
+    fail-with-numbers guard in api.inv_diag/inv_entries. selinv is in-core
+    only."""
     p_bytes = [(1 << l) * fp.F[l] * fp.F[l] * dtype_bytes
                for l in range(fp.levels)]
     if len(p_bytes) == 1:
         return p_bytes[0]
-    return max(p_bytes[l] + p_bytes[l + 1] for l in range(fp.levels - 1))
+    peaks = []
+    for l in range(1, fp.levels):
+        bnd = fp.F[l] - fp.W[l]
+        onehot = 2 * (1 << l) * bnd * fp.F[l - 1] * dtype_bytes
+        peaks.append(p_bytes[l - 1] + 2 * p_bytes[l] + onehot)
+    return max(peaks)
 
 
 def plan_flops(plan) -> float:

@@ -88,5 +88,9 @@ def test_selinv_memory_estimate():
     fp = s.fplan
     est = selinv_memory_bytes(fp, 4)
     p = [(1 << l) * fp.F[l] ** 2 * 4 for l in range(fp.levels)]
-    assert est == max(p[l] + p[l + 1] for l in range(fp.levels - 1))
+    expect = max(
+        p[l - 1] + 2 * p[l]
+        + 2 * (1 << l) * (fp.F[l] - fp.W[l]) * fp.F[l - 1] * 4
+        for l in range(1, fp.levels))
+    assert est == expect
     assert est > 0
