@@ -533,6 +533,36 @@ class SparseCholesky:
             self.fplan, self.panels,
             self.plan.iperm[rows], self.plan.iperm[cols])
 
+    def solve_updated(self, b: np.ndarray, u: np.ndarray, w=None,
+                      tol: float = 1e-12) -> np.ndarray:
+        """Solve (A + U·diag(w)·Uᵀ) x = b via the Woodbury identity, reusing
+        the existing factorization of A — no refactorization for low-rank
+        modifications (observation insertion/deletion, regularizer or
+        boundary-condition tweaks, GP inducing-point updates):
+
+            M⁻¹b = A⁻¹b − A⁻¹U (diag(w)⁻¹ + UᵀA⁻¹U)⁻¹ UᵀA⁻¹b
+
+        U is [n, k] (or [n] for k=1) in original dof order; w is a scalar or
+        [k] of update weights (negative entries down-date; the caller must
+        keep A + U diag(w) Uᵀ nonsingular — a singular capacitance matrix
+        raises LinAlgError). Cost: one k-RHS solve + one 1-RHS solve + an
+        O(k³) dense solve, against a full refactorization."""
+        u = np.asarray(u, dtype=np.float64)
+        if u.ndim == 1:
+            u = u[:, None]
+        k = u.shape[1]
+        if w is None:
+            w = np.ones(k)
+        w = np.broadcast_to(np.asarray(w, dtype=np.float64), (k,))
+        if np.any(w == 0.0):
+            raise ValueError("update weights must be nonzero")
+        # solve() squeezes a [n, 1] RHS to [n]; restore the column axis
+        ainv_u = np.asarray(self.solve(u, tol=tol)).reshape(self.plan.n, k)
+        x = self.solve(b, tol=tol)
+        cap = np.diag(1.0 / w) + u.T @ ainv_u            # [k, k] capacitance
+        correction = ainv_u @ np.linalg.solve(cap, u.T @ x)
+        return x - correction
+
     # ------------------------------------------------------------------
     def logdet(self) -> float:
         """log det(A) = 2 Σ log diag(L), read off the factor's per-level

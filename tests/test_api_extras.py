@@ -185,3 +185,41 @@ def test_update_values_refreshes_refinement_path():
     x2 = s.solve(b)
     assert s.residual(b, x2) <= 1e-10
     assert not np.allclose(x2, x1)
+
+
+def test_solve_updated_woodbury():
+    """Low-rank-updated solves reuse the factor: (A + U diag(w) U^T)x = b
+    against a dense reference, including a down-date and multi-RHS."""
+    import scipy.sparse
+
+    n, r, c, v, o, cl, b = _build()
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    off = r != c
+    a = scipy.sparse.coo_matrix(
+        (np.concatenate([v, v[off]]),
+         (np.concatenate([r, c[off]]), np.concatenate([c, r[off]]))),
+        shape=(n, n)).toarray()
+    rng = np.random.default_rng(2)
+    u = rng.standard_normal((n, 3))
+    w = np.array([2.0, 0.5, -1e-3])          # includes a mild down-date
+    m = a + u @ np.diag(w) @ u.T
+    assert np.all(np.linalg.eigvalsh(m) > 0)  # still SPD
+
+    x = s.solve_updated(b, u, w)
+    np.testing.assert_allclose(x, np.linalg.solve(m, b), rtol=1e-9,
+                               atol=1e-11)
+
+    # rank-1 vector form, default weight
+    u1 = rng.standard_normal(n)
+    x1 = s.solve_updated(b, u1)
+    np.testing.assert_allclose(
+        x1, np.linalg.solve(a + np.outer(u1, u1), b), rtol=1e-9, atol=1e-11)
+
+    # multi-RHS
+    bs = rng.standard_normal((n, 2))
+    xs = s.solve_updated(bs, u, w)
+    np.testing.assert_allclose(xs, np.linalg.solve(m, bs), rtol=1e-9,
+                               atol=1e-11)
+
+    with pytest.raises(ValueError, match="nonzero"):
+        s.solve_updated(b, u, [1.0, 0.0, 1.0])
