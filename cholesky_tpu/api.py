@@ -563,6 +563,34 @@ class SparseCholesky:
         correction = ainv_u @ np.linalg.solve(cap, u.T @ x)
         return x - correction
 
+    def logdet_updated(self, u: np.ndarray, w=None, tol: float = 1e-12
+                       ) -> float:
+        """log det(A + U·diag(w)·Uᵀ) by the matrix determinant lemma,
+        reusing the factor (companion to solve_updated — e.g. GP evidence
+        under observation updates):
+
+            log det(M) = log det(A) + Σ log w + log det(diag(w)⁻¹ + UᵀA⁻¹U)
+
+        Raises ArithmeticError when the update makes the matrix lose
+        positive definiteness (negative determinant sign)."""
+        u = np.asarray(u, dtype=np.float64)
+        if u.ndim == 1:
+            u = u[:, None]
+        k = u.shape[1]
+        if w is None:
+            w = np.ones(k)
+        w = np.broadcast_to(np.asarray(w, dtype=np.float64), (k,))
+        if np.any(w == 0.0):
+            raise ValueError("update weights must be nonzero")
+        ainv_u = np.asarray(self.solve(u, tol=tol)).reshape(self.plan.n, k)
+        cap = np.diag(1.0 / w) + u.T @ ainv_u
+        sign, logabs = np.linalg.slogdet(cap)
+        sign_w = float(np.prod(np.sign(w)))
+        if sign * sign_w <= 0:
+            raise ArithmeticError(
+                "A + U diag(w) U^T is not positive definite")
+        return float(self.logdet() + np.log(np.abs(w)).sum() + logabs)
+
     # ------------------------------------------------------------------
     def logdet(self) -> float:
         """log det(A) = 2 Σ log diag(L), read off the factor's per-level

@@ -223,3 +223,29 @@ def test_solve_updated_woodbury():
 
     with pytest.raises(ValueError, match="nonzero"):
         s.solve_updated(b, u, [1.0, 0.0, 1.0])
+
+
+def test_logdet_updated():
+    """Matrix determinant lemma against dense slogdet, including a
+    down-date and an indefinite rejection."""
+    import scipy.sparse
+
+    n, r, c, v, o, cl, b = _build()
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    off = r != c
+    a = scipy.sparse.coo_matrix(
+        (np.concatenate([v, v[off]]),
+         (np.concatenate([r, c[off]]), np.concatenate([c, r[off]]))),
+        shape=(n, n)).toarray()
+    rng = np.random.default_rng(4)
+    u = rng.standard_normal((n, 2))
+    w = np.array([1.5, -1e-3])
+    ref = np.linalg.slogdet(a + u @ np.diag(w) @ u.T)[1]
+    got = s.logdet_updated(u, w)
+    assert abs(got - ref) <= 1e-9 * abs(ref)
+
+    # a down-date strong enough to break positive definiteness must raise
+    u1 = u[:, :1] / np.linalg.norm(u[:, 0])   # unit vector
+    lam_max = float(np.linalg.eigvalsh(a).max())
+    with pytest.raises(ArithmeticError, match="not positive definite"):
+        s.logdet_updated(u1, -2.0 * lam_max)
