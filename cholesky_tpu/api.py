@@ -533,6 +533,97 @@ class SparseCholesky:
             self.fplan, self.panels,
             self.plan.iperm[rows], self.plan.iperm[cols])
 
+    # ------------------------------------------------------------------
+    # Static condensation (substructuring / domain decomposition): the Schur
+    # complement of A onto the ROOT separator dofs. The caller chooses the
+    # interface by making it the root separator of the ordering (from_coo
+    # with a custom Ordering puts any dof set there). Beyond the reference,
+    # which always factors to completion.
+
+    def _root_extent(self):
+        root = self.plan.tree.sep_at(0, 0)
+        off = int(self.plan.sep_offset[root])
+        sz = int(self.plan.sep_sizes[root])
+        return off, sz
+
+    def schur_dofs(self) -> np.ndarray:
+        """Original dof ids of the root separator — the index set of
+        schur_complement()/condense_rhs() entries, in their row order."""
+        off, sz = self._root_extent()
+        return self.plan.perm[off:off + sz]
+
+    def schur_complement(self) -> np.ndarray:
+        """Dense Schur complement S = A_rr − A_ro·A_oo⁻¹·A_or of A onto the
+        root separator dofs (rows/cols ordered as schur_dofs()).
+
+        In the multifrontal elimination the fully-assembled root front IS
+        this Schur complement (the level-0 extend-add accumulates every
+        interior subtree's update — the sum the reference accumulates
+        through its SYRK/GEMM chain, mmat.rg:1293-1346), and the factor
+        stores its Cholesky L_S — so S = L_S·L_Sᵀ is recovered from the
+        factor at the cost of one matmul, no refactorization. Accuracy
+        follows the factor precision (f64 exact to roundoff; f32 ≈ 1e-7
+        relative; bf16-stored out-of-core factors correspondingly less)."""
+        if self.engine != "frontal":
+            raise NotImplementedError(
+                "schur_complement requires the frontal engine")
+        if not self.factored:
+            self.factorize()
+        import jax.numpy as jnp
+
+        _, sz = self._root_extent()
+        ld = np.tril(np.asarray(
+            jnp.asarray(self.panels[0][0, :sz, :sz], jnp.float64)))
+        return ld @ ld.T
+
+    def condense_rhs(self, b: np.ndarray) -> np.ndarray:
+        """Condensed right-hand side b̂ = b_r − A_ro·A_oo⁻¹·b_o of the
+        interface system S·x_r = b̂ (partial forward substitution over the
+        interior levels). `b` is the FULL rhs in original dof order; the
+        result is ordered as schur_dofs()."""
+        if self.engine != "frontal":
+            raise NotImplementedError("condense_rhs requires the frontal engine")
+        if not self.factored:
+            self.factorize()
+        from cholesky_tpu.numeric import frontal
+
+        b = np.asarray(b, dtype=np.float64).reshape(-1)
+        bg = frontal.forward_partial(self.fplan, self.panels,
+                                     b[self.plan.perm].astype(self.dtype))
+        off, sz = self._root_extent()
+        return np.asarray(bg[off:off + sz], dtype=np.float64)
+
+    def expand_solution(self, b: np.ndarray, x_root: np.ndarray) -> np.ndarray:
+        """Recover the full solution from an interface solution: given x_r
+        solving S·x_r = condense_rhs(b) (computed by any external solver),
+        back-substitute the interior, x_o = A_oo⁻¹(b_o − A_or·x_r). Returns
+        x in original dof order. The (b, x_root) pair must be consistent —
+        the interior recovery reuses the partial forward pass of b."""
+        if self.engine != "frontal":
+            raise NotImplementedError(
+                "expand_solution requires the frontal engine")
+        if not self.factored:
+            self.factorize()
+        from cholesky_tpu.numeric import frontal
+
+        b = np.asarray(b, dtype=np.float64).reshape(-1)
+        _, sz = self._root_extent()
+        x_root = np.asarray(x_root, dtype=np.float64).reshape(-1)
+        if x_root.shape[0] != sz:
+            raise ValueError(
+                f"x_root has {x_root.shape[0]} entries; root separator "
+                f"has {sz}")
+        w0 = self.fplan.W[0]
+        xr = np.zeros(w0, dtype=self.dtype)
+        xr[:sz] = x_root
+        bg = frontal.forward_partial(self.fplan, self.panels,
+                                     b[self.plan.perm].astype(self.dtype))
+        x_perm = np.asarray(frontal.backward_partial(
+            self.fplan, self.panels, bg, xr), dtype=np.float64)
+        x = np.empty(self.plan.n)
+        x[self.plan.perm] = x_perm
+        return x
+
     def solve_updated(self, b: np.ndarray, u: np.ndarray, w=None,
                       tol: float = 1e-12) -> np.ndarray:
         """Solve (A + U·diag(w)·Uᵀ) x = b via the Woodbury identity, reusing

@@ -1205,6 +1205,82 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
     return bg[:n]
 
 
+def frontal_forward_partial(fp: FrontalPlan, factors: Sequence[jax.Array],
+                            b_perm: jax.Array) -> jax.Array:
+    """Forward substitution over levels levels-1 .. 1 ONLY (the interior of
+    the tree, everything below the root separator). Returns the working
+    vector bg [n+1] (sentinel slot last): at the root separator's pivot rows
+    it holds the CONDENSED right-hand side
+
+        b_hat = b_r − A_ro · A_oo⁻¹ · b_o
+
+    of static condensation (the Schur-complement system S·x_r = b_hat), and
+    at interior pivot rows the intermediate y = L_oo⁻¹ b_o needed by
+    frontal_backward_partial. Same recurrence as frontal_solve's forward
+    loop, stopped before the root."""
+    levels = fp.levels
+    bg = jnp.concatenate([b_perm, jnp.zeros((1,), b_perm.dtype)])
+    for lvl in range(levels - 1, 0, -1):
+        Wl, Fl = fp.W[lvl], fp.F[lvl]
+        piv_idx = jnp.asarray(fp.front_rows[lvl][:, :Wl])
+        bp = bg[piv_idx]
+        Ld = factors[lvl][:, :Wl, :].astype(bp.dtype)
+        y = _tri_solve(Ld, bp[..., None], left_side=True, lower=True)[..., 0]
+        bg = bg.at[piv_idx].set(y, mode="drop", indices_are_sorted=False)
+        if Fl > Wl:
+            X = factors[lvl][:, Wl:, :].astype(y.dtype)
+            contrib = jnp.einsum("bij,bj->bi", X, y,
+                                 preferred_element_type=y.dtype)
+            bg = bg.at[jnp.asarray(fp.front_rows[lvl][:, Wl:])].add(-contrib)
+    return bg
+
+
+def frontal_backward_partial(fp: FrontalPlan, factors: Sequence[jax.Array],
+                             bg: jax.Array, x_root: jax.Array) -> jax.Array:
+    """Backward substitution over levels 1 .. levels-1 given the interface
+    solution `x_root` ([W0], padded with zeros past the root separator size)
+    and the working vector from frontal_forward_partial: recovers the
+    interior, x_o = A_oo⁻¹ (b_o − A_or · x_r). Returns x in PERMUTED order
+    [n] (root rows = x_root)."""
+    n = fp.plan.n
+    levels = fp.levels
+    bg = bg.at[jnp.asarray(fp.front_rows[0][:, :fp.W[0]])].set(
+        x_root[None, :].astype(bg.dtype), mode="drop")
+    for lvl in range(1, levels):
+        Wl, Fl = fp.W[lvl], fp.F[lvl]
+        piv_idx = jnp.asarray(fp.front_rows[lvl][:, :Wl])
+        rhs = bg[piv_idx]
+        if Fl > Wl:
+            X = factors[lvl][:, Wl:, :].astype(rhs.dtype)
+            z = bg[jnp.asarray(fp.front_rows[lvl][:, Wl:])]
+            rhs = rhs - jnp.einsum("bij,bi->bj", X, z,
+                                   preferred_element_type=z.dtype)
+        Ld = factors[lvl][:, :Wl, :].astype(rhs.dtype)
+        x = _tri_solve(Ld, rhs[..., None], left_side=True, lower=True,
+                       transpose_a=True)[..., 0]
+        bg = bg.at[piv_idx].set(x)
+    return bg[:n]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _forward_partial_jit(key, factors, b_perm):
+    return frontal_forward_partial(_FPLAN_CACHE[key], factors, b_perm)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _backward_partial_jit(key, factors, bg, x_root):
+    return frontal_backward_partial(_FPLAN_CACHE[key], factors, bg, x_root)
+
+
+def forward_partial(fp: FrontalPlan, factors, b_perm) -> jax.Array:
+    return _forward_partial_jit(fp.key(), tuple(factors), jnp.asarray(b_perm))
+
+
+def backward_partial(fp: FrontalPlan, factors, bg, x_root) -> jax.Array:
+    return _backward_partial_jit(fp.key(), tuple(factors), bg,
+                                 jnp.asarray(x_root))
+
+
 @functools.partial(jax.jit, static_argnums=1)
 def _invert_pivot_level_jit(fac, W):
     Ld = fac[:, :W, :].astype(jnp.float32)   # invert in f32 even for a
