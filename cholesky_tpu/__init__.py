@@ -48,4 +48,5 @@ def enable_x64() -> None:
     jax.config.update("jax_enable_x64", True)
 
 
-from cholesky_tpu.api import SparseCholesky, solve_spd  # noqa: E402,F401
+from cholesky_tpu.api import (  # noqa: E402,F401
+    BatchedFactors, SparseCholesky, solve_spd)

@@ -625,6 +625,45 @@ class SparseCholesky:
         return x
 
     # ------------------------------------------------------------------
+    def factorize_many(self, vals_many) -> "BatchedFactors":
+        """Factor K matrices sharing THIS solver's sparsity pattern in one
+        batched program: `vals_many` is [K, nnz] aligned with
+        coo_pattern(). The whole family runs through one vmapped
+        factorization — the MXU sees K-fold larger batches, so a kernel
+        family (GP hyperparameter candidates, MCMC proposals, time steps)
+        costs far less than K sequential factorizations. Returns a
+        BatchedFactors handle (solve / logdet / residual per system);
+        this solver's own factor state is untouched. Frontal engine,
+        single chip, in-core only."""
+        if self.engine != "frontal":
+            raise NotImplementedError(
+                "factorize_many requires the frontal engine")
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "factorize_many is single-chip (shard the family over "
+                "processes instead)")
+        vals_many = np.asarray(vals_many, dtype=np.float64)
+        if vals_many.ndim != 2 or vals_many.shape[1] != self.vals.shape[0]:
+            raise ValueError(
+                f"vals_many must be [K, {self.vals.shape[0]}] aligned with "
+                f"coo_pattern(); got {vals_many.shape}")
+        k = vals_many.shape[0]
+        # in-core guard: K fronts + K factors + extend-add temps
+        need = 3 * k * self._factor_bytes()
+        budget = self._hbm_budget(0.85)
+        if need > budget:
+            raise MemoryError(
+                f"batched factorization of K={k} needs ~{need / 2**30:.1f} "
+                f"GiB but ~{budget / 2**30:.1f} GiB is available — split "
+                f"the family into chunks")
+        from cholesky_tpu.numeric import frontal
+
+        fronts = frontal.assemble_fronts(
+            self.fplan, self.rows, self.cols, vals_many, dtype=self.dtype)
+        factors = frontal.factor_many(self.fplan, fronts)
+        return BatchedFactors(self, factors, vals_many)
+
+    # ------------------------------------------------------------------
     # Closed-form gradients w.r.t. the matrix values (the COO entries
     # aligned with coo_pattern()). Together these give exact gradients of
     # any scalar built from solves and logdet — e.g. the GP marginal
@@ -885,6 +924,104 @@ class SparseCholesky:
         b = np.asarray(b).reshape(-1)
         ax = self._matrix_csr() @ np.asarray(x).reshape(-1)
         return float(np.linalg.norm(ax - b) / np.linalg.norm(b))
+
+
+class BatchedFactors:
+    """Handle over K same-pattern factorizations (SparseCholesky.
+    factorize_many): per-system solve (with mixed-precision refinement for
+    low-precision factors), logdet, residual. All device work is vmapped —
+    one program for the whole family."""
+
+    def __init__(self, solver: SparseCholesky, factors, vals_many):
+        self._s = solver
+        self.factors = factors       # per-level [K, B, F, W]
+        self.vals_many = vals_many   # [K, nnz] f64, solver's coo_pattern
+        self.k = int(vals_many.shape[0])
+        self._csr = None
+
+    def _csr_family(self):
+        """One CSR structure shared by the family, plus the map from the
+        pattern-aligned value vector to CSR data order."""
+        if self._csr is None:
+            import scipy.sparse
+
+            s = self._s
+            nnz = s.vals.shape[0]
+            sr, sc, sidx = mmio.symmetrize_coo(
+                s.rows, s.cols, np.arange(nnz, dtype=np.float64))
+            coo = scipy.sparse.coo_matrix(
+                (np.arange(len(sr), dtype=np.float64), (sr, sc)),
+                shape=(s.plan.n, s.plan.n))
+            csr = coo.tocsr()
+            # csr.data holds the sym-entry index at each CSR slot; compose
+            # with the sym->pattern map to index vals_many directly
+            self._csr = (csr, sidx.astype(np.int64)[csr.data.astype(np.int64)])
+        return self._csr
+
+    def _matvec(self, x):
+        """A_k @ x_k for every system: [K, n] -> [K, n]."""
+        csr, vmap_idx = self._csr_family()
+        out = np.empty_like(x)
+        for i in range(self.k):
+            csr.data = self.vals_many[i, vmap_idx]
+            out[i] = csr @ x[i]
+        return out
+
+    def _solve_once(self, b):
+        from cholesky_tpu.numeric import frontal
+
+        s = self._s
+        bp = np.asarray(b, dtype=s.dtype)[:, s.plan.perm]
+        xp = np.asarray(frontal.solve_many_systems(s.fplan, self.factors, bp))
+        x = np.empty_like(xp)
+        x[:, s.plan.perm] = xp
+        return x.astype(np.float64)
+
+    def solve(self, b, refine: str = "auto", tol: float = 1e-12,
+              max_iter: int = 50) -> np.ndarray:
+        """Solve A_k x_k = b_k for all systems. `b` is [K, n], or [n] to
+        share one rhs across the family. Refinement ('auto', like
+        SparseCholesky.solve) iterates the whole family together until
+        every system meets tol."""
+        b = np.asarray(b, dtype=np.float64)
+        if b.ndim == 1:
+            b = np.broadcast_to(b, (self.k, b.shape[0])).copy()
+        if b.shape != (self.k, self._s.plan.n):
+            raise ValueError(f"b must be [{self.k}, {self._s.plan.n}]")
+        x = self._solve_once(b)
+        want_ir = refine == "always" or (
+            refine == "auto" and np.dtype(self._s.dtype) != np.float64)
+        if not want_ir:
+            return x
+        bnorm = np.linalg.norm(b, axis=1)
+        for _ in range(max_iter):
+            r = b - self._matvec(x)
+            if np.all(np.linalg.norm(r, axis=1) <= tol * bnorm):
+                break
+            x = x + self._solve_once(r)
+        return x
+
+    def residual(self, b, x) -> np.ndarray:
+        """Per-system relative residuals ||A_k x_k − b_k|| / ||b_k||, [K]."""
+        b = np.asarray(b, dtype=np.float64)
+        if b.ndim == 1:
+            b = np.broadcast_to(b, (self.k, b.shape[0]))
+        r = self._matvec(np.asarray(x, dtype=np.float64)) - b
+        return np.linalg.norm(r, axis=1) / np.linalg.norm(b, axis=1)
+
+    def logdet(self) -> np.ndarray:
+        """log det(A_k) for every system, [K] (padded pivot diagonals are
+        exactly 1 and contribute nothing)."""
+        import jax.numpy as jnp
+
+        fp = self._s.fplan
+        total = np.zeros(self.k)
+        for lvl, p in enumerate(self.factors):
+            w = int(fp.W[lvl])
+            d = np.asarray(jnp.diagonal(p[:, :, :w, :w], axis1=2, axis2=3)
+                           ).astype(np.float64)
+            total += np.log(d).sum(axis=(1, 2))
+        return 2.0 * total
 
 
 def solve_spd(matrix_file: str, separator_file: str, b: np.ndarray,

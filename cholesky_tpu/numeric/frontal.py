@@ -213,7 +213,11 @@ def assemble_fronts(fp: FrontalPlan, rows: np.ndarray, cols: np.ndarray,
     """Scatter original entries into the pivot-column slabs [B, F, W] of each
     level's fronts (original entries only ever live in pivot columns; the
     trailing block is filled by extend-add on device). Padded pivot diagonal
-    entries are set to 1 (well-posed Cholesky under padding)."""
+    entries are set to 1 (well-posed Cholesky under padding).
+
+    `vals` may be [nnz] (one matrix) or [K, nnz] (K same-pattern matrices —
+    the batched-factorization path): the scatter indices are computed once
+    and applied across the leading axis, yielding [K, B, F, W] slabs."""
     plan = fp.plan
     t = plan.tree
     pr = plan.iperm[rows]
@@ -230,11 +234,14 @@ def assemble_fronts(fp: FrontalPlan, rows: np.ndarray, cols: np.ndarray,
                              np.arange(1, plan.num_separators + 2))
     starts = np.concatenate([[0], starts])
 
+    vals = np.asarray(vals)
+    batched = vals.ndim == 2
     out = []
     for lvl in range(plan.levels):
         B = 1 << lvl
         Fl, Wl = fp.F[lvl], fp.W[lvl]
-        arr = np.zeros((B, Fl, Wl), dtype=dtype)
+        shape = (vals.shape[0], B, Fl, Wl) if batched else (B, Fl, Wl)
+        arr = np.zeros(shape, dtype=dtype)
         for sl in range(B):
             s = t.sep_at(lvl, sl)
             off = int(plan.sep_offset[s])
@@ -246,10 +253,16 @@ def assemble_fronts(fp: FrontalPlan, rows: np.ndarray, cols: np.ndarray,
                 pos = np.searchsorted(fr[Wl:], rr)
                 in_piv = rr < off + sz
                 rpos = np.where(in_piv, rr - off, Wl + pos)
-                arr[sl, rpos, pc2[grp] - off] = vals[grp]
+                if batched:
+                    arr[:, sl, rpos, pc2[grp] - off] = vals[:, grp]
+                else:
+                    arr[sl, rpos, pc2[grp] - off] = vals[grp]
             if sz < Wl:
                 idx = np.arange(sz, Wl)
-                arr[sl, idx, idx] = 1.0
+                if batched:
+                    arr[:, sl, idx, idx] = 1.0
+                else:
+                    arr[sl, idx, idx] = 1.0
         out.append(arr)
     return out
 
@@ -1122,7 +1135,15 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
     return tuple(out)
 
 
+# set while tracing vmapped (batched-matrix) programs: the Pallas/lanes
+# kernels are written against concrete [B, F, W] blocks and must not be
+# traced under an extra batching axis
+_DISABLE_CUSTOM_KERNELS = False
+
+
 def _use_lanes(B: int, W: int, dtype) -> bool:
+    if _DISABLE_CUSTOM_KERNELS:
+        return False
     from cholesky_tpu.numeric.pallas_kernels import lanes_eligible
 
     return lanes_eligible(B, W, dtype)
@@ -1133,6 +1154,8 @@ def _use_pallas(F: int, W: int, dtype) -> bool:
 
     import jax as _jax
 
+    if _DISABLE_CUSTOM_KERNELS:
+        return False
     if os.environ.get("CHOLESKY_TPU_PALLAS") != "1":
         return False
     if _jax.default_backend() != "tpu":
@@ -1381,6 +1404,57 @@ def _solve_multi_jit(key, factors, b_perm):
 
 def solve_multi(fp: FrontalPlan, factors, b_perm) -> jax.Array:
     return _solve_multi_jit(fp.key(), tuple(factors), jnp.asarray(b_perm))
+
+
+# ---------------------------------------------------------------------------
+# Batched same-pattern factorization: K matrices sharing one sparsity
+# pattern, factored/solved as ONE vmapped program over [K, B, F, W] slabs.
+# Where the reference re-runs its whole task graph per matrix
+# (--iterations, mmat.rg:1212-1224), the TPU form adds a batch axis — the
+# MXU sees K-fold larger matmul batches, amortizing every dispatch and
+# small-kernel launch across the family (GP hyperparameter sweeps, MCMC,
+# parametric studies).
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _factor_many_jit(key, fronts, extadd):
+    fp = _FPLAN_CACHE[key]
+    return jax.vmap(lambda fr: frontal_factor(fp, fr, extadd=extadd))(fronts)
+
+
+def factor_many(fp: FrontalPlan, fronts, extadd: Optional[str] = None
+                ) -> Tuple[jax.Array, ...]:
+    """Factor K same-pattern matrices at once. `fronts` is the per-level
+    list of [K, B, F, W] slabs from assemble_fronts with 2-D vals. Custom
+    (Pallas) kernels are disabled during tracing — they are written against
+    concrete block shapes, and XLA's batched lowerings take their place
+    under the extra axis."""
+    import os
+
+    global _DISABLE_CUSTOM_KERNELS
+    if extadd is None:
+        extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "hybrid3")
+    prev = _DISABLE_CUSTOM_KERNELS
+    _DISABLE_CUSTOM_KERNELS = True
+    try:
+        return _factor_many_jit(fp.key(),
+                                tuple(jnp.asarray(f) for f in fronts), extadd)
+    finally:
+        _DISABLE_CUSTOM_KERNELS = prev
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _solve_many_systems_jit(key, factors, b_perm):
+    fp = _FPLAN_CACHE[key]
+    return jax.vmap(lambda fac, bb: frontal_solve(fp, fac, bb))(
+        factors, b_perm)
+
+
+def solve_many_systems(fp: FrontalPlan, factors, b_perm) -> jax.Array:
+    """One solve per system: factors [K, B, F, W] per level, b_perm [K, n]
+    (PERMUTED order); returns x_perm [K, n]."""
+    return _solve_many_systems_jit(fp.key(), tuple(factors),
+                                   jnp.asarray(b_perm))
 
 
 _STREAM_BYTES = int(_os.environ.get("CHOLESKY_TPU_STREAM_BYTES",
