@@ -625,6 +625,50 @@ class SparseCholesky:
         return x
 
     # ------------------------------------------------------------------
+    def sample(self, z: np.ndarray) -> np.ndarray:
+        """Samples with covariance A⁻¹ from standard-normal draws: with
+        A_perm = L·Lᵀ, x_perm = L⁻ᵀ z has covariance A_perm⁻¹ — the sparse
+        Cholesky sampler for GMRF / GP posteriors (A the precision matrix;
+        moments from inv_diag/inv_entries, draws from here). `z` is [n] or
+        [n, k] standard normal; returns samples in ORIGINAL dof order.
+        Accuracy follows the factor dtype (f64 exact to roundoff; f32
+        covariance error ~1e-7 relative — far below sampling noise).
+        Frontal engine only."""
+        if self.engine != "frontal":
+            raise NotImplementedError("sample requires the frontal engine")
+        if not self.factored:
+            self.factorize()
+        from cholesky_tpu.numeric import frontal
+
+        z = np.asarray(z, dtype=self.dtype)
+        squeeze = z.ndim == 1
+        zp = z.reshape(self.plan.n, -1)[self.plan.perm]
+        xp = np.asarray(frontal.upper_solve(self.fplan, self.panels, zp))
+        x = np.empty_like(xp)
+        x[self.plan.perm] = xp
+        x = x.astype(np.float64)
+        return x[:, 0] if squeeze else x
+
+    def whiten(self, x: np.ndarray) -> np.ndarray:
+        """The inverse transform of sample(): z = L⁻¹ P x. For
+        x ~ N(0, A⁻¹) (in original dof order) the result is standard
+        normal — residual whitening / standardized innovations for model
+        checking. `x` is [n] or [n, k]. Frontal engine only."""
+        if self.engine != "frontal":
+            raise NotImplementedError("whiten requires the frontal engine")
+        if not self.factored:
+            self.factorize()
+        from cholesky_tpu.numeric import frontal
+
+        x = np.asarray(x, dtype=self.dtype)
+        squeeze = x.ndim == 1
+        xp = x.reshape(self.plan.n, -1)[self.plan.perm]
+        zp = np.asarray(frontal.upper_matvec(self.fplan, self.panels, xp))
+        z = np.empty_like(zp)
+        z[self.plan.perm] = zp        # whiten(sample(z)) == z coordinate-wise
+        return (z[:, 0] if squeeze else z).astype(np.float64)
+
+    # ------------------------------------------------------------------
     def factorize_many(self, vals_many) -> "BatchedFactors":
         """Factor K matrices sharing THIS solver's sparsity pattern in one
         batched program: `vals_many` is [K, nnz] aligned with

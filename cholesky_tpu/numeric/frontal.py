@@ -1285,6 +1285,117 @@ def frontal_backward_partial(fp: FrontalPlan, factors: Sequence[jax.Array],
     return bg[:n]
 
 
+def frontal_upper_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
+                        z_perm: jax.Array) -> jax.Array:
+    """x = L⁻ᵀ z (PERMUTED coordinates): the backward-substitution loop of
+    frontal_solve on a raw right-hand side. Since A_perm = L·Lᵀ, x has
+    covariance A_perm⁻¹ when z ~ N(0, I) — the sparse-Cholesky sampler for
+    GMRF/GP posteriors (pairs with inv_diag/inv_entries for moments)."""
+    n = fp.plan.n
+    bg = jnp.concatenate([z_perm, jnp.zeros((1,), z_perm.dtype)])
+    for lvl in range(fp.levels):
+        Wl, Fl = fp.W[lvl], fp.F[lvl]
+        piv_idx = jnp.asarray(fp.front_rows[lvl][:, :Wl])
+        rhs = bg[piv_idx]
+        if Fl > Wl:
+            X = factors[lvl][:, Wl:, :].astype(rhs.dtype)
+            z = bg[jnp.asarray(fp.front_rows[lvl][:, Wl:])]
+            rhs = rhs - jnp.einsum("bij,bi->bj", X, z,
+                                   preferred_element_type=z.dtype)
+        Ld = factors[lvl][:, :Wl, :].astype(rhs.dtype)
+        x = _tri_solve(Ld, rhs[..., None], left_side=True, lower=True,
+                       transpose_a=True)[..., 0]
+        bg = bg.at[piv_idx].set(x)
+    return bg[:n]
+
+
+def frontal_lower_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
+                        b_perm: jax.Array) -> jax.Array:
+    """y = L⁻¹ b (PERMUTED coordinates): the forward-substitution loop of
+    frontal_solve alone — the whitening transform (L⁻¹x ~ N(0, I) for
+    x ~ N(0, A_perm))."""
+    n = fp.plan.n
+    bg = jnp.concatenate([b_perm, jnp.zeros((1,), b_perm.dtype)])
+    for lvl in range(fp.levels - 1, -1, -1):
+        Wl, Fl = fp.W[lvl], fp.F[lvl]
+        piv_idx = jnp.asarray(fp.front_rows[lvl][:, :Wl])
+        bp = bg[piv_idx]
+        Ld = factors[lvl][:, :Wl, :].astype(bp.dtype)
+        y = _tri_solve(Ld, bp[..., None], left_side=True, lower=True)[..., 0]
+        bg = bg.at[piv_idx].set(y, mode="drop", indices_are_sorted=False)
+        if Fl > Wl:
+            X = factors[lvl][:, Wl:, :].astype(y.dtype)
+            contrib = jnp.einsum("bij,bj->bi", X, y,
+                                 preferred_element_type=y.dtype)
+            bg = bg.at[jnp.asarray(fp.front_rows[lvl][:, Wl:])].add(-contrib)
+    return bg[:n]
+
+
+def frontal_upper_matvec(fp: FrontalPlan, factors: Sequence[jax.Array],
+                         x_perm: jax.Array) -> jax.Array:
+    """z = Lᵀ x (PERMUTED coordinates) — the whitening transform: for
+    x ~ N(0, A_perm⁻¹), Lᵀx ~ N(0, I). Unlike the solves this has no
+    recursion at all: each separator's output rows are one batched
+    contraction of its factor column block against the front's x values,
+    z_piv(s) = L_pivᵀ x_piv(s) + Xᵀ x_bnd(s)."""
+    n = fp.plan.n
+    bg = jnp.concatenate([x_perm, jnp.zeros((1,), x_perm.dtype)])
+    out = jnp.zeros_like(bg)
+    for lvl in range(fp.levels):
+        Wl = fp.W[lvl]
+        piv_idx = jnp.asarray(fp.front_rows[lvl][:, :Wl])
+        fac = factors[lvl].astype(bg.dtype)
+        # stored pivot blocks are lower triangular by construction for the
+        # XLA paths; tril defensively (the lanes kernel's padding lanes may
+        # carry scratch above the diagonal)
+        fac = jnp.concatenate(
+            [jnp.tril(fac[:, :Wl, :]), fac[:, Wl:, :]], axis=1)
+        xf = bg[jnp.asarray(fp.front_rows[lvl])]            # [B, F]
+        z = jnp.einsum("bkj,bk->bj", fac, xf,
+                       preferred_element_type=xf.dtype)
+        out = out.at[piv_idx].set(z, mode="drop")
+    return out[:n]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _upper_matvec_jit(key, factors, x_perm):
+    fp = _FPLAN_CACHE[key]
+    if x_perm.ndim == 2:
+        return jax.vmap(lambda xc: frontal_upper_matvec(fp, factors, xc),
+                        in_axes=1, out_axes=1)(x_perm)
+    return frontal_upper_matvec(fp, factors, x_perm)
+
+
+def upper_matvec(fp: FrontalPlan, factors, x_perm) -> jax.Array:
+    return _upper_matvec_jit(fp.key(), tuple(factors), jnp.asarray(x_perm))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _upper_solve_jit(key, factors, z_perm):
+    fp = _FPLAN_CACHE[key]
+    if z_perm.ndim == 2:
+        return jax.vmap(lambda zc: frontal_upper_solve(fp, factors, zc),
+                        in_axes=1, out_axes=1)(z_perm)
+    return frontal_upper_solve(fp, factors, z_perm)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _lower_solve_jit(key, factors, b_perm):
+    fp = _FPLAN_CACHE[key]
+    if b_perm.ndim == 2:
+        return jax.vmap(lambda bc: frontal_lower_solve(fp, factors, bc),
+                        in_axes=1, out_axes=1)(b_perm)
+    return frontal_lower_solve(fp, factors, b_perm)
+
+
+def upper_solve(fp: FrontalPlan, factors, z_perm) -> jax.Array:
+    return _upper_solve_jit(fp.key(), tuple(factors), jnp.asarray(z_perm))
+
+
+def lower_solve(fp: FrontalPlan, factors, b_perm) -> jax.Array:
+    return _lower_solve_jit(fp.key(), tuple(factors), jnp.asarray(b_perm))
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def _forward_partial_jit(key, factors, b_perm):
     return frontal_forward_partial(_FPLAN_CACHE[key], factors, b_perm)
