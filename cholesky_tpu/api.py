@@ -678,22 +678,24 @@ class SparseCholesky:
         costs far less than K sequential factorizations. Returns a
         BatchedFactors handle (solve / logdet / residual per system);
         this solver's own factor state is untouched. Frontal engine,
-        single chip, in-core only."""
+        in-core only. With a mesh, the SYSTEM axis shards over the
+        devices — each chip owns K/ndev independent factorizations
+        (embarrassingly parallel; the mesh shards the family here, not
+        the tree)."""
         if self.engine != "frontal":
             raise NotImplementedError(
                 "factorize_many requires the frontal engine")
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "factorize_many is single-chip (shard the family over "
-                "processes instead)")
         vals_many = np.asarray(vals_many, dtype=np.float64)
         if vals_many.ndim != 2 or vals_many.shape[1] != self.vals.shape[0]:
             raise ValueError(
                 f"vals_many must be [K, {self.vals.shape[0]}] aligned with "
                 f"coo_pattern(); got {vals_many.shape}")
         k = vals_many.shape[0]
-        # in-core guard: K fronts + K factors + extend-add temps
-        need = 3 * k * self._factor_bytes()
+        ndev = int(self.mesh.devices.size) if self.mesh is not None else 1
+        if k % ndev:
+            ndev = 1                      # replicated fallback (mesh.py)
+        # in-core guard (per chip): K/ndev fronts + factors + temps
+        need = 3 * (k // ndev) * self._factor_bytes()
         budget = self._hbm_budget(0.85)
         if need > budget:
             raise MemoryError(
@@ -704,7 +706,7 @@ class SparseCholesky:
 
         fronts = frontal.assemble_fronts(
             self.fplan, self.rows, self.cols, vals_many, dtype=self.dtype)
-        factors = frontal.factor_many(self.fplan, fronts)
+        factors = frontal.factor_many(self.fplan, fronts, mesh=self.mesh)
         return BatchedFactors(self, factors, vals_many)
 
     # ------------------------------------------------------------------
@@ -1016,7 +1018,8 @@ class BatchedFactors:
 
         s = self._s
         bp = np.asarray(b, dtype=s.dtype)[:, s.plan.perm]
-        xp = np.asarray(frontal.solve_many_systems(s.fplan, self.factors, bp))
+        xp = np.asarray(frontal.solve_many_systems(
+            s.fplan, self.factors, bp, mesh=s.mesh))
         x = np.empty_like(xp)
         x[:, s.plan.perm] = xp
         return x.astype(np.float64)

@@ -1533,18 +1533,26 @@ def _factor_many_jit(key, fronts, extadd):
     return jax.vmap(lambda fr: frontal_factor(fp, fr, extadd=extadd))(fronts)
 
 
-def factor_many(fp: FrontalPlan, fronts, extadd: Optional[str] = None
-                ) -> Tuple[jax.Array, ...]:
+def factor_many(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
+                mesh=None) -> Tuple[jax.Array, ...]:
     """Factor K same-pattern matrices at once. `fronts` is the per-level
     list of [K, B, F, W] slabs from assemble_fronts with 2-D vals. Custom
     (Pallas) kernels are disabled during tracing — they are written against
     concrete block shapes, and XLA's batched lowerings take their place
-    under the extra axis."""
+    under the extra axis.
+
+    With `mesh`, the SYSTEM axis shards over the devices (each chip owns
+    K/ndev independent factorizations — zero collectives; GSPMD keeps the
+    partitioning through the whole program from the input shardings)."""
     import os
 
     global _DISABLE_CUSTOM_KERNELS
     if extadd is None:
         extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "hybrid3")
+    if mesh is not None:
+        from cholesky_tpu.parallel.mesh import distribute_family
+
+        fronts = distribute_family([jnp.asarray(f) for f in fronts], mesh)
     prev = _DISABLE_CUSTOM_KERNELS
     _DISABLE_CUSTOM_KERNELS = True
     try:
@@ -1561,11 +1569,18 @@ def _solve_many_systems_jit(key, factors, b_perm):
         factors, b_perm)
 
 
-def solve_many_systems(fp: FrontalPlan, factors, b_perm) -> jax.Array:
+def solve_many_systems(fp: FrontalPlan, factors, b_perm,
+                       mesh=None) -> jax.Array:
     """One solve per system: factors [K, B, F, W] per level, b_perm [K, n]
-    (PERMUTED order); returns x_perm [K, n]."""
-    return _solve_many_systems_jit(fp.key(), tuple(factors),
-                                   jnp.asarray(b_perm))
+    (PERMUTED order); returns x_perm [K, n]. With `mesh`, the rhs shards
+    over the system axis to match system-sharded factors."""
+    b_perm = jnp.asarray(b_perm)
+    if mesh is not None:
+        from cholesky_tpu.parallel.mesh import family_sharding
+
+        b_perm = jax.device_put(
+            b_perm, family_sharding(mesh, int(b_perm.shape[0]), ndim=2))
+    return _solve_many_systems_jit(fp.key(), tuple(factors), b_perm)
 
 
 _STREAM_BYTES = int(_os.environ.get("CHOLESKY_TPU_STREAM_BYTES",

@@ -55,6 +55,24 @@ def rhs_sharding(mesh: Mesh, level: int) -> NamedSharding:
     return NamedSharding(mesh, P(None, None))
 
 
+def family_sharding(mesh: Mesh, k: int, ndim: int = 4) -> NamedSharding:
+    """Sharding for batched same-pattern families: the SYSTEM axis (leading
+    K of [K, B, F, W] fronts / [K, n] right-hand sides) shards over the
+    mesh — each chip owns K/ndev whole factorizations, zero cross-chip
+    communication (the family members are independent). Replicated when K
+    doesn't divide."""
+    ndev = int(mesh.devices.size)
+    spec = [None] * ndim
+    if k >= ndev and k % ndev == 0:
+        spec[0] = TREE_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def distribute_family(fronts: Sequence, mesh: Mesh) -> List[jax.Array]:
+    k = int(fronts[0].shape[0])
+    return [jax.device_put(f, family_sharding(mesh, k)) for f in fronts]
+
+
 def distribute_panels(panels: Sequence, mesh: Mesh) -> List[jax.Array]:
     return [jax.device_put(p, panel_sharding(mesh, lvl))
             for lvl, p in enumerate(panels)]

@@ -69,3 +69,33 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+
+def test_family_shards_over_mesh(mesh):
+    """factorize_many with a mesh: SYSTEM axis shards K/ndev per chip,
+    results identical to single-device; K not divisible falls back to
+    replicated but still solves."""
+    from cholesky_tpu.utils.laplacian import generate_problem as gen
+
+    n, r, c, v, o, cl, b = gen((12, 12), 3)
+    rng = np.random.default_rng(11)
+    k = 8
+    vals = (1.0 + rng.uniform(0, 2, size=k))[:, None] * v[None, :]
+    vals[:, r == c] += rng.uniform(0, 1, size=(k, int((r == c).sum())))
+
+    s1 = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    sD = SparseCholesky.from_coo(n, r, c, v, o, cl, mesh=mesh)
+    bf1 = s1.factorize_many(vals)
+    bfD = sD.factorize_many(vals)
+    # the system axis really is sharded over all 8 devices
+    assert len(bfD.factors[0].sharding.device_set) == 8
+    B = rng.standard_normal((k, n))
+    x1 = bf1.solve(B)
+    xD = bfD.solve(B)
+    np.testing.assert_allclose(x1, xD, rtol=1e-12, atol=1e-12)
+    assert np.all(bfD.residual(B, xD) <= 1e-10)
+
+    # K=5 doesn't divide 8 devices: replicated fallback, still correct
+    bf5 = sD.factorize_many(vals[:5])
+    x5 = bf5.solve(B[:5])
+    assert np.all(bf5.residual(B[:5], x5) <= 1e-10)
