@@ -99,8 +99,16 @@ class SparseCholesky:
         if self.engine == "frontal":
             from cholesky_tpu.numeric import frontal
 
-            buffers = frontal.assemble_fronts(
-                self.fplan, self.rows, self.cols, self.vals, dtype=self.dtype)
+            if self._device_assembly_ok():
+                # in-core: refill runs as one compiled scatter per level on
+                # device — only the [nnz] values cross host->device (the
+                # reference re-runs host fill_block per iteration,
+                # mmat.rg:1216-1224)
+                buffers = self._assembler()(self.vals, dtype=self.dtype)
+            else:
+                buffers = frontal.assemble_fronts(
+                    self.fplan, self.rows, self.cols, self.vals,
+                    dtype=self.dtype)
         else:
             buffers = assemble.assemble_panels(
                 self.plan, self.rows, self.cols, self.vals, dtype=self.dtype)
@@ -336,6 +344,32 @@ class SparseCholesky:
         except Exception:  # noqa: BLE001 — CPU/interpret backends
             pass
         return budget
+
+    def _assembler(self):
+        """Pattern-bound device assembler (frontal engine), built once and
+        kept across update_values — the scatter indices are value-free."""
+        if getattr(self, "_fasm", None) is None:
+            from cholesky_tpu.numeric import frontal
+
+            self._fasm = frontal.FrontAssembler(
+                self.fplan, self.rows, self.cols)
+        return self._fasm
+
+    def _device_assembly_ok(self) -> bool:
+        """Device-side assembly applies in the in-core regime only: past
+        _STREAM_BYTES the factorization streams fronts from HOST memory
+        level by level, so the slabs must materialize on the host; with a
+        mesh the slabs go straight host->sharded without staging through
+        one device."""
+        import os
+
+        if os.environ.get("CHOLESKY_TPU_DEVICE_ASSEMBLE", "1") == "0":
+            return False
+        if self.engine != "frontal" or self.mesh is not None:
+            return False
+        from cholesky_tpu.numeric import frontal
+
+        return self._factor_bytes() <= frontal._STREAM_BYTES
 
     def _factor_bytes(self) -> int:
         """Device residency of the factors: actual panel dtypes when
@@ -704,8 +738,12 @@ class SparseCholesky:
                 f"the family into chunks")
         from cholesky_tpu.numeric import frontal
 
-        fronts = frontal.assemble_fronts(
-            self.fplan, self.rows, self.cols, vals_many, dtype=self.dtype)
+        if self.mesh is None and self._device_assembly_ok():
+            # upload [K, nnz] once; the K-fold slabs never exist on host
+            fronts = self._assembler()(vals_many, dtype=self.dtype)
+        else:
+            fronts = frontal.assemble_fronts(
+                self.fplan, self.rows, self.cols, vals_many, dtype=self.dtype)
         factors = frontal.factor_many(self.fplan, fronts, mesh=self.mesh)
         return BatchedFactors(self, factors, vals_many)
 

@@ -208,16 +208,14 @@ def build_frontal_plan(plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
 # Host assembly
 
 
-def assemble_fronts(fp: FrontalPlan, rows: np.ndarray, cols: np.ndarray,
-                    vals: np.ndarray, dtype=np.float32) -> List[np.ndarray]:
-    """Scatter original entries into the pivot-column slabs [B, F, W] of each
-    level's fronts (original entries only ever live in pivot columns; the
-    trailing block is filled by extend-add on device). Padded pivot diagonal
-    entries are set to 1 (well-posed Cholesky under padding).
-
-    `vals` may be [nnz] (one matrix) or [K, nnz] (K same-pattern matrices —
-    the batched-factorization path): the scatter indices are computed once
-    and applied across the leading axis, yielding [K, B, F, W] slabs."""
+def _front_scatter_indices(fp: FrontalPlan, rows: np.ndarray,
+                           cols: np.ndarray):
+    """Where every original COO entry lands in the pivot-column slabs: per
+    level, (val_sel, flat_idx, ones_flat) with `vals[val_sel]` going to flat
+    position `flat_idx` of the [B*F*W] slab and `ones_flat` the padded pivot
+    diagonal positions (set to 1 for well-posed Cholesky under padding).
+    Pure pattern bookkeeping — computed once, reused for every refill (the
+    reference recomputes hash lookups per fill_block call, mmat.rg:530-633)."""
     plan = fp.plan
     t = plan.tree
     pr = plan.iperm[rows]
@@ -234,14 +232,11 @@ def assemble_fronts(fp: FrontalPlan, rows: np.ndarray, cols: np.ndarray,
                              np.arange(1, plan.num_separators + 2))
     starts = np.concatenate([[0], starts])
 
-    vals = np.asarray(vals)
-    batched = vals.ndim == 2
     out = []
     for lvl in range(plan.levels):
         B = 1 << lvl
         Fl, Wl = fp.F[lvl], fp.W[lvl]
-        shape = (vals.shape[0], B, Fl, Wl) if batched else (B, Fl, Wl)
-        arr = np.zeros(shape, dtype=dtype)
+        sels, flats, ones = [], [], []
         for sl in range(B):
             s = t.sep_at(lvl, sl)
             off = int(plan.sep_offset[s])
@@ -253,18 +248,94 @@ def assemble_fronts(fp: FrontalPlan, rows: np.ndarray, cols: np.ndarray,
                 pos = np.searchsorted(fr[Wl:], rr)
                 in_piv = rr < off + sz
                 rpos = np.where(in_piv, rr - off, Wl + pos)
-                if batched:
-                    arr[:, sl, rpos, pc2[grp] - off] = vals[:, grp]
-                else:
-                    arr[sl, rpos, pc2[grp] - off] = vals[grp]
+                sels.append(grp)
+                flats.append((sl * Fl + rpos) * Wl + (pc2[grp] - off))
             if sz < Wl:
-                idx = np.arange(sz, Wl)
-                if batched:
-                    arr[:, sl, idx, idx] = 1.0
-                else:
-                    arr[sl, idx, idx] = 1.0
+                d = np.arange(sz, Wl, dtype=np.int64)
+                ones.append((sl * Fl + d) * Wl + d)
+        cat = lambda xs: (np.concatenate(xs) if xs
+                          else np.zeros(0, dtype=np.int64))
+        out.append((cat(sels).astype(np.int64), cat(flats).astype(np.int64),
+                    cat(ones).astype(np.int64)))
+    return out
+
+
+def assemble_fronts(fp: FrontalPlan, rows: np.ndarray, cols: np.ndarray,
+                    vals: np.ndarray, dtype=np.float32) -> List[np.ndarray]:
+    """Scatter original entries into the pivot-column slabs [B, F, W] of each
+    level's fronts (original entries only ever live in pivot columns; the
+    trailing block is filled by extend-add on device). Padded pivot diagonal
+    entries are set to 1 (well-posed Cholesky under padding).
+
+    `vals` may be [nnz] (one matrix) or [K, nnz] (K same-pattern matrices —
+    the batched-factorization path): the scatter indices are computed once
+    and applied across the leading axis, yielding [K, B, F, W] slabs."""
+    plan = fp.plan
+    vals = np.asarray(vals)
+    batched = vals.ndim == 2
+    out = []
+    for lvl, (sel, flat, ones) in enumerate(
+            _front_scatter_indices(fp, rows, cols)):
+        B = 1 << lvl
+        Fl, Wl = fp.F[lvl], fp.W[lvl]
+        if batched:
+            arr = np.zeros((vals.shape[0], B * Fl * Wl), dtype=dtype)
+            arr[:, ones] = 1.0
+            arr[:, flat] = vals[:, sel]
+            arr = arr.reshape(vals.shape[0], B, Fl, Wl)
+        else:
+            arr = np.zeros(B * Fl * Wl, dtype=dtype)
+            arr[ones] = 1.0
+            arr[flat] = vals[sel]
+            arr = arr.reshape(B, Fl, Wl)
         out.append(arr)
     return out
+
+
+class FrontAssembler:
+    """Device-side front assembly: the reference's per-iteration refill
+    (fill_block hash probes, mmat.rg:530-633, re-run each --iterations pass
+    at :1216-1224) becomes ONE compiled scatter per level. Re-factorization
+    with new values (update_values / factorize_many / --iterations) then
+    uploads only the [nnz] value vector — not the assembled slabs — and the
+    whole refill runs at HBM bandwidth on device. Indices are pattern-only:
+    built once, valid for every value set."""
+
+    def __init__(self, fp: FrontalPlan, rows: np.ndarray, cols: np.ndarray):
+        self.fp = fp
+        self.idx = _front_scatter_indices(fp, rows, cols)
+        self.shapes = tuple((1 << lvl, fp.F[lvl], fp.W[lvl])
+                            for lvl in range(fp.plan.levels))
+
+    def __call__(self, vals, dtype=np.float32) -> List[jax.Array]:
+        """vals [nnz] or [K, nnz] → per-level device slabs [B, F, W] or
+        [K, B, F, W]."""
+        dtype = np.dtype(dtype)
+        vals = np.asarray(vals)
+        if vals.dtype.itemsize > dtype.itemsize:
+            vals = vals.astype(dtype)       # halve the upload before H2D
+        idx = tuple(tuple(jnp.asarray(a) for a in lvl) for lvl in self.idx)
+        out = _assemble_device_jit(self.shapes, str(dtype), jnp.asarray(vals),
+                                   idx)
+        return list(out)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _assemble_device_jit(shapes, dtype, vals, idx):
+    dt = jnp.dtype(dtype)
+
+    def one(v):
+        outs = []
+        for (B, Fl, Wl), (sel, flat, ones) in zip(shapes, idx):
+            slab = jnp.zeros((B * Fl * Wl,), dt)
+            slab = slab.at[ones].set(jnp.asarray(1.0, dt),
+                                     indices_are_sorted=True,
+                                     unique_indices=True)
+            slab = slab.at[flat].set(v[sel].astype(dt), unique_indices=True)
+            outs.append(slab.reshape(B, Fl, Wl))
+        return tuple(outs)
+
+    return jax.vmap(one)(vals) if vals.ndim == 2 else one(vals)
 
 
 # ---------------------------------------------------------------------------
