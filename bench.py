@@ -199,13 +199,12 @@ def main(argv=None):
                           "wall_s": round(dt, 3)}))
         return 0
 
-    # --- frontal symbolic plan, assemble, ship to device ---
+    # --- frontal symbolic plan, assemble ---
     t0 = time.time()
     fp = solver.fplan
-    fronts = frontal.assemble_fronts(fp, solver.rows, solver.cols,
-                                     solver.vals, dtype=dtype)
-    front_bytes = sum(f.nbytes for f in fronts)
-    print(f"# frontal plan+assemble {time.time()-t0:.1f}s, "
+    front_bytes = sum((1 << l) * fp.F[l] * fp.W[l]
+                      for l in range(fp.levels)) * np.dtype(dtype).itemsize
+    print(f"# frontal plan {time.time()-t0:.1f}s, "
           f"front buffers {front_bytes/2**30:.2f} GiB "
           f"(F per level: {list(fp.F)})", file=sys.stderr)
 
@@ -218,14 +217,21 @@ def main(argv=None):
     offload = (os.environ.get("CHOLESKY_TPU_UPLOAD_STREAM") == "1"
                or front_bytes > frontal._OFFLOAD_BYTES)
     if offload:
-        fronts_host = [np.asarray(f) for f in fronts]
-        print("# out-of-core: host-streamed fronts, bf16-stored factors",
-              file=sys.stderr)
-    else:
         t0 = time.time()
-        fronts = tuple(jax.device_put(jnp.asarray(f)) for f in fronts)
+        fronts_host = frontal.assemble_fronts(
+            fp, solver.rows, solver.cols, solver.vals, dtype=dtype)
+        fronts = None                  # the streamed driver reads fronts_host
+        print(f"# out-of-core: host-streamed fronts, bf16-stored factors "
+              f"(host assemble {time.time()-t0:.1f}s)", file=sys.stderr)
+    else:
+        # in-core: device-side assembly — only the [nnz] values cross
+        # host->device; the refill scatter runs on chip
+        t0 = time.time()
+        fronts = tuple(frontal.FrontAssembler(fp, solver.rows, solver.cols)(
+            solver.vals, dtype=dtype))
         jax.block_until_ready(fronts)
-        print(f"# transfer {time.time()-t0:.1f}s", file=sys.stderr)
+        print(f"# device assemble+transfer {time.time()-t0:.1f}s",
+              file=sys.stderr)
 
     extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "hybrid3")
     # Past ~2 GiB of front buffers the non-donating program cannot hold
@@ -302,7 +308,7 @@ def main(argv=None):
             # a donating program that failed AFTER dispatch has already
             # invalidated its inputs — retrying would mask the real error
             # with "Array has been deleted"
-            consumed = donate and any(
+            consumed = donate and fronts is not None and any(
                 getattr(f, "is_deleted", lambda: False)() for f in fronts)
             if use_stream or consumed or attempt == 3:
                 raise
