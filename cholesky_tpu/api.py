@@ -27,7 +27,7 @@ class SparseCholesky:
 
     def __init__(self, plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
                  vals: np.ndarray, dtype=np.float64, mesh=None,
-                 engine: str = "frontal"):
+                 engine: str = "frontal", signs=None):
         if engine not in ("frontal", "panels"):
             raise ValueError(f"unknown engine {engine!r}")
         self.plan = plan
@@ -35,6 +35,17 @@ class SparseCholesky:
         self.dtype = dtype
         self.mesh = mesh            # optional jax.sharding.Mesh for multichip
         self.engine = engine
+        self.signs = None           # quasi-definite signature (numeric/ldlt)
+        if signs is not None:
+            signs = np.asarray(signs, dtype=np.float64).reshape(-1)
+            if signs.shape[0] != plan.n or not np.all(np.abs(signs) == 1.0):
+                raise ValueError("signs must be [n] of +1/-1")
+            if engine != "frontal" or mesh is not None:
+                raise NotImplementedError(
+                    "quasi-definite LDL^T: frontal engine, single chip")
+            if np.all(signs == 1.0):
+                signs = None        # all-positive signature IS Cholesky
+            self.signs = signs
         self.panels = None          # assembled (pre-factor) or factored panels
         self.factored = False
         self._csr = None            # cached scipy CSR for residual/matvec
@@ -45,7 +56,7 @@ class SparseCholesky:
     def from_files(cls, matrix_file: str, separator_file: str,
                    clusters_file: Optional[str] = None, dtype=np.float64,
                    pad_to: int = 8, mesh=None,
-                   engine: str = "frontal") -> "SparseCholesky":
+                   engine: str = "frontal", signs=None) -> "SparseCholesky":
         ordng = ordio.parse_ordering(separator_file)
         clusters = ordio.parse_clusters(clusters_file) if clusters_file else None
         plan = build_plan(ordng, clusters, pad_to=pad_to)
@@ -56,32 +67,37 @@ class SparseCholesky:
         # normalize to lower triangle; 'general'-symmetry files store both
         # triangles, so deduplicate (mmio.dedup_lower)
         r2, c2, v2 = mmio.dedup_lower(r, c, v)
-        return cls(plan, r2, c2, v2, dtype=dtype, mesh=mesh, engine=engine)
+        return cls(plan, r2, c2, v2, dtype=dtype, mesh=mesh, engine=engine,
+                   signs=signs)
 
     @classmethod
     def from_matrix(cls, n: int, rows, cols, vals, levels=None,
-                    dtype=np.float64, mesh=None, engine: str = "frontal"):
-        """Solve an arbitrary SPD matrix with NO precomputed ordering: a
-        nested-dissection ordering is computed from the sparsity graph
+                    dtype=np.float64, mesh=None, engine: str = "frontal",
+                    signs=None):
+        """Solve an arbitrary SPD — or, with `signs`, symmetric
+        quasi-definite — matrix with NO precomputed ordering: a nested-
+        dissection ordering is computed from the sparsity graph
         (symbolic/nd.py). The reference has no equivalent — it requires
-        offline ord/clust files."""
+        offline ord/clust files and is SPD-only."""
         from cholesky_tpu.symbolic.nd import nested_dissection_graph
 
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         ordng, clusters = nested_dissection_graph(n, rows, cols, levels)
         return cls.from_coo(n, rows, cols, vals, ordng, clusters,
-                            dtype=dtype, mesh=mesh, engine=engine)
+                            dtype=dtype, mesh=mesh, engine=engine,
+                            signs=signs)
 
     @classmethod
     def from_coo(cls, n: int, rows, cols, vals, ordng: ordio.Ordering,
                  clusters=None, dtype=np.float64, pad_to: int = 8, mesh=None,
-                 engine: str = "frontal"):
+                 engine: str = "frontal", signs=None):
         plan = build_plan(ordng, clusters, pad_to=pad_to)
         if plan.n != n:
             raise ValueError("ordering does not cover the matrix dimension")
         r2, c2, v2 = mmio.dedup_lower(rows, cols, vals)
-        return cls(plan, r2, c2, v2, dtype=dtype, mesh=mesh, engine=engine)
+        return cls(plan, r2, c2, v2, dtype=dtype, mesh=mesh, engine=engine,
+                   signs=signs)
 
     # ------------------------------------------------------------------
     @property
@@ -185,7 +201,11 @@ class SparseCholesky:
         Off by default: the check syncs the device once per level."""
         if self.panels is None or self.factored:
             self.assemble()
-        if self.engine == "frontal":
+        if self.signs is not None:
+            from cholesky_tpu.numeric import ldlt
+
+            self.panels = ldlt.factor_qd(self.fplan, self.panels, self.signs)
+        elif self.engine == "frontal":
             from cholesky_tpu.numeric import frontal
 
             self.panels = frontal.factor(self.fplan, self.panels,
@@ -222,6 +242,19 @@ class SparseCholesky:
     def _solve_once(self, b: np.ndarray) -> np.ndarray:
         if not self.factored:
             self.factorize()
+        if self.signs is not None:
+            from cholesky_tpu.numeric import ldlt
+
+            b = np.asarray(b, dtype=self.dtype)
+            squeeze = b.ndim == 1
+            bp = b.reshape(self.plan.n, -1)[self.plan.perm]
+            xp = np.stack([
+                np.asarray(ldlt.solve_qd(self.fplan, self.panels, self.signs,
+                                         bp[:, j]))
+                for j in range(bp.shape[1])], axis=1)
+            x = np.empty_like(xp)
+            x[self.plan.perm] = xp
+            return x[:, 0] if squeeze else x
         if self.engine == "frontal":
             from cholesky_tpu.numeric import frontal
 
@@ -269,6 +302,9 @@ class SparseCholesky:
         import jax
 
         mode = os.environ.get("CHOLESKY_TPU_DEVICE_IR", "df")
+        if self.signs is not None:
+            mode = "0"      # quasi-definite: host Richardson loop below
+                            # (the device-IR programs assume the SPD factor)
         x = None
         if mode == "1" and b.ndim == 1 and self.engine == "frontal" \
                 and jax.config.jax_enable_x64:
@@ -505,6 +541,7 @@ class SparseCholesky:
         covariance), leverage scores, error estimation. The reference has
         no inverse capability. Accuracy follows the factor precision
         (f64 factor ≈ 1e-13 relative; f32 ≈ κ(A)·1e-7)."""
+        self._require_spd("selected inversion")
         if not self.factored:
             self.factorize()
         out = np.empty(self.plan.n)
@@ -553,6 +590,7 @@ class SparseCholesky:
         recursion as inv_diag, stopping at the deepest requested tree
         level. Entries outside the pattern raise ValueError (solve unit
         vectors for those). Frontal engine only."""
+        self._require_spd("selected inversion")
         if self.engine != "frontal":
             raise NotImplementedError(
                 "inv_entries requires the frontal engine")
@@ -598,6 +636,7 @@ class SparseCholesky:
         factor at the cost of one matmul, no refactorization. Accuracy
         follows the factor precision (f64 exact to roundoff; f32 ≈ 1e-7
         relative; bf16-stored out-of-core factors correspondingly less)."""
+        self._require_spd("schur_complement")
         if self.engine != "frontal":
             raise NotImplementedError(
                 "schur_complement requires the frontal engine")
@@ -615,6 +654,7 @@ class SparseCholesky:
         interface system S·x_r = b̂ (partial forward substitution over the
         interior levels). `b` is the FULL rhs in original dof order; the
         result is ordered as schur_dofs()."""
+        self._require_spd("condense_rhs")
         if self.engine != "frontal":
             raise NotImplementedError("condense_rhs requires the frontal engine")
         if not self.factored:
@@ -633,6 +673,7 @@ class SparseCholesky:
         back-substitute the interior, x_o = A_oo⁻¹(b_o − A_or·x_r). Returns
         x in original dof order. The (b, x_root) pair must be consistent —
         the interior recovery reuses the partial forward pass of b."""
+        self._require_spd("expand_solution")
         if self.engine != "frontal":
             raise NotImplementedError(
                 "expand_solution requires the frontal engine")
@@ -668,6 +709,7 @@ class SparseCholesky:
         Accuracy follows the factor dtype (f64 exact to roundoff; f32
         covariance error ~1e-7 relative — far below sampling noise).
         Frontal engine only."""
+        self._require_spd("sample")
         if self.engine != "frontal":
             raise NotImplementedError("sample requires the frontal engine")
         if not self.factored:
@@ -688,6 +730,7 @@ class SparseCholesky:
         x ~ N(0, A⁻¹) (in original dof order) the result is standard
         normal — residual whitening / standardized innovations for model
         checking. `x` is [n] or [n, k]. Frontal engine only."""
+        self._require_spd("whiten")
         if self.engine != "frontal":
             raise NotImplementedError("whiten requires the frontal engine")
         if not self.factored:
@@ -716,6 +759,7 @@ class SparseCholesky:
         devices — each chip owns K/ndev independent factorizations
         (embarrassingly parallel; the mesh shards the family here, not
         the tree)."""
+        self._require_spd("factorize_many")
         if self.engine != "frontal":
             raise NotImplementedError(
                 "factorize_many requires the frontal engine")
@@ -763,6 +807,7 @@ class SparseCholesky:
         the factor pattern), so the cost is ~one extra factorization-shaped
         pass, not n solves. Memory envelope is selected inversion's
         (in-core; see _selinv_guard)."""
+        self._require_spd("logdet_grad")
         g = self.inv_entries(self.rows, self.cols)
         return np.where(self.rows == self.cols, g, 2.0 * g)
 
@@ -795,6 +840,7 @@ class SparseCholesky:
         """∂(bᵀA⁻¹b)/∂v aligned with coo_pattern(): −x_r x_c doubled off
         the diagonal (x = A⁻¹b). One solve; with logdet_grad this is the
         whole GP evidence gradient."""
+        self._require_spd("quadform_grad")
         b = np.asarray(b, dtype=np.float64).reshape(-1)
         if x is None:
             x = self.solve(b, tol=tol)
@@ -844,6 +890,7 @@ class SparseCholesky:
 
         Raises ArithmeticError when the update makes the matrix lose
         positive definiteness (negative determinant sign)."""
+        self._require_spd("logdet_updated")
         u = np.asarray(u, dtype=np.float64)
         if u.ndim == 1:
             u = u[:, None]
@@ -882,7 +929,39 @@ class SparseCholesky:
                 continue
             d = jnp.diagonal(p[:, :w, :w], axis1=1, axis2=2)
             total += float(np.log(np.asarray(d).astype(np.float64)).sum())
+        if self.signs is not None:
+            raise ValueError(
+                "quasi-definite matrix: det may be negative — use slogdet()")
         return 2.0 * total
+
+    def slogdet(self):
+        """(sign, log|det A|) — like numpy.linalg.slogdet, read off the
+        factor: SPD gives (1, logdet()); a quasi-definite factorization
+        gives sign = (−1)^{#negative in the signature} (the signature IS
+        the inertia, Sylvester's law through L̃·S·L̃ᵀ)."""
+        if self.signs is None:
+            return 1, self.logdet()
+        if not self.factored:
+            self.factorize()
+        from cholesky_tpu.numeric import ldlt
+
+        return ldlt.logdet_qd(self.fplan, self.panels, self.signs)
+
+    def inertia(self):
+        """(n₊, n₋, n₀) of the factored matrix: the quasi-definite
+        signature for LDLᵀ, (n, 0, 0) for SPD. Interior-point methods use
+        this to verify a KKT system's expected inertia."""
+        from cholesky_tpu.numeric import ldlt
+
+        if self.signs is None:
+            return int(self.plan.n), 0, 0
+        return ldlt.inertia(self.signs)
+
+    def _require_spd(self, what: str):
+        if self.signs is not None:
+            raise NotImplementedError(
+                f"{what} requires an SPD (Cholesky) factorization — this "
+                f"solver holds a quasi-definite LDL^T factor")
 
     def condest(self, iters: int = 12, seed: int = 0) -> float:
         """2-norm condition-number estimate κ₂(A) ≈ λmax(A)/λmin(A) by power
@@ -947,6 +1026,7 @@ class SparseCholesky:
         expensive numeric phase is skipped. (The reference has no resumable
         state; its -m/-o outputs are MatrixMarket dumps, SURVEY §5.)
         Returns the written path."""
+        self._require_spd("save_factor/load_factor")
         if not self.factored:
             self.factorize()
         import json
@@ -972,6 +1052,7 @@ class SparseCholesky:
         """Load a factorization written by `save_factor`. Refuses a factor
         whose fingerprint does not match this solver's matrix/ordering/dtype
         (a mismatched factor would silently solve the wrong system)."""
+        self._require_spd("save_factor/load_factor")
         import json
 
         import jax.numpy as jnp
