@@ -31,6 +31,7 @@ def parse_args(argv):
         "iterations": 1, "dtype": "float64", "devices": 0, "bench": False,
         "engine": "frontal", "profile": False, "debug_dumps": False,
         "save_factor": "", "load_factor": "", "inv_diag_file": "",
+        "signs_file": "",
     }
     i = 0
     while i < len(argv):
@@ -71,6 +72,8 @@ def parse_args(argv):
             opts["bench"] = True; i += 1
         elif a == "--inv-diag":
             opts["inv_diag_file"] = argv[i + 1]; i += 2
+        elif a == "--signs":
+            opts["signs_file"] = argv[i + 1]; i += 2
         elif a in _LEGION_FLAGS_WITH_ARG or a.startswith(_LEGION_PREFIXES):
             # Legion runtime passthroughs — accepted, ignored. Consume a
             # following value only when it is not itself a flag: zero-arg
@@ -107,7 +110,7 @@ def main(argv=None) -> int:
               "[--dtype float64|float32] [--devices N] "
               "[--engine frontal|panels] [--profile] "
               "[--save-factor ckpt.npz] [--load-factor ckpt.npz] "
-              "[--inv-diag out.txt]\n"
+              "[--inv-diag out.txt] [--signs signs.txt]\n"
               "Without -s, a nested-dissection ordering is computed from the "
               "matrix sparsity graph.")
         return 2
@@ -118,6 +121,12 @@ def main(argv=None) -> int:
           f"typecode: {banner.typecode}")
 
     dtype = np.dtype(opts["dtype"])
+    signs = None
+    if opts["signs_file"]:
+        # one +1/-1 per dof: symmetric quasi-definite LDL^T (numeric/ldlt)
+        signs = np.loadtxt(opts["signs_file"], dtype=np.float64).reshape(-1)
+        print(f"signature: {int((signs > 0).sum())} positive, "
+              f"{int((signs < 0).sum())} negative (quasi-definite LDL^T)")
     mesh = None
     if opts["devices"] > 1:
         from cholesky_tpu.parallel.mesh import make_mesh
@@ -127,7 +136,7 @@ def main(argv=None) -> int:
         solver = SparseCholesky.from_files(
             opts["matrix_file"], opts["separator_file"],
             opts["clusters_file"] or None, dtype=dtype, mesh=mesh,
-            engine=opts["engine"])
+            engine=opts["engine"], signs=signs)
     else:
         # no ordering provided: compute nested dissection from the sparsity
         # graph (capability beyond the reference, which requires ord files)
@@ -135,7 +144,7 @@ def main(argv=None) -> int:
         _, r, c_, v = mmio.read_coo(opts["matrix_file"])
         solver = SparseCholesky.from_matrix(
             banner.rows, r, c_, v, dtype=dtype, mesh=mesh,
-            engine=opts["engine"])
+            engine=opts["engine"], signs=signs)
     plan = solver.plan
     print(f"levels: {plan.levels}")
     print(f"separators: {plan.num_separators}")

@@ -135,3 +135,29 @@ def test_cli_inv_diag(tmp_path):
     d = np.genfromtxt(out)
     a = mmio.read_dense(p["mat"])
     np.testing.assert_allclose(d, np.diag(np.linalg.inv(a)), rtol=1e-9)
+
+
+def test_cli_signs_quasi_definite(tmp_path):
+    """--signs file: solve a quasi-definite matrix end-to-end from files
+    (KKT-style workflow with no Python)."""
+    p = fixture_paths("lapl_400x400")
+    a = mmio.read_dense(p["mat"])
+    n = a.shape[0]
+    rng = np.random.default_rng(2)
+    s = np.where(rng.random(n) < 0.5, -1.0, 1.0)
+    aq = a.copy()
+    np.fill_diagonal(aq, s * (np.abs(np.diag(a)) + 0.5))
+    mtx = tmp_path / "qd.mtx"
+    r, c = np.nonzero(np.tril(aq))
+    mmio.write_coo(str(mtx), r, c, aq[r, c], (n, n), symmetry="symmetric")
+    np.savetxt(tmp_path / "signs.txt", s, fmt="%d")
+    sol = tmp_path / "sol.txt"
+    res = run_cli(["-i", str(mtx), "-s", p["separators"],
+                   "-c", p["clusters"], "-b", p["b"],
+                   "--signs", str(tmp_path / "signs.txt"),
+                   "-o", str(sol)])
+    assert res.returncode == 0, res.stderr
+    assert "quasi-definite" in res.stdout
+    b = mmio.read_array(p["b"]).reshape(-1)
+    x = np.genfromtxt(sol).reshape(-1)
+    assert np.linalg.norm(aq @ x - b) / np.linalg.norm(b) <= 1e-10
