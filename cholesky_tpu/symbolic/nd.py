@@ -7,20 +7,30 @@ with no precomputed ordering — this module computes a complete-binary-tree
 nested dissection directly from the sparsity graph:
 
   * recursive two-way partition by BFS level sets from a pseudo-peripheral
-    vertex (the classic Gibbs-Poole-Stockmeyer-style heuristic),
-  * vertex separator = the frontier of side A adjacent to side B,
+    vertex (the classic Gibbs-Poole-Stockmeyer-style heuristic), preferring
+    the tightest balance window that admits a level cut (imbalance compounds
+    across recursion levels and leaf factorization work is cubic),
+  * vertex separator = the smaller frontier of the bipartition, refined by
+    vertex-separator Fiduccia–Mattheyses passes (Ashcraft–Liu gains),
   * recursion to a fixed depth, tolerating empty parts (empty separators
     are legal throughout the solver).
+
+All per-node state lives in a preallocated stamped workspace — BFS levels,
+set membership, and FM sides are O(node) per node, not O(n), so the whole
+ordering is O(E · levels) plus the FM move heaps.
 
 Output is a standard `Ordering` (+ single-cluster `ClusterHierarchy`), so
 everything downstream — plan, fill, frontal engine, CLI, file writers — is
 unchanged. Quality is heuristic (minimal separators are not guaranteed), but
 the separator property (removing S disconnects A from B) is, which is what
-correctness requires; fill quality only affects speed.
+correctness requires; fill quality only affects speed. Measured on shuffled
+grid Laplacians the refined ordering matches (2-D) or beats (3-D) the
+geometric ND generator's schedule FLOPs.
 """
 
 from __future__ import annotations
 
+import heapq
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -42,6 +52,27 @@ def _build_adjacency(n: int, rows: np.ndarray, cols: np.ndarray):
     return indptr, c
 
 
+class _Workspace:
+    """Preallocated stamped scratch arrays shared by every tree node.
+
+    Membership tests are stamp comparisons, so "clearing" a set is a counter
+    increment — no O(n) zeroing per node. `side` (the FM state) is the one
+    array reset explicitly, O(node) at the end of each refinement."""
+
+    __slots__ = ("member", "node_stamp", "lvl_val", "lvl_stamp", "bfs_stamp",
+                 "side", "tag", "tag_stamp")
+
+    def __init__(self, n: int):
+        self.member = np.zeros(n, dtype=np.int64)
+        self.node_stamp = 0
+        self.lvl_val = np.zeros(n, dtype=np.int64)
+        self.lvl_stamp = np.zeros(n, dtype=np.int64)
+        self.bfs_stamp = 0
+        self.side = np.full(n, -1, dtype=np.int8)   # 0=A, 1=B, 2=S, -1=out
+        self.tag = np.zeros(n, dtype=np.int64)
+        self.tag_stamp = 0
+
+
 def _gather_neighbors(indptr, indices, verts: np.ndarray) -> np.ndarray:
     """Concatenated neighbor lists of `verts` (with repeats), vectorized."""
     starts = indptr[verts]
@@ -55,86 +86,239 @@ def _gather_neighbors(indptr, indices, verts: np.ndarray) -> np.ndarray:
     return indices[pos]
 
 
-def _bfs_levels(indptr, indices, mask: np.ndarray, start: int) -> np.ndarray:
-    """BFS level of every vertex in the masked subgraph (-1 = unreached)."""
-    n = len(mask)
-    level = np.full(n, -1, dtype=np.int64)
-    level[start] = 0
+def _bfs_levels(indptr, indices, ws: _Workspace, start: int) -> int:
+    """BFS over the current node (membership = ws.member == ws.node_stamp).
+    Levels land in ws.lvl_val, valid where ws.lvl_stamp == returned stamp."""
+    ws.bfs_stamp += 1
+    st = ws.bfs_stamp
+    ws.lvl_val[start] = 0
+    ws.lvl_stamp[start] = st
     frontier = np.array([start], dtype=np.int64)
     d = 0
     while len(frontier):
         d += 1
         nbrs = np.unique(_gather_neighbors(indptr, indices, frontier))
-        nbrs = nbrs[mask[nbrs] & (level[nbrs] < 0)]
-        level[nbrs] = d
+        nbrs = nbrs[(ws.member[nbrs] == ws.node_stamp)
+                    & (ws.lvl_stamp[nbrs] != st)]
+        ws.lvl_val[nbrs] = d
+        ws.lvl_stamp[nbrs] = st
         frontier = nbrs
-    return level
+    return st
 
 
-def _frontier(indptr, indices, verts: np.ndarray,
-              into: np.ndarray) -> np.ndarray:
-    """Boolean mask over `verts`: which have a neighbor with into[nbr] True."""
+def _frontier(indptr, indices, verts: np.ndarray, tag: np.ndarray,
+              tagv: int) -> np.ndarray:
+    """Boolean mask over `verts`: which have a neighbor with tag[nbr] ==
+    tagv."""
     starts = indptr[verts]
     counts = indptr[verts + 1] - starts
-    hits = into[_gather_neighbors(indptr, indices, verts)]
+    hits = tag[_gather_neighbors(indptr, indices, verts)] == tagv
     seg = np.repeat(np.arange(len(verts), dtype=np.int64), counts)
     return np.bincount(seg[hits], minlength=len(verts)).astype(bool)
 
 
-def _pseudo_peripheral(indptr, indices, verts: np.ndarray, mask
-                       ) -> Tuple[int, np.ndarray]:
-    """A vertex of near-maximal eccentricity in the masked subgraph, plus the
-    BFS level array from it (reused by the caller — saves a full sweep).
-    Three improvement hops, matching the pre-vectorization behavior."""
+def _pseudo_peripheral(indptr, indices, ws: _Workspace, verts: np.ndarray
+                       ) -> int:
+    """A vertex of near-maximal eccentricity in the node, with its BFS level
+    field left in the workspace (returns the BFS stamp — reused by the
+    caller, saves a full sweep). Three improvement hops (dropping to two was
+    measured to cost 15-25% schedule FLOPs for <5% ordering time)."""
     v = int(verts[0])
-    lv = _bfs_levels(indptr, indices, mask, v)
+    st = _bfs_levels(indptr, indices, ws, v)
     for _ in range(3):
-        reach = verts[lv[verts] >= 0]
-        far = int(reach[np.argmax(lv[reach])])
-        if lv[far] == 0:
+        reached = ws.lvl_stamp[verts] == st
+        reach = verts[reached]
+        far = int(reach[np.argmax(ws.lvl_val[reach])])
+        if ws.lvl_val[far] == 0:
             break
         v = far
-        lv = _bfs_levels(indptr, indices, mask, v)
-    return v, lv
+        st = _bfs_levels(indptr, indices, ws, v)
+    return st
 
 
-def _split(indptr, indices, verts: np.ndarray
+def _side_counts(indptr, indices, side: np.ndarray, vs: np.ndarray):
+    """Per-vertex counts of neighbors on side A (0) and side B (1),
+    vectorized over `vs`."""
+    counts = indptr[vs + 1] - indptr[vs]
+    nb = _gather_neighbors(indptr, indices, vs)
+    seg = np.repeat(np.arange(len(vs), dtype=np.int64), counts)
+    sn = side[nb]
+    ca = np.bincount(seg[sn == 0], minlength=len(vs))
+    cb = np.bincount(seg[sn == 1], minlength=len(vs))
+    return ca, cb
+
+
+def _fm_refine(indptr, indices, ws: _Workspace, a: np.ndarray, b: np.ndarray,
+               s: np.ndarray, rounds: int = 8, hi_share: float = 0.60
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vertex-separator Fiduccia–Mattheyses refinement (Ashcraft–Liu gains).
+
+    Moving a separator vertex v to side t pulls every neighbor of v on the
+    far side into the separator, so |S| changes by |N(v) ∩ far| − 1; the
+    move's gain is 1 − |N(v) ∩ far|. Each pass greedily applies the
+    best-gain balance-feasible move (lazy-stale heap), allowing negative-gain
+    hill climbs, then rolls back to the best state seen. Passes repeat until
+    a pass yields no improvement. The separator property (no A–B edge) is an
+    invariant of every move.
+
+    Inputs/outputs are vertex-id arrays over the node; balance is measured
+    as max(|A|,|B|)/total against `hi_share` (or the starting share when
+    that is already worse)."""
+    total = len(a) + len(b) + len(s)
+    if len(s) == 0 or total < 8:
+        return a, b, s
+    side = ws.side
+    side[a] = 0
+    side[b] = 1
+    side[s] = 2
+    sizes = [len(a), len(b)]
+
+    def far_count(v: int, t: int) -> int:
+        nb = indices[indptr[v]:indptr[v + 1]]
+        return int(np.count_nonzero(side[nb] == (1 - t)))
+
+    hi = max(hi_share, max(sizes) / total if total else 1.0)
+
+    for _ in range(rounds):
+        heap = []
+        seq = 0
+        locked = set()
+        ca, cb = _side_counts(indptr, indices, side, s)
+        for i, v in enumerate(s):
+            heapq.heappush(heap, (int(cb[i]) - 1, seq, int(v), 0))
+            heapq.heappush(heap, (int(ca[i]) - 1, seq + 1, int(v), 1))
+            seq += 2
+        log = []            # (v, t, pulled) per applied move, for rollback
+        extra = 0           # current |S| - |S at pass start|
+        best_at = 0         # number of moves in the best prefix
+        best_extra = 0
+        stall = 0
+        stall_cap = 2 * len(s) + 64
+        while heap and stall < stall_cap:
+            cost, _, v, t = heapq.heappop(heap)
+            if side[v] != 2 or v in locked:
+                continue
+            if cost != far_count(v, t) - 1:     # stale entry: reinsert fresh
+                heapq.heappush(heap, (far_count(v, t) - 1, seq, v, t))
+                seq += 1
+                continue
+            if (sizes[t] + 1) / total > hi:
+                continue
+            nb = indices[indptr[v]:indptr[v + 1]]
+            pulled = np.unique(nb[side[nb] == (1 - t)])
+            side[v] = t
+            sizes[t] += 1
+            sizes[1 - t] -= len(pulled)
+            side[pulled] = 2
+            locked.add(v)
+            log.append((v, t, pulled))
+            extra += len(pulled) - 1
+            for u in pulled:
+                u = int(u)
+                for tt in (0, 1):
+                    heapq.heappush(heap, (far_count(u, tt) - 1, seq, u, tt))
+                    seq += 1
+                # Separator vertices adjacent to u lost a far-side neighbor
+                # for direction t (u left side 1-t): push a fresh entry so
+                # the improved gain sorts correctly. The opposite direction's
+                # gain only worsened — its stale (too-optimistic) entry is
+                # caught by the staleness check at pop.
+                unb = indices[indptr[u]:indptr[u + 1]]
+                for w in unb[side[unb] == 2]:
+                    w = int(w)
+                    if w in locked:
+                        continue
+                    heapq.heappush(heap, (far_count(w, t) - 1, seq, w, t))
+                    seq += 1
+            if extra < best_extra:
+                best_extra = extra
+                best_at = len(log)
+                stall = 0
+            else:
+                stall += 1
+        # roll back past the best prefix
+        for v, t, pulled in reversed(log[best_at:]):
+            side[pulled] = 1 - t
+            sizes[1 - t] += len(pulled)
+            side[v] = 2
+            sizes[t] -= 1
+        verts = np.concatenate([a, b, s])
+        a = verts[side[verts] == 0]
+        b = verts[side[verts] == 1]
+        s = verts[side[verts] == 2]
+        if best_extra >= 0:
+            break
+    # One-sided cleanup: a separator vertex with no neighbor on a side
+    # separates nothing — balance feasibility can leave such vertices when
+    # FM's gain-1 move was blocked. Two simultaneous sweeps are safe: first
+    # every no-B-neighbor vertex moves to A (mover-mover edges end inside A,
+    # movers had no B edges), then, against the UPDATED sides, every
+    # no-A-neighbor vertex moves to B — so two adjacent removable vertices
+    # can never land on opposite sides and re-join A to B.
+    if len(s):
+        for target in (0, 1):
+            s = np.sort(s)
+            has_far = _frontier(indptr, indices, s, side, 1 - target)
+            moved = s[~has_far]
+            if len(moved):
+                side[moved] = target
+                if target == 0:
+                    a = np.concatenate([a, moved])
+                else:
+                    b = np.concatenate([b, moved])
+                s = s[has_far]
+    a, b, s = np.sort(a), np.sort(b), np.sort(s)
+    side[a] = -1
+    side[b] = -1
+    side[s] = -1
+    return a, b, s
+
+
+def _split(indptr, indices, verts: np.ndarray,
+           ws: Optional[_Workspace] = None
            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Partition `verts` into (A, B, S): S is a vertex separator such that no
     edge joins A and B."""
     if len(verts) <= 1:
         return verts, np.empty(0, np.int64), np.empty(0, np.int64)
-    n = int(indices.max(initial=0) + 1) if len(indices) else len(verts)
-    n = max(n, int(verts.max()) + 1)
-    mask = np.zeros(n, dtype=bool)
-    mask[verts] = True
-    _, lv = _pseudo_peripheral(indptr, indices, verts, mask)
-    reach = verts[lv[verts] >= 0]         # always contains src (lv[src] = 0)
-    unreach = verts[lv[verts] < 0]        # disconnected pieces -> side B
+    if ws is None:
+        ws = _Workspace(len(indptr) - 1)
+    ws.node_stamp += 1
+    ws.member[verts] = ws.node_stamp
+    st = _pseudo_peripheral(indptr, indices, ws, verts)
+    reached = ws.lvl_stamp[verts] == st
+    reach = verts[reached]                # always contains src (lv[src] = 0)
+    unreach = verts[~reached]             # disconnected pieces -> side B
+    lvr = ws.lvl_val[reach]
     # Choose the cut level. In a BFS level structure every edge stays within
     # a level or joins consecutive levels, so a cut between levels t-1 and t
     # has its separator inside level t-1 or t — min(count[t-1], count[t]) is
-    # an exact upper bound on the separator size. Among balanced cuts
-    # (25-75% split) take the narrowest waist; fall back to the median cut
-    # when no level cut is balanced.
-    counts = np.bincount(lv[reach])
+    # an exact upper bound on the separator size.
+    counts = np.bincount(lvr)
     cum = np.cumsum(counts)
     total = len(reach)
     cut_level = None
     if len(counts) > 1:
         fracs = cum[:-1] / total               # A-side share for t = 1..L
-        ok = (fracs >= 0.25) & (fracs <= 0.75)
-        if ok.any():
-            proxy = np.minimum(counts[:-1], counts[1:])
-            cand = np.flatnonzero(ok)
-            cut_level = int(cand[np.argmin(proxy[cand])]) + 1
+        # Prefer the tightest balance window that admits a level cut: a
+        # loose window compounds across recursion levels (0.75^5 of all
+        # dofs in one leaf) and leaf factorization work is cubic in leaf
+        # size — FM refinement recovers separator width far more cheaply
+        # than anything recovers balance.
+        proxy = np.minimum(counts[:-1], counts[1:])
+        for lo_s, hi_s in ((0.45, 0.55), (0.35, 0.65), (0.25, 0.75)):
+            ok = (fracs >= lo_s) & (fracs <= hi_s)
+            if ok.any():
+                cand = np.flatnonzero(ok)
+                cut_level = int(cand[np.argmin(proxy[cand])]) + 1
+                break
     if cut_level is None:                      # median-vertex fallback
-        order = np.argsort(lv[reach], kind="stable")
+        order = np.argsort(lvr, kind="stable")
         sorted_r = reach[order]
         cut = len(sorted_r) // 2
-        cut_level = lv[sorted_r[min(cut, len(sorted_r) - 1)]]
-    a_side = reach[lv[reach] < cut_level]
-    rest = reach[lv[reach] >= cut_level]
+        cut_level = int(lvr[order][min(cut, len(sorted_r) - 1)])
+    a_side = reach[lvr < cut_level]
+    rest = reach[lvr >= cut_level]
     if len(a_side) == 0:                  # degenerate: one level dominates
         a_side = reach[: len(reach) // 2]
         rest = reach[len(reach) // 2:]
@@ -142,36 +326,41 @@ def _split(indptr, indices, verts: np.ndarray
     # the frontier of `rest` facing A, or the frontier of `a_side` facing
     # rest. Both satisfy "removing S leaves no A-B edge"; take the smaller
     # (fewer separator dofs -> smaller fronts -> less fill).
-    in_a = np.zeros(n, dtype=bool)
-    in_a[a_side] = True
-    in_r = np.zeros(n, dtype=bool)
-    in_r[rest] = True
-    front_r = _frontier(indptr, indices, rest, in_a)     # rest facing A
-    front_a = _frontier(indptr, indices, a_side, in_r)   # a_side facing rest
-    # Refinement: a separator vertex missing a neighbor on one side separates
-    # nothing — return it to the far side. Each branch's separator touches
-    # its near side by construction, so only the far-side check can remove
-    # vertices; all removals go to ONE side, so two adjacent removable
+    ws.tag_stamp += 1
+    ta = ws.tag_stamp
+    ws.tag[a_side] = ta
+    ws.tag_stamp += 1
+    tr = ws.tag_stamp
+    ws.tag[rest] = tr
+    front_r = _frontier(indptr, indices, rest, ws.tag, ta)   # rest facing A
+    front_a = _frontier(indptr, indices, a_side, ws.tag, tr)  # facing rest
+    # Pre-FM trim: a separator vertex missing a neighbor on one side
+    # separates nothing — return it to the far side. Each branch's separator
+    # touches its near side by construction, so only the far-side check can
+    # remove vertices; all removals go to ONE side, so two adjacent removable
     # vertices can never land on opposite sides and re-join A to B.
     if int(front_r.sum()) <= int(front_a.sum()):
         sep = rest[front_r]                   # every sep vertex touches A
         a, b = a_side, rest[~front_r]
         if len(sep):
-            in_b = np.zeros(n, dtype=bool)
-            in_b[b] = True
-            has_b = _frontier(indptr, indices, sep, in_b)
+            ws.tag_stamp += 1
+            tb = ws.tag_stamp
+            ws.tag[b] = tb
+            has_b = _frontier(indptr, indices, sep, ws.tag, tb)
             a = np.concatenate([a, sep[~has_b]])
             sep = sep[has_b]
     else:
         sep = a_side[front_a]                 # every sep vertex touches B
         a, b = a_side[~front_a], rest
         if len(sep):
-            in_a2 = np.zeros(n, dtype=bool)
-            in_a2[a] = True
-            has_a = _frontier(indptr, indices, sep, in_a2)
+            ws.tag_stamp += 1
+            ta2 = ws.tag_stamp
+            ws.tag[a] = ta2
+            has_a = _frontier(indptr, indices, sep, ws.tag, ta2)
             b = np.concatenate([b, sep[~has_a]])
             sep = sep[has_a]
-    return a, np.concatenate([b, unreach]), np.sort(sep)
+    return _fm_refine(indptr, indices, ws, a, np.concatenate([b, unreach]),
+                      np.sort(sep))
 
 
 def nested_dissection_graph(n: int, rows: np.ndarray, cols: np.ndarray,
@@ -187,13 +376,14 @@ def nested_dissection_graph(n: int, rows: np.ndarray, cols: np.ndarray,
         levels = max(1, int(np.ceil(np.log2(max(n / leaf_target, 1)))) + 1)
     nsep = (1 << levels) - 1
     indptr, indices = _build_adjacency(n, rows, cols)
+    ws = _Workspace(n)
 
     boxes: Dict[int, np.ndarray] = {1: np.arange(n, dtype=np.int64)}
     dofs: Dict[int, np.ndarray] = {}
     for h in range(1, nsep + 1):
         verts = boxes[h]
         if h < (1 << (levels - 1)):
-            a, b, s = _split(indptr, indices, verts)
+            a, b, s = _split(indptr, indices, verts, ws)
             dofs[h] = s
             boxes[2 * h] = a
             boxes[2 * h + 1] = b

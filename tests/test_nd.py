@@ -104,6 +104,34 @@ def test_solve_shuffled_grid():
     assert s.residual(b, x) <= 1e-10
 
 
+def test_ordering_quality_vs_geometric():
+    """FM-refined graph ND must stay within 1.5x of the geometric
+    generator's schedule FLOPs on a shuffled grid (it has no idea the graph
+    is a grid). Pre-refinement the gap was ~4x in 2-D — this is the
+    regression gate for separator quality AND leaf balance (loose balance
+    windows compound into oversized leaves whose dense work is cubic)."""
+    from cholesky_tpu.symbolic.fill import analyze_fill
+    from cholesky_tpu.symbolic.plan import build_plan
+    from cholesky_tpu.utils.laplacian import generate_problem
+    from cholesky_tpu.verify.schedule import generate_schedule, schedule_flops
+
+    def flops_of(n, rows, cols, o, cl):
+        plan = build_plan(o, cl)
+        fill = analyze_fill(plan, rows, cols, np.ones(len(rows)))
+        return schedule_flops(generate_schedule(fill))
+
+    rng = np.random.default_rng(7)
+    for shape, levels in [((32, 32), 5), ((12, 12, 12), 6)]:
+        n, r, c, v, o_geo, cl_geo, _ = generate_problem(shape, levels)
+        geo = flops_of(n, r, c, o_geo, cl_geo)
+        perm = rng.permutation(n)
+        pr, pc = perm[r], perm[c]
+        rr, cc = np.maximum(pr, pc), np.minimum(pr, pc)
+        o, cl = nested_dissection_graph(n, rr, cc, levels=levels)
+        graph = flops_of(n, rr, cc, o, cl)
+        assert graph <= 1.5 * geo, (shape, graph / geo)
+
+
 def test_disconnected_graph():
     """Two disconnected components (block-diagonal SPD)."""
     rng = np.random.default_rng(2)
