@@ -15,6 +15,25 @@ from cholesky_tpu.numeric import assemble
 from cholesky_tpu.numeric import factor as nfactor
 from cholesky_tpu.symbolic.plan import SolvePlan, build_plan
 
+_PRECISIONS = ("default", "high", "highest", "bfloat16", "tensorfloat32",
+               "float32")
+
+
+def _precision_ctx(prec: Optional[str]):
+    """Context manager applying a matmul-precision override for everything
+    traced inside (the config value is part of jax's jit cache key, so
+    per-precision programs coexist). TPU f32 matmuls at 'default' are
+    one-pass bf16xbf16+f32acc; 'high' is 3-pass (~19-bit operands),
+    'highest'/'float32' 6-pass (~full f32). The Pallas fast paths gate
+    themselves off under any non-default value (pallas_kernels)."""
+    import contextlib
+
+    if not prec or prec == "default":
+        return contextlib.nullcontext()
+    import jax
+
+    return jax.default_matmul_precision(prec)
+
 
 class SparseCholesky:
     """Sparse SPD Cholesky solver over a nested-dissection ordering.
@@ -27,9 +46,24 @@ class SparseCholesky:
 
     def __init__(self, plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
                  vals: np.ndarray, dtype=np.float64, mesh=None,
-                 engine: str = "frontal", signs=None):
+                 engine: str = "frontal", signs=None,
+                 precision: Optional[str] = None):
         if engine not in ("frontal", "panels"):
             raise ValueError(f"unknown engine {engine!r}")
+        import os
+
+        precision = precision or os.environ.get("CHOLESKY_TPU_PRECISION")
+        if precision is not None and precision not in _PRECISIONS:
+            raise ValueError(f"precision must be one of {_PRECISIONS}")
+        # Matmul precision of the factorization AND of the refinement loop's
+        # factor applications (both must match: the refinement contraction
+        # rate is set by the WORSE of factor-construction and factor-
+        # application error). 'default' maximizes factor throughput (one-pass
+        # bf16 MXU + Pallas fast paths) and needs ~9 IR iterations at 50^3;
+        # 'highest' converges in 3 (solve wall 0.19 -> 0.11 s measured) at
+        # ~1.4x the factor wall — the right trade for many-solves-per-factor
+        # workloads.
+        self.precision = precision
         self.plan = plan
         self.rows, self.cols, self.vals = rows, cols, vals
         self.dtype = dtype
@@ -56,7 +90,8 @@ class SparseCholesky:
     def from_files(cls, matrix_file: str, separator_file: str,
                    clusters_file: Optional[str] = None, dtype=np.float64,
                    pad_to: int = 8, mesh=None,
-                   engine: str = "frontal", signs=None) -> "SparseCholesky":
+                   engine: str = "frontal", signs=None,
+                   precision: Optional[str] = None) -> "SparseCholesky":
         ordng = ordio.parse_ordering(separator_file)
         clusters = ordio.parse_clusters(clusters_file) if clusters_file else None
         plan = build_plan(ordng, clusters, pad_to=pad_to)
@@ -68,12 +103,12 @@ class SparseCholesky:
         # triangles, so deduplicate (mmio.dedup_lower)
         r2, c2, v2 = mmio.dedup_lower(r, c, v)
         return cls(plan, r2, c2, v2, dtype=dtype, mesh=mesh, engine=engine,
-                   signs=signs)
+                   signs=signs, precision=precision)
 
     @classmethod
     def from_matrix(cls, n: int, rows, cols, vals, levels=None,
                     dtype=np.float64, mesh=None, engine: str = "frontal",
-                    signs=None):
+                    signs=None, precision: Optional[str] = None):
         """Solve an arbitrary SPD — or, with `signs`, symmetric
         quasi-definite — matrix with NO precomputed ordering: a nested-
         dissection ordering is computed from the sparsity graph
@@ -86,18 +121,19 @@ class SparseCholesky:
         ordng, clusters = nested_dissection_graph(n, rows, cols, levels)
         return cls.from_coo(n, rows, cols, vals, ordng, clusters,
                             dtype=dtype, mesh=mesh, engine=engine,
-                            signs=signs)
+                            signs=signs, precision=precision)
 
     @classmethod
     def from_coo(cls, n: int, rows, cols, vals, ordng: ordio.Ordering,
                  clusters=None, dtype=np.float64, pad_to: int = 8, mesh=None,
-                 engine: str = "frontal", signs=None):
+                 engine: str = "frontal", signs=None,
+                 precision: Optional[str] = None):
         plan = build_plan(ordng, clusters, pad_to=pad_to)
         if plan.n != n:
             raise ValueError("ordering does not cover the matrix dimension")
         r2, c2, v2 = mmio.dedup_lower(rows, cols, vals)
         return cls(plan, r2, c2, v2, dtype=dtype, mesh=mesh, engine=engine,
-                   signs=signs)
+                   signs=signs, precision=precision)
 
     # ------------------------------------------------------------------
     @property
@@ -193,25 +229,36 @@ class SparseCholesky:
             if hasattr(self, attr):
                 delattr(self, attr)
 
-    def factorize(self, check: bool = False):
+    def factorize(self, check: bool = False,
+                  precision: Optional[str] = None):
         """Numeric factorization. With `check=True`, verify every pivot came
         out finite and positive afterwards and raise ArithmeticError naming
         the first bad separator — the LAPACK `info`-style diagnosis the
         reference also lacks (its dpotrf return is ignored, blas.rg:63-79).
-        Off by default: the check syncs the device once per level."""
+        Off by default: the check syncs the device once per level.
+
+        `precision` overrides the solver-level matmul precision for this
+        factorization (see __init__; sticky — solves apply the factor at the
+        same precision)."""
+        if precision is not None:
+            if precision not in _PRECISIONS:
+                raise ValueError(f"precision must be one of {_PRECISIONS}")
+            self.precision = precision
         if self.panels is None or self.factored:
             self.assemble()
-        if self.signs is not None:
-            from cholesky_tpu.numeric import ldlt
+        with _precision_ctx(self.precision):
+            if self.signs is not None:
+                from cholesky_tpu.numeric import ldlt
 
-            self.panels = ldlt.factor_qd(self.fplan, self.panels, self.signs)
-        elif self.engine == "frontal":
-            from cholesky_tpu.numeric import frontal
+                self.panels = ldlt.factor_qd(self.fplan, self.panels,
+                                             self.signs)
+            elif self.engine == "frontal":
+                from cholesky_tpu.numeric import frontal
 
-            self.panels = frontal.factor(self.fplan, self.panels,
-                                         root_mesh=self.mesh)
-        else:
-            self.panels = nfactor.factor(self.plan, self.panels)
+                self.panels = frontal.factor(self.fplan, self.panels,
+                                             root_mesh=self.mesh)
+            else:
+                self.panels = nfactor.factor(self.plan, self.panels)
         self.factored = True
         if check:
             self._check_pivots()
@@ -289,6 +336,10 @@ class SparseCholesky:
         fp32 on the MXU, residual in f64, repeat). 'never' disables it,
         'always' forces it even for f64 factors.
         """
+        with _precision_ctx(self.precision):
+            return self._solve_impl(b, refine, tol, max_iter)
+
+    def _solve_impl(self, b, refine, tol, max_iter):
         b = np.asarray(b, dtype=np.float64)
         if b.ndim == 1 or b.shape[1] == 1:
             b = b.reshape(-1)
@@ -469,7 +520,9 @@ class SparseCholesky:
         if getattr(self, "_inv_cache_key", None) != id(self.panels):
             from cholesky_tpu.numeric import frontal
 
-            self._inv_cache = frontal.invert_pivots(self.fplan, self.panels)
+            with _precision_ctx(self.precision):
+                self._inv_cache = frontal.invert_pivots(self.fplan,
+                                                        self.panels)
             self._inv_cache_key = id(self.panels)
         return self._inv_cache
 

@@ -120,10 +120,23 @@ def front_factor_small(fronts_piv: jax.Array, F: int, W: int) -> jax.Array:
     )(fronts_piv)
 
 
+def _nondefault_matmul_precision() -> bool:
+    """True when a jax.default_matmul_precision context is raising matmul
+    precision. The Mosaic lowering of these kernels' dots/reductions crashes
+    the TPU worker under multi-pass precision emulation (measured: immediate
+    worker restart at 50^3 under "high"/"highest"), and the kernels' whole
+    point is one-pass MXU throughput — under a raised-precision factorization
+    the XLA paths are both correct and the ones whose precision the caller
+    is paying for."""
+    v = jax.config.jax_default_matmul_precision
+    return v not in (None, "default", "bfloat16")
+
+
 def pallas_eligible(F: int, W: int, dtype) -> bool:
     itemsize = jnp.dtype(dtype).itemsize
     return (W % BS == 0 and F * W * itemsize <= VMEM_BUDGET
-            and jnp.dtype(dtype) == jnp.float32)
+            and jnp.dtype(dtype) == jnp.float32
+            and not _nondefault_matmul_precision())
 
 
 # ---------------------------------------------------------------------------
@@ -269,5 +282,7 @@ def lanes_eligible(B: int, W: int, dtype) -> bool:
         return False
     min_b = int(os.environ.get("CHOLESKY_TPU_LANES_MIN_B", LANES_MIN_B))
     if jnp.dtype(dtype) != jnp.float32 or W < BS or B < min_b:
+        return False
+    if _nondefault_matmul_precision():
         return False
     return jax.default_backend() in ("tpu", "axon")

@@ -249,3 +249,26 @@ def test_logdet_updated():
     lam_max = float(np.linalg.eigvalsh(a).max())
     with pytest.raises(ArithmeticError, match="not positive definite"):
         s.logdet_updated(u1, -2.0 * lam_max)
+
+
+def test_precision_knob():
+    """Matmul-precision override: accepted at construction and per
+    factorize(), rejected when unknown, and the raised-precision factor
+    solves to the same contract. (On CPU all precisions are f32 matmuls —
+    this tests the plumbing; the TPU effect is measured in BASELINE.md:
+    9 -> 3 refinement iterations at 50^3.)"""
+    n, r, c, v, o, cl, b = _build()
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32,
+                                precision="highest")
+    assert s.precision == "highest"
+    x = s.solve(b)
+    assert s.residual(b, x) <= 1e-10
+
+    s2 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    s2.factorize(precision="high")      # sticky override
+    assert s2.precision == "high"
+    x2 = s2.solve(b)
+    assert s2.residual(b, x2) <= 1e-10
+
+    with pytest.raises(ValueError, match="precision"):
+        SparseCholesky.from_coo(n, r, c, v, o, cl, precision="f16")
