@@ -373,6 +373,26 @@ class SparseCholesky:
             x = np.empty(self.plan.n)
             x[self.plan.perm] = np.asarray(x_perm)
             return x
+        if mode != "0" and b.ndim == 2 and self.engine == "frontal":
+            # multi-RHS device-resident refinement: the whole [n, k] block
+            # refines in one while_loop (solves vmapped over columns; one
+            # batched double-float residual) — the host fallback would pay
+            # a k-wide CSR matvec plus an [n, k] round trip per iteration
+            from cholesky_tpu.numeric import refine
+
+            if not self.factored:
+                self.factorize()
+            ell = self._ell_perm()
+            if ell is not None:
+                x_perm, _, rn_rel = refine.solve_refined_df_multi(
+                    self.fplan, self.panels, b[self.plan.perm, :], ell,
+                    tol=tol / 3.0, max_iter=max_iter,
+                    inv_pivots=(self._inv_pivots()
+                                if self._want_inv_pivots() else None))
+                x = np.empty((self.plan.n, b.shape[1]))
+                x[self.plan.perm, :] = x_perm
+                if rn_rel <= tol:
+                    return x
         if mode != "0" and b.ndim == 1 and self.engine == "frontal":
             # default device-resident refinement: f32 triangular solves +
             # double-float (f32-pair) compensated residuals in one jitted
@@ -1138,9 +1158,18 @@ class SparseCholesky:
         return dense
 
     def residual(self, b: np.ndarray, x: np.ndarray) -> float:
-        """Relative residual ||Ax-b|| / ||b|| against the original COO matrix."""
-        b = np.asarray(b).reshape(-1)
-        ax = self._matrix_csr() @ np.asarray(x).reshape(-1)
+        """Relative residual ||Ax-b|| / ||b|| against the original COO
+        matrix. For a multi-RHS block ([n, k] b and x) this is the WORST
+        column's relative residual — the same gate every column must meet."""
+        b = np.asarray(b)
+        x = np.asarray(x)
+        if b.ndim == 2 and b.shape[1] > 1:
+            r = self._matrix_csr() @ x - b
+            bn = np.linalg.norm(b, axis=0)
+            bn = np.where(bn > 0, bn, 1.0)
+            return float((np.linalg.norm(r, axis=0) / bn).max())
+        b = b.reshape(-1)
+        ax = self._matrix_csr() @ x.reshape(-1)
         return float(np.linalg.norm(ax - b) / np.linalg.norm(b))
 
 

@@ -229,3 +229,113 @@ def _run(key, factors, inv_pivots, idx, a_hi, a_lo, bs, max_iter,
     if trace_hist:
         return out, hist
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-RHS device-resident refinement: same loop, [n, k] right-hand sides.
+# The single-RHS path's host fallback would otherwise run k-wide CSR matvecs
+# and an [n, k] host<->device round trip per iteration; here the whole block
+# of solutions refines in one while_loop (solves vmapped over columns, the
+# double-float residual batched through one [n, K, k]-operand gather).
+
+
+def df_matvec_multi(idx, a_hi, a_lo, x_hi, x_lo):
+    """Y = A @ X in double-float for X planes [n+1, k] (sentinel row n = 0).
+    Returns (y_hi, y_lo), each [n, k]."""
+    K = idx.shape[1]
+    k = x_hi.shape[1]
+    if K == 0:
+        z = jnp.zeros((idx.shape[0], k), jnp.float32)
+        return z, z
+    xg = jnp.stack([x_hi, x_lo], axis=-1)[idx]        # [n, K, k, 2]
+    xh = xg[..., 0]
+    xl = xg[..., 1]
+    ah = a_hi[:, :, None]
+    al = a_lo[:, :, None]
+    p, pe = _two_prod(ah, xh)
+    cross = ah * xl + al * xh
+    e_all = pe + cross
+    s = p[:, 0, :]
+    c = e_all[:, 0, :]
+    for j in range(1, K):
+        s, se = _two_sum(s, p[:, j, :])
+        c = c + (se + e_all[:, j, :])
+    return s, c
+
+
+def solve_refined_df_multi(fp, factors: Sequence, B64: np.ndarray, ell,
+                           tol: float = 1e-12, max_iter: int = 40,
+                           inv_pivots=None):
+    """Device-resident IR for a block of right-hand sides. `B64` is the
+    PERMUTED f64 [n, k] RHS block. Returns (X_perm64 [n, k], iters,
+    rn_rel_max): iterations are shared across columns (every column gets the
+    correction each round; the loop stops on the worst column's relative
+    residual). One packed [2, n+1, k] readback."""
+    idx, a_hi, a_lo = ell
+    B64 = np.asarray(B64, np.float64)
+    b_hi, b_lo = split_f64(B64)
+    bnorms = np.linalg.norm(B64, axis=0)
+    bnorms_safe = np.where(bnorms > 0, bnorms, 1.0).astype(np.float32)
+    inv = tuple(inv_pivots) if inv_pivots is not None else None
+    bs = jnp.asarray(np.stack([b_hi, b_lo]))          # ONE upload [2, n, k]
+    out = _run_multi(fp.key(), tuple(factors), inv, jnp.asarray(idx),
+                     jnp.asarray(a_hi), jnp.asarray(a_lo), bs,
+                     jnp.asarray(bnorms_safe), jnp.int32(max_iter),
+                     np.float32(tol))
+    arr = np.asarray(out, np.float64)                 # ONE readback
+    X = arr[0, :-1, :] + arr[1, :-1, :]
+    rn_rel_max = float(arr[0, -1, :].max())
+    iters = int(arr[1, -1, 0])
+    return X, iters, rn_rel_max
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _run_multi(key, factors, inv_pivots, idx, a_hi, a_lo, bs, bnorms,
+               max_iter, tol_rel):
+    from cholesky_tpu.numeric import frontal
+
+    fp = frontal._FPLAN_CACHE[key]
+    b_hi, b_lo = bs[0], bs[1]
+    n, k = b_hi.shape
+
+    def solve(rhs):
+        return jax.vmap(
+            lambda rc: frontal.frontal_solve(fp, factors, rc,
+                                             inv_pivots=inv_pivots),
+            in_axes=1, out_axes=1)(rhs)
+
+    zrow = jnp.zeros((1, k), jnp.float32)
+
+    def resid(x_hi, x_lo):
+        xh = jnp.concatenate([x_hi, zrow])
+        xl = jnp.concatenate([x_lo, zrow])
+        y_hi, y_lo = df_matvec_multi(idx, a_hi, a_lo, xh, xl)
+        return _df_add(b_hi, b_lo, -y_hi, -y_lo)
+
+    def rel_norms(r_hi):
+        m = jnp.maximum(jnp.max(jnp.abs(r_hi), axis=0), jnp.float32(1e-30))
+        return m * jnp.linalg.norm(r_hi / m[None, :], axis=0) / bnorms
+
+    x0 = solve(b_hi)
+    x_hi, x_lo = _two_sum(x0, jnp.zeros_like(x0))
+    r_hi, r_lo = resid(x_hi, x_lo)
+
+    def cond(st):
+        i, x_hi, x_lo, r_hi, r_lo, rn, prev = st
+        return (i < max_iter) & (rn > tol_rel) & (rn < 0.5 * prev)
+
+    def body(st):
+        i, x_hi, x_lo, r_hi, r_lo, rn, _ = st
+        dx = solve(r_hi)
+        x_hi, x_lo = _df_add(x_hi, x_lo, dx, jnp.zeros_like(dx))
+        r_hi, r_lo = resid(x_hi, x_lo)
+        rn2 = jnp.max(rel_norms(r_hi))
+        return i + 1, x_hi, x_lo, r_hi, r_lo, rn2, rn
+
+    rn0 = jnp.max(rel_norms(r_hi))
+    st = (jnp.int32(0), x_hi, x_lo, r_hi, r_lo, rn0, jnp.float32(jnp.inf))
+    i, x_hi, x_lo, r_hi, r_lo, rn, _ = lax.while_loop(cond, body, st)
+    extra = jnp.stack([rel_norms(r_hi),
+                       jnp.full((k,), i, jnp.float32)])     # [2, k]
+    return jnp.concatenate(
+        [jnp.stack([x_hi, x_lo]), extra[:, None, :]], axis=1)

@@ -91,3 +91,34 @@ def test_device_ir_df_multilevel_sizes():
         s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
         x = s.solve(b)
         assert s.residual(b, x) <= 1e-10, (shape, levels)
+
+
+def test_device_ir_df_multi_rhs():
+    """Multi-RHS device-resident refinement: a [n, k] block of f32+IR solves
+    converges every column to the residual contract in ONE while_loop (the
+    api routes 2-D b here instead of the per-iteration host CSR loop)."""
+    import scipy.sparse as sp
+
+    n, r, c, v, o, cl, _ = generate_problem((13, 11), 4)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    rng = np.random.default_rng(5)
+    B = rng.standard_normal((n, 5))
+    B[:, 2] = 0.0                       # zero column must not divide by 0
+    X = s.solve(B)
+    assert X.shape == (n, 5)
+    off = r != c
+    a = sp.coo_matrix(
+        (np.concatenate([v, v[off]]),
+         (np.concatenate([r, c[off]]), np.concatenate([c, r[off]]))),
+        shape=(n, n)).tocsr()
+    for j in range(5):
+        bn = np.linalg.norm(B[:, j])
+        rj = np.linalg.norm(a @ X[:, j] - B[:, j])
+        assert rj <= 1e-10 * max(bn, 1.0), (j, rj)
+
+    # direct call: reported max relative residual is honest
+    bp = B[s.plan.perm, :].astype(np.float64)
+    ell = s._ell_perm()
+    Xp, iters, rn = refine.solve_refined_df_multi(
+        s.fplan, s.panels, bp, ell, tol=1e-12, max_iter=40)
+    assert iters >= 1 and rn <= 1e-11
