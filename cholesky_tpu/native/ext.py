@@ -211,3 +211,22 @@ def assemble_panels(rows, cols, vals, sep_of, loc_of, nsep, levels, row_off,
         np.ascontiguousarray(loc_of, np.int64),
         _i64(int(nsep)), _i64(int(levels)),
         np.ascontiguousarray(row_off, np.int64), H, S, ptrs)
+
+
+_lib.nd_order.restype = _i64
+_lib.nd_order.argtypes = [_i64, _i64, _i64p, _i64p, _i64, _i64p]
+
+
+def nd_order(n: int, rows: np.ndarray, cols: np.ndarray,
+             levels: int) -> np.ndarray:
+    """Native nested-dissection ordering core (statement-level mirror of
+    symbolic/nd.py — see mndio.cc nd_order). Returns sep_of [n]: the heap
+    index h (1..2^levels-1) of the separator/leaf owning each dof."""
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    sep_of = np.zeros(int(n), dtype=np.int64)
+    rc = _lib.nd_order(_i64(int(n)), _i64(len(rows)), rows, cols,
+                       _i64(int(levels)), sep_of)
+    if rc != 0:
+        raise RuntimeError(f"nd_order failed: rc={rc}")
+    return sep_of

@@ -14,10 +14,13 @@
 //
 // Build: cc -O3 -shared -fPIC -o libmndio.so mndio.cc   (see build.py)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <queue>
+#include <vector>
 
 extern "C" {
 
@@ -437,6 +440,362 @@ int64_t fill_analyze(
     }
   }
   std::free(scratch);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Nested-dissection ordering core (native mirror of symbolic/nd.py).
+//
+// The reference consumes orderings computed offline (SURVEY.md: ord/clust
+// fixture files); the standalone path computes them from the sparsity graph.
+// This is the O(E·levels)+FM integer planning core — the third native
+// component SURVEY §2 prescribes ("symbolic … schedule construction …
+// in the same C++ extension"). The algorithm is a STATEMENT-LEVEL mirror of
+// the Python implementation (BFS level cuts from a pseudo-peripheral vertex,
+// tightest-balance-window waist selection, frontier separator + trim,
+// vertex-separator Fiduccia–Mattheyses with rollback, one-sided cleanup) —
+// including iteration orders, heap tie-breaking by insertion sequence, and
+// sorted-unique semantics — so tests can require bit-identical output
+// (tests/test_nd.py::test_native_nd_matches_python). Keep both in sync.
+
+int64_t nd_order(int64_t n, int64_t nnz, const int64_t* rows,
+                 const int64_t* cols, int64_t levels, int64_t* sep_of) {
+  // ---- CSR adjacency, mirroring _build_adjacency (stable sort by row of
+  // [rows|cols] concatenated with [cols|rows], self loops dropped).
+  std::vector<int64_t> indptr(n + 1, 0);
+  int64_t m = 0;
+  for (int64_t e = 0; e < nnz; ++e) m += (rows[e] != cols[e]);
+  std::vector<int64_t> indices(2 * m);
+  for (int64_t e = 0; e < nnz; ++e)
+    if (rows[e] != cols[e]) { indptr[rows[e] + 1]++; indptr[cols[e] + 1]++; }
+  for (int64_t i = 0; i < n; ++i) indptr[i + 1] += indptr[i];
+  {
+    std::vector<int64_t> cursor(indptr.begin(), indptr.end() - 1);
+    // first all (rows->cols), then all (cols->rows): matches the
+    // concatenation order before numpy's stable argsort by row
+    for (int64_t e = 0; e < nnz; ++e)
+      if (rows[e] != cols[e]) indices[cursor[rows[e]]++] = cols[e];
+    for (int64_t e = 0; e < nnz; ++e)
+      if (rows[e] != cols[e]) indices[cursor[cols[e]]++] = rows[e];
+  }
+
+  // ---- stamped workspace (_Workspace)
+  std::vector<int64_t> member(n, 0), lvl_val(n, 0), lvl_stamp(n, 0);
+  std::vector<int8_t> side(n, -1);
+  std::vector<int64_t> lock_stamp(n, 0);
+  int64_t node_stamp = 0, bfs_stamp = 0, pass_stamp = 0;
+
+  auto bfs = [&](int64_t start) -> int64_t {
+    int64_t st = ++bfs_stamp;
+    lvl_val[start] = 0;
+    lvl_stamp[start] = st;
+    std::vector<int64_t> frontier{start}, next;
+    int64_t d = 0;
+    while (!frontier.empty()) {
+      ++d;
+      next.clear();
+      for (int64_t v : frontier)
+        for (int64_t p = indptr[v]; p < indptr[v + 1]; ++p) {
+          int64_t u = indices[p];
+          if (member[u] == node_stamp && lvl_stamp[u] != st) {
+            lvl_stamp[u] = st;
+            lvl_val[u] = d;
+            next.push_back(u);
+          }
+        }
+      frontier.swap(next);
+    }
+    return st;
+  };
+
+  auto far_count = [&](int64_t v, int t) -> int64_t {
+    int64_t c = 0;
+    for (int64_t p = indptr[v]; p < indptr[v + 1]; ++p)
+      c += (side[indices[p]] == (int8_t)(1 - t));
+    return c;
+  };
+
+  struct Move { int64_t cost, seq, v; int t; };
+  struct MoveGt {
+    bool operator()(const Move& a, const Move& b) const {
+      return a.cost != b.cost ? a.cost > b.cost : a.seq > b.seq;
+    }
+  };
+
+  // FM refinement (mirror of _fm_refine; a/b/s sorted ascending in+out)
+  auto fm_refine = [&](std::vector<int64_t>& a, std::vector<int64_t>& b,
+                       std::vector<int64_t>& s) {
+    const int rounds = 8;
+    const double hi_share = 0.60;
+    int64_t total = (int64_t)(a.size() + b.size() + s.size());
+    if (s.empty() || total < 8) return;
+    for (int64_t v : a) side[v] = 0;
+    for (int64_t v : b) side[v] = 1;
+    for (int64_t v : s) side[v] = 2;
+    int64_t sizes[2] = {(int64_t)a.size(), (int64_t)b.size()};
+    double hi = hi_share;
+    double start_share = (double)std::max(sizes[0], sizes[1]) / (double)total;
+    if (start_share > hi) hi = start_share;
+
+    for (int round = 0; round < rounds; ++round) {
+      std::priority_queue<Move, std::vector<Move>, MoveGt> heap;
+      int64_t seq = 0;
+      int64_t lk = ++pass_stamp;
+      for (int64_t v : s) {
+        // initial gains: cb-1 toward A (far side B), ca-1 toward B
+        int64_t ca = 0, cb = 0;
+        for (int64_t p = indptr[v]; p < indptr[v + 1]; ++p) {
+          ca += (side[indices[p]] == 0);
+          cb += (side[indices[p]] == 1);
+        }
+        heap.push({cb - 1, seq, v, 0});
+        heap.push({ca - 1, seq + 1, v, 1});
+        seq += 2;
+      }
+      struct LogEnt { int64_t v; int t; std::vector<int64_t> pulled; };
+      std::vector<LogEnt> log;
+      int64_t extra = 0, best_extra = 0;
+      size_t best_at = 0;
+      int64_t stall = 0;
+      int64_t stall_cap = 2 * (int64_t)s.size() + 64;
+      while (!heap.empty() && stall < stall_cap) {
+        Move mv = heap.top();
+        heap.pop();
+        int64_t v = mv.v;
+        int t = mv.t;
+        if (side[v] != 2 || lock_stamp[v] == lk) continue;
+        int64_t fc = far_count(v, t);
+        if (mv.cost != fc - 1) { heap.push({fc - 1, seq++, v, t}); continue; }
+        if ((double)(sizes[t] + 1) / (double)total > hi) continue;
+        std::vector<int64_t> pulled;
+        for (int64_t p = indptr[v]; p < indptr[v + 1]; ++p)
+          if (side[indices[p]] == (int8_t)(1 - t)) pulled.push_back(indices[p]);
+        std::sort(pulled.begin(), pulled.end());
+        pulled.erase(std::unique(pulled.begin(), pulled.end()), pulled.end());
+        side[v] = (int8_t)t;
+        sizes[t] += 1;
+        sizes[1 - t] -= (int64_t)pulled.size();
+        for (int64_t u : pulled) side[u] = 2;
+        lock_stamp[v] = lk;
+        log.push_back({v, t, pulled});
+        extra += (int64_t)pulled.size() - 1;
+        for (int64_t u : pulled) {
+          for (int tt = 0; tt < 2; ++tt)
+            heap.push({far_count(u, tt) - 1, seq++, u, tt});
+          for (int64_t p = indptr[u]; p < indptr[u + 1]; ++p) {
+            int64_t w = indices[p];
+            if (side[w] != 2 || lock_stamp[w] == lk) continue;
+            heap.push({far_count(w, t) - 1, seq++, w, t});
+          }
+        }
+        if (extra < best_extra) {
+          best_extra = extra;
+          best_at = log.size();
+          stall = 0;
+        } else {
+          ++stall;
+        }
+      }
+      for (size_t i = log.size(); i > best_at; --i) {
+        const LogEnt& le = log[i - 1];
+        for (int64_t u : le.pulled) side[u] = (int8_t)(1 - le.t);
+        sizes[1 - le.t] += (int64_t)le.pulled.size();
+        side[le.v] = 2;
+        sizes[le.t] -= 1;
+      }
+      std::vector<int64_t> na, nb, ns;
+      auto classify = [&](const std::vector<int64_t>& vs) {
+        for (int64_t v : vs) {
+          if (side[v] == 0) na.push_back(v);
+          else if (side[v] == 1) nb.push_back(v);
+          else ns.push_back(v);
+        }
+      };
+      classify(a); classify(b); classify(s);
+      a.swap(na); b.swap(nb); s.swap(ns);
+      if (best_extra >= 0) break;
+    }
+    // one-sided cleanup: two simultaneous sweeps (no-B-neighbor -> A against
+    // current sides, then no-A-neighbor -> B against UPDATED sides)
+    if (!s.empty()) {
+      for (int target = 0; target < 2; ++target) {
+        std::sort(s.begin(), s.end());
+        std::vector<int64_t> keep, moved;
+        for (int64_t v : s) {
+          bool hasfar = false;
+          for (int64_t p = indptr[v]; p < indptr[v + 1] && !hasfar; ++p)
+            hasfar = (side[indices[p]] == (int8_t)(1 - target));
+          (hasfar ? keep : moved).push_back(v);
+        }
+        if (!moved.empty()) {
+          for (int64_t v : moved) side[v] = (int8_t)target;
+          auto& dst = (target == 0) ? a : b;
+          dst.insert(dst.end(), moved.begin(), moved.end());
+          s.swap(keep);
+        }
+      }
+    }
+    std::sort(a.begin(), a.end());
+    std::sort(b.begin(), b.end());
+    std::sort(s.begin(), s.end());
+    for (int64_t v : a) side[v] = -1;
+    for (int64_t v : b) side[v] = -1;
+    for (int64_t v : s) side[v] = -1;
+  };
+
+  // _split mirror
+  auto split = [&](const std::vector<int64_t>& verts, std::vector<int64_t>& a,
+                   std::vector<int64_t>& b, std::vector<int64_t>& s) {
+    a.clear(); b.clear(); s.clear();
+    if (verts.size() <= 1) { a = verts; return; }
+    ++node_stamp;
+    for (int64_t v : verts) member[v] = node_stamp;
+    // pseudo-peripheral: 3 improvement hops
+    int64_t v0 = verts[0];
+    int64_t st = bfs(v0);
+    for (int hop = 0; hop < 3; ++hop) {
+      int64_t far = -1, best = -1;
+      for (int64_t v : verts)
+        if (lvl_stamp[v] == st && lvl_val[v] > best) { best = lvl_val[v]; far = v; }
+      if (far < 0 || lvl_val[far] == 0) break;
+      v0 = far;
+      st = bfs(v0);
+    }
+    std::vector<int64_t> reach, unreach;
+    for (int64_t v : verts)
+      (lvl_stamp[v] == st ? reach : unreach).push_back(v);
+    int64_t maxlv = 0;
+    for (int64_t v : reach) maxlv = std::max(maxlv, lvl_val[v]);
+    std::vector<int64_t> counts(maxlv + 1, 0);
+    for (int64_t v : reach) counts[lvl_val[v]]++;
+    int64_t total = (int64_t)reach.size();
+    int64_t cut_level = -1;
+    if (counts.size() > 1) {
+      const double windows[3][2] = {{0.45, 0.55}, {0.35, 0.65}, {0.25, 0.75}};
+      int64_t cum = 0;
+      std::vector<double> fracs(counts.size() - 1);
+      std::vector<int64_t> proxy(counts.size() - 1);
+      for (size_t t = 0; t + 1 < counts.size(); ++t) {
+        cum += counts[t];
+        fracs[t] = (double)cum / (double)total;
+        proxy[t] = std::min(counts[t], counts[t + 1]);
+      }
+      for (auto& w : windows) {
+        int64_t bestp = -1, besti = -1;
+        for (size_t t = 0; t < fracs.size(); ++t)
+          if (fracs[t] >= w[0] && fracs[t] <= w[1])
+            if (besti < 0 || proxy[t] < bestp) { bestp = proxy[t]; besti = (int64_t)t; }
+        if (besti >= 0) { cut_level = besti + 1; break; }
+      }
+    }
+    if (cut_level < 0) {
+      // median-vertex fallback: stable sort of reach by level, take the
+      // middle vertex's level (reach is ascending, sort is stable)
+      std::vector<int64_t> order(reach.size());
+      for (size_t i = 0; i < reach.size(); ++i) order[i] = (int64_t)i;
+      std::stable_sort(order.begin(), order.end(), [&](int64_t x, int64_t y) {
+        return lvl_val[reach[x]] < lvl_val[reach[y]];
+      });
+      size_t cut = reach.size() / 2;
+      cut_level = lvl_val[reach[order[std::min(cut, reach.size() - 1)]]];
+    }
+    std::vector<int64_t> a_side, rest;
+    for (int64_t v : reach)
+      (lvl_val[v] < cut_level ? a_side : rest).push_back(v);
+    if (a_side.empty()) {
+      a_side.assign(reach.begin(), reach.begin() + reach.size() / 2);
+      rest.assign(reach.begin() + reach.size() / 2, reach.end());
+    }
+    // frontier masks via side: mark a_side=0, rest=1 temporarily
+    for (int64_t v : a_side) side[v] = 0;
+    for (int64_t v : rest) side[v] = 1;
+    auto count_front = [&](const std::vector<int64_t>& vs, int8_t tagv,
+                           std::vector<uint8_t>& out) {
+      out.assign(vs.size(), 0);
+      int64_t c = 0;
+      for (size_t i = 0; i < vs.size(); ++i) {
+        for (int64_t p = indptr[vs[i]]; p < indptr[vs[i] + 1]; ++p)
+          if (side[indices[p]] == tagv) { out[i] = 1; break; }
+        c += out[i];
+      }
+      return c;
+    };
+    std::vector<uint8_t> front_r, front_a;
+    int64_t nfr = count_front(rest, 0, front_r);
+    int64_t nfa = count_front(a_side, 1, front_a);
+    std::vector<int64_t> sep;
+    if (nfr <= nfa) {
+      for (size_t i = 0; i < rest.size(); ++i)
+        (front_r[i] ? sep : b).push_back(rest[i]);
+      a = a_side;
+      if (!sep.empty()) {
+        // trim: sep vertices with no B neighbor -> A. Reuse side: clear
+        // a_side/rest marks, mark b=1, sep vertices checked against it.
+        for (int64_t v : a_side) side[v] = -1;
+        for (int64_t v : rest) side[v] = -1;
+        for (int64_t v : b) side[v] = 1;
+        std::vector<int64_t> keep;
+        for (int64_t v : sep) {
+          bool has = false;
+          for (int64_t p = indptr[v]; p < indptr[v + 1] && !has; ++p)
+            has = (side[indices[p]] == 1);
+          (has ? keep : a).push_back(v);
+        }
+        sep.swap(keep);
+        for (int64_t v : b) side[v] = -1;
+      } else {
+        for (int64_t v : a_side) side[v] = -1;
+        for (int64_t v : rest) side[v] = -1;
+      }
+    } else {
+      for (size_t i = 0; i < a_side.size(); ++i)
+        (front_a[i] ? sep : a).push_back(a_side[i]);
+      b = rest;
+      if (!sep.empty()) {
+        for (int64_t v : a_side) side[v] = -1;
+        for (int64_t v : rest) side[v] = -1;
+        for (int64_t v : a) side[v] = 0;
+        std::vector<int64_t> keep;
+        for (int64_t v : sep) {
+          bool has = false;
+          for (int64_t p = indptr[v]; p < indptr[v + 1] && !has; ++p)
+            has = (side[indices[p]] == 0);
+          (has ? keep : b).push_back(v);
+        }
+        sep.swap(keep);
+        for (int64_t v : a) side[v] = -1;
+      } else {
+        for (int64_t v : a_side) side[v] = -1;
+        for (int64_t v : rest) side[v] = -1;
+      }
+    }
+    b.insert(b.end(), unreach.begin(), unreach.end());
+    std::sort(sep.begin(), sep.end());
+    s.swap(sep);
+    fm_refine(a, b, s);
+    std::sort(a.begin(), a.end());
+    std::sort(b.begin(), b.end());
+    std::sort(s.begin(), s.end());
+  };
+
+  // heap-ordered recursion (mirror of nested_dissection_graph's loop)
+  int64_t nsep = ((int64_t)1 << levels) - 1;
+  std::vector<std::vector<int64_t>> boxes(2 * nsep + 2);
+  boxes[1].resize(n);
+  for (int64_t i = 0; i < n; ++i) boxes[1][i] = i;
+  for (int64_t h = 1; h <= nsep; ++h) {
+    if (h < ((int64_t)1 << (levels - 1))) {
+      std::vector<int64_t> a, b, s;
+      split(boxes[h], a, b, s);
+      for (int64_t v : s) sep_of[v] = h;
+      boxes[2 * h].swap(a);
+      boxes[2 * h + 1].swap(b);
+      boxes[h].clear();
+      boxes[h].shrink_to_fit();
+    } else {
+      for (int64_t v : boxes[h]) sep_of[v] = h;
+    }
+  }
   return 0;
 }
 

@@ -132,6 +132,40 @@ def test_ordering_quality_vs_geometric():
         assert graph <= 1.5 * geo, (shape, graph / geo)
 
 
+def test_native_nd_matches_python():
+    """The native ordering core (mndio.cc nd_order) is a statement-level
+    mirror of the Python implementation — same BFS cuts, FM heap
+    tie-breaking, sorted-unique semantics — so its output must be
+    BIT-IDENTICAL, not merely equivalent. Any divergence means the two
+    implementations drifted."""
+    pytest.importorskip("cholesky_tpu.native.ext")
+    rng = np.random.default_rng(7)
+
+    def check(n, rows, cols, levels):
+        o1, _ = nested_dissection_graph(n, rows, cols, levels=levels,
+                                        native=False)
+        o2, _ = nested_dissection_graph(n, rows, cols, levels=levels,
+                                        native=True)
+        assert o1.levels == o2.levels
+        for k in o1.dofs:
+            np.testing.assert_array_equal(o1.dofs[k], o2.dofs[k])
+
+    n, r, c, _ = grid_laplacian((20, 20))
+    p = rng.permutation(n)
+    check(n, np.maximum(p[r], p[c]), np.minimum(p[r], p[c]), 5)
+    n, r, c, _ = grid_laplacian((9, 10, 11))
+    p = rng.permutation(n)
+    check(n, np.maximum(p[r], p[c]), np.minimum(p[r], p[c]), 6)
+    for seed in range(3):
+        rr, cc, _ = random_spd(500, 5, np.random.default_rng(seed))
+        check(500, rr, cc, 4)
+    # disconnected components
+    n1, r1, c1, _ = grid_laplacian((9, 9))
+    n2, r2, c2, _ = grid_laplacian((7, 8))
+    check(n1 + n2, np.concatenate([r1, r2 + n1]),
+          np.concatenate([c1, c2 + n1]), 4)
+
+
 def test_disconnected_graph():
     """Two disconnected components (block-diagonal SPD)."""
     rng = np.random.default_rng(2)
