@@ -861,7 +861,8 @@ class SparseCholesky:
         else:
             fronts = frontal.assemble_fronts(
                 self.fplan, self.rows, self.cols, vals_many, dtype=self.dtype)
-        factors = frontal.factor_many(self.fplan, fronts, mesh=self.mesh)
+        with _precision_ctx(self.precision):
+            factors = frontal.factor_many(self.fplan, fronts, mesh=self.mesh)
         return BatchedFactors(self, factors, vals_many)
 
     # ------------------------------------------------------------------
@@ -1236,17 +1237,18 @@ class BatchedFactors:
             b = np.broadcast_to(b, (self.k, b.shape[0])).copy()
         if b.shape != (self.k, self._s.plan.n):
             raise ValueError(f"b must be [{self.k}, {self._s.plan.n}]")
-        x = self._solve_once(b)
-        want_ir = refine == "always" or (
-            refine == "auto" and np.dtype(self._s.dtype) != np.float64)
-        if not want_ir:
-            return x
-        bnorm = np.linalg.norm(b, axis=1)
-        for _ in range(max_iter):
-            r = b - self._matvec(x)
-            if np.all(np.linalg.norm(r, axis=1) <= tol * bnorm):
-                break
-            x = x + self._solve_once(r)
+        with _precision_ctx(self._s.precision):
+            x = self._solve_once(b)
+            want_ir = refine == "always" or (
+                refine == "auto" and np.dtype(self._s.dtype) != np.float64)
+            if not want_ir:
+                return x
+            bnorm = np.linalg.norm(b, axis=1)
+            for _ in range(max_iter):
+                r = b - self._matvec(x)
+                if np.all(np.linalg.norm(r, axis=1) <= tol * bnorm):
+                    break
+                x = x + self._solve_once(r)
         return x
 
     def residual(self, b, x) -> np.ndarray:
