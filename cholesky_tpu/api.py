@@ -35,6 +35,21 @@ def _precision_ctx(prec: Optional[str]):
     return jax.default_matmul_precision(prec)
 
 
+def _with_precision(fn):
+    """Method decorator: run the body under the solver's matmul-precision
+    override, so EVERY factor-application surface (solves, selected
+    inversion, sampling, Schur reads, gradients) delivers the accuracy the
+    precision knob paid for — not just factorize/solve. Nesting with an
+    identical inner context is harmless."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with _precision_ctx(self.precision):
+            return fn(self, *args, **kwargs)
+    return wrapper
+
+
 class SparseCholesky:
     """Sparse SPD Cholesky solver over a nested-dissection ordering.
 
@@ -373,6 +388,8 @@ class SparseCholesky:
             x = np.empty(self.plan.n)
             x[self.plan.perm] = np.asarray(x_perm)
             return x
+        if b.ndim == 2 and b.shape[1] == 0:
+            return np.zeros((self.plan.n, 0))
         if mode != "0" and b.ndim == 2 and self.engine == "frontal":
             # multi-RHS device-resident refinement: the whole [n, k] block
             # refines in one while_loop (solves vmapped over columns; one
@@ -383,6 +400,13 @@ class SparseCholesky:
             if not self.factored:
                 self.factorize()
             ell = self._ell_perm()
+            if ell is not None and not self._multi_ir_fits(
+                    ell[0].shape[1], b.shape[1]):
+                # very wide blocks: the batched double-float residual holds
+                # several [n, K, k] temporaries — past the budget, fall to
+                # the host loop (CSR matvec + batched device solves), which
+                # is memory-flat in k
+                ell = None
             if ell is not None:
                 x_perm, _, rn_rel = refine.solve_refined_df_multi(
                     self.fplan, self.panels, b[self.plan.perm, :], ell,
@@ -433,6 +457,13 @@ class SparseCholesky:
                 break
             x = x + self._solve_once(r).astype(np.float64)
         return x
+
+    def _multi_ir_fits(self, ell_k: int, k: int) -> bool:
+        """Whether the [n, k] device-resident refinement's residual
+        temporaries (~6 live [n, K, k] f32 operands in df_matvec_multi)
+        fit a conservative slice of HBM alongside the factor."""
+        need = 6 * self.plan.n * max(ell_k, 1) * k * 4
+        return need <= self._hbm_budget(0.20)
 
     @staticmethod
     def _panel_itemsize(p) -> int:
@@ -606,6 +637,7 @@ class SparseCholesky:
         r, c = np.nonzero(ldense)
         return r, c, ldense[r, c]
 
+    @_with_precision
     def inv_diag(self) -> np.ndarray:
         """diag(A⁻¹) in original dof order, by selected inversion on the
         factor (numeric/selinv.py): a top-down batched recursion over the
@@ -656,6 +688,7 @@ class SparseCholesky:
                 f"available; it has no streamed path. "
                 f"CHOLESKY_TPU_SELINV=force overrides.")
 
+    @_with_precision
     def inv_entries(self, rows, cols) -> np.ndarray:
         """Selected entries (A⁻¹)[rows[k], cols[k]] in original dof order,
         for entries within the factor pattern (L + Lᵀ + I): covariances
@@ -697,6 +730,7 @@ class SparseCholesky:
         off, sz = self._root_extent()
         return self.plan.perm[off:off + sz]
 
+    @_with_precision
     def schur_complement(self) -> np.ndarray:
         """Dense Schur complement S = A_rr − A_ro·A_oo⁻¹·A_or of A onto the
         root separator dofs (rows/cols ordered as schur_dofs()).
@@ -722,6 +756,7 @@ class SparseCholesky:
             jnp.asarray(self.panels[0][0, :sz, :sz], jnp.float64)))
         return ld @ ld.T
 
+    @_with_precision
     def condense_rhs(self, b: np.ndarray) -> np.ndarray:
         """Condensed right-hand side b̂ = b_r − A_ro·A_oo⁻¹·b_o of the
         interface system S·x_r = b̂ (partial forward substitution over the
@@ -740,6 +775,7 @@ class SparseCholesky:
         off, sz = self._root_extent()
         return np.asarray(bg[off:off + sz], dtype=np.float64)
 
+    @_with_precision
     def expand_solution(self, b: np.ndarray, x_root: np.ndarray) -> np.ndarray:
         """Recover the full solution from an interface solution: given x_r
         solving S·x_r = condense_rhs(b) (computed by any external solver),
@@ -773,6 +809,7 @@ class SparseCholesky:
         return x
 
     # ------------------------------------------------------------------
+    @_with_precision
     def sample(self, z: np.ndarray) -> np.ndarray:
         """Samples with covariance A⁻¹ from standard-normal draws: with
         A_perm = L·Lᵀ, x_perm = L⁻ᵀ z has covariance A_perm⁻¹ — the sparse
@@ -798,6 +835,7 @@ class SparseCholesky:
         x = x.astype(np.float64)
         return x[:, 0] if squeeze else x
 
+    @_with_precision
     def whiten(self, x: np.ndarray) -> np.ndarray:
         """The inverse transform of sample(): z = L⁻¹ P x. For
         x ~ N(0, A⁻¹) (in original dof order) the result is standard
@@ -872,6 +910,7 @@ class SparseCholesky:
     # log-likelihood −½(bᵀA⁻¹b + logdet A + n·log 2π) — without
     # differentiating through the factorization.
 
+    @_with_precision
     def logdet_grad(self) -> np.ndarray:
         """∂ logdet(A) / ∂v, aligned with coo_pattern(): since
         d logdet = tr(A⁻¹ dA) and entry v_k appears at (r_k, c_k) AND
@@ -885,6 +924,7 @@ class SparseCholesky:
         g = self.inv_entries(self.rows, self.cols)
         return np.where(self.rows == self.cols, g, 2.0 * g)
 
+    @_with_precision
     def solve_grad(self, b: np.ndarray, xbar: np.ndarray,
                    x: Optional[np.ndarray] = None, tol: float = 1e-12):
         """Adjoint of x = A⁻¹b: given the cotangent x̄ = ∂f/∂x of a scalar
@@ -909,6 +949,7 @@ class SparseCholesky:
         vbar[r == c] = -(lam[r] * x[r])[r == c]
         return vbar, lam
 
+    @_with_precision
     def quadform_grad(self, b: np.ndarray, x: Optional[np.ndarray] = None,
                       tol: float = 1e-12) -> np.ndarray:
         """∂(bᵀA⁻¹b)/∂v aligned with coo_pattern(): −x_r x_c doubled off
@@ -924,6 +965,7 @@ class SparseCholesky:
         g[r == c] = -(x[r] * x[r])[r == c]
         return g
 
+    @_with_precision
     def solve_updated(self, b: np.ndarray, u: np.ndarray, w=None,
                       tol: float = 1e-12) -> np.ndarray:
         """Solve (A + U·diag(w)·Uᵀ) x = b via the Woodbury identity, reusing
@@ -954,6 +996,7 @@ class SparseCholesky:
         correction = ainv_u @ np.linalg.solve(cap, u.T @ x)
         return x - correction
 
+    @_with_precision
     def logdet_updated(self, u: np.ndarray, w=None, tol: float = 1e-12
                        ) -> float:
         """log det(A + U·diag(w)·Uᵀ) by the matrix determinant lemma,
@@ -1037,6 +1080,7 @@ class SparseCholesky:
                 f"{what} requires an SPD (Cholesky) factorization — this "
                 f"solver holds a quasi-definite LDL^T factor")
 
+    @_with_precision
     def condest(self, iters: int = 12, seed: int = 0) -> float:
         """2-norm condition-number estimate κ₂(A) ≈ λmax(A)/λmin(A) by power
         iteration: λmax on A (sparse matvecs), 1/λmin on A⁻¹ (triangular

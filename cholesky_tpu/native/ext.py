@@ -224,6 +224,15 @@ def nd_order(n: int, rows: np.ndarray, cols: np.ndarray,
     index h (1..2^levels-1) of the separator/leaf owning each dof."""
     rows = np.ascontiguousarray(rows, np.int64)
     cols = np.ascontiguousarray(cols, np.int64)
+    # The C++ core indexes CSR/workspace arrays with these values; an
+    # out-of-range dof (e.g. 1-based input) must fail like the Python
+    # path's IndexError, not corrupt the heap.
+    for name, arr in (("rows", rows), ("cols", cols)):
+        if len(arr) and (arr.min() < 0 or arr.max() >= n):
+            raise IndexError(
+                f"{name} contains dof indices outside [0, {n}) "
+                f"(min {arr.min()}, max {arr.max()}) — COO indices must be "
+                f"0-based")
     sep_of = np.zeros(int(n), dtype=np.int64)
     rc = _lib.nd_order(_i64(int(n)), _i64(len(rows)), rows, cols,
                        _i64(int(levels)), sep_of)

@@ -460,6 +460,11 @@ int64_t fill_analyze(
 
 int64_t nd_order(int64_t n, int64_t nnz, const int64_t* rows,
                  const int64_t* cols, int64_t levels, int64_t* sep_of) {
+  // ---- bounds check first: every value below indexes n-sized arrays
+  // (returns -1; the ctypes wrapper raises — mirroring Python's IndexError)
+  for (int64_t e = 0; e < nnz; ++e)
+    if (rows[e] < 0 || rows[e] >= n || cols[e] < 0 || cols[e] >= n)
+      return -1;
   // ---- CSR adjacency, mirroring _build_adjacency (stable sort by row of
   // [rows|cols] concatenated with [cols|rows], self loops dropped).
   std::vector<int64_t> indptr(n + 1, 0);

@@ -237,6 +237,15 @@ def _run(key, factors, inv_pivots, idx, a_hi, a_lo, bs, max_iter,
 # and an [n, k] host<->device round trip per iteration; here the whole block
 # of solutions refines in one while_loop (solves vmapped over columns, the
 # double-float residual batched through one [n, K, k]-operand gather).
+#
+# NOTE: this section deliberately parallels the single-RHS loop above
+# rather than folding it into a k=1 call: (a) tolerance semantics differ by
+# design (single-RHS takes an ABSOLUTE tol_abs = tol*||b||; the block loop
+# gates on the worst PER-COLUMN relative residual — a shared absolute tol
+# would over/under-solve columns of different scale), and (b) the
+# single-RHS program above is the hot compiled path whose source lines key
+# the persistent TPU compile cache. When touching the residual/stagnation
+# logic (the 0.5*prev rule, the scaled-norm underflow guard), change BOTH.
 
 
 def df_matvec_multi(idx, a_hi, a_lo, x_hi, x_lo):

@@ -243,3 +243,15 @@ def test_solve_fem_delaunay():
         shape=(n, n)).toarray()
     np.testing.assert_allclose(x, np.linalg.solve(a, b_rhs), rtol=1e-8,
                                atol=1e-10)
+
+
+def test_out_of_range_indices_raise():
+    """1-based COO input (a common mistake) must raise IndexError on BOTH
+    ordering paths — the native core previously indexed n-sized arrays with
+    the raw values (review finding: heap corruption instead of an error)."""
+    rows = np.array([1, 2, 3, 4, 5])
+    cols = np.array([0, 1, 2, 3, 4])
+    with pytest.raises(IndexError):
+        nested_dissection_graph(5, rows, cols, levels=2, native=True)
+    with pytest.raises(IndexError):
+        nested_dissection_graph(5, rows, cols, levels=2, native=False)

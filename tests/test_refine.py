@@ -122,3 +122,13 @@ def test_device_ir_df_multi_rhs():
     Xp, iters, rn = refine.solve_refined_df_multi(
         s.fplan, s.panels, bp, ell, tol=1e-12, max_iter=40)
     assert iters >= 1 and rn <= 1e-11
+
+
+def test_zero_column_rhs_block():
+    """A [n, 0] RHS block returns [n, 0] instead of crashing the
+    device-refinement branch (review finding: jnp.max over an empty
+    per-column residual vector)."""
+    n, r, c, v, o, cl, _ = generate_problem((9, 9), 3)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    X = s.solve(np.zeros((n, 0)))
+    assert X.shape == (n, 0)
