@@ -341,7 +341,7 @@ class SparseCholesky:
         xlv = nfactor.solve(self.plan, self.panels, blv)
         return assemble.extract_solution(self.plan, [np.asarray(x) for x in xlv])
 
-    def solve(self, b: np.ndarray, refine: str = "auto", tol: float = 1e-12,
+    def solve(self, b: np.ndarray, refine: str = "auto", tol: float = 1e-10,
               max_iter: int = 50) -> np.ndarray:
         """Solve A x = b; b and x are in ORIGINAL dof order.
 
@@ -350,6 +350,16 @@ class SparseCholesky:
         residual contract with a fast low-precision factorization (factor in
         fp32 on the MXU, residual in f64, repeat). 'never' disables it,
         'always' forces it even for f64 factors.
+
+        tol: relative-residual target. The default is the framework's 1e-10
+        residual contract (BASELINE.md); each refinement sweep gains several
+        digits, so solves typically land well under it (~5e-12 at 50³). A
+        tol below ~1e-13 sits under the double-float residual floor and just
+        runs the device loop to its stagnation guard (~2 wasted sweeps,
+        ~40% of solve wall at 125k dofs) — pass 1e-12 only when the extra
+        digit is actually needed. Derived-quantity helpers that compose
+        several solves (solve_updated, solve_grad, …) keep a tighter 1e-12
+        default because their error amplifies.
         """
         with _precision_ctx(self.precision):
             return self._solve_impl(b, refine, tol, max_iter)
@@ -1270,12 +1280,12 @@ class BatchedFactors:
         x[:, s.plan.perm] = xp
         return x.astype(np.float64)
 
-    def solve(self, b, refine: str = "auto", tol: float = 1e-12,
+    def solve(self, b, refine: str = "auto", tol: float = 1e-10,
               max_iter: int = 50) -> np.ndarray:
         """Solve A_k x_k = b_k for all systems. `b` is [K, n], or [n] to
         share one rhs across the family. Refinement ('auto', like
         SparseCholesky.solve) iterates the whole family together until
-        every system meets tol."""
+        every system meets tol (default: the 1e-10 residual contract)."""
         b = np.asarray(b, dtype=np.float64)
         if b.ndim == 1:
             b = np.broadcast_to(b, (self.k, b.shape[0])).copy()
