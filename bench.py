@@ -216,6 +216,8 @@ def main(argv=None):
     # measured factorization wall, as in any out-of-core solver
     offload = (os.environ.get("CHOLESKY_TPU_UPLOAD_STREAM") == "1"
                or front_bytes > frontal._OFFLOAD_BYTES)
+    streamed_incore = (not offload
+                       and front_bytes > frontal._STREAM_BYTES)
     if offload:
         t0 = time.time()
         fronts_host = frontal.assemble_fronts(
@@ -223,6 +225,17 @@ def main(argv=None):
         fronts = None                  # the streamed driver reads fronts_host
         print(f"# out-of-core: host-streamed fronts, bf16-stored factors "
               f"(host assemble {time.time()-t0:.1f}s)", file=sys.stderr)
+    elif streamed_incore:
+        # streamed in-core (fronts fit HBM but the monolithic program's
+        # temps don't): lazy per-level device assembly — values-only
+        # upload, and only the CURRENT level's input slab resides
+        # alongside the accumulating factors (eagerly assembling all
+        # levels up front OOMs a 16 GB chip at 1M dofs)
+        fronts = frontal.LazyFronts(
+            frontal.FrontAssembler(fp, solver.rows, solver.cols),
+            solver.vals, dtype=dtype)
+        print("# lazy device assembly (per-level scatter inside the "
+              "streamed factorization)", file=sys.stderr)
     else:
         # in-core: device-side assembly — only the [nnz] values cross
         # host->device; the refill scatter runs on chip
@@ -305,12 +318,14 @@ def main(argv=None):
             float(cs)
             break
         except Exception as e:  # noqa: BLE001
+            if use_stream or attempt == 3:
+                raise
             # a donating program that failed AFTER dispatch has already
             # invalidated its inputs — retrying would mask the real error
             # with "Array has been deleted"
             consumed = donate and fronts is not None and any(
                 getattr(f, "is_deleted", lambda: False)() for f in fronts)
-            if use_stream or consumed or attempt == 3:
+            if consumed:
                 raise
             print(f"# compile attempt {attempt} failed ({type(e).__name__}); "
                   f"retrying", file=sys.stderr)

@@ -172,6 +172,13 @@ class SparseCholesky:
                 # reference re-runs host fill_block per iteration,
                 # mmat.rg:1216-1224)
                 buffers = self._assembler()(self.vals, dtype=self.dtype)
+            elif self._lazy_assembly_ok():
+                # streamed regime: per-level on-device assembly right before
+                # each level's program (LazyFronts) — values-only upload
+                # like the in-core path, but only the CURRENT level's slab
+                # ever resides in HBM alongside the factors
+                buffers = frontal.LazyFronts(self._assembler(), self.vals,
+                                             dtype=self.dtype)
             else:
                 buffers = frontal.assemble_fronts(
                     self.fplan, self.rows, self.cols, self.vals,
@@ -518,6 +525,22 @@ class SparseCholesky:
         from cholesky_tpu.numeric import frontal
 
         return self._factor_bytes() <= frontal._STREAM_BYTES
+
+    def _lazy_assembly_ok(self) -> bool:
+        """Past _STREAM_BYTES the factorization runs level-streamed; lazy
+        per-level device assembly keeps the values-only-upload property
+        there without the full front set's residency. Quasi-definite
+        factorization (signs) consumes materialized panels."""
+        import os
+
+        if os.environ.get("CHOLESKY_TPU_LAZY_ASSEMBLE", "1") == "0":
+            return False
+        if os.environ.get("CHOLESKY_TPU_DEVICE_ASSEMBLE", "1") == "0":
+            return False        # "no device-side assembly" means lazy too
+        if (self.engine != "frontal" or self.mesh is not None
+                or self.signs is not None):
+            return False
+        return np.asarray(self.vals).ndim == 1
 
     def _factor_bytes(self) -> int:
         """Device residency of the factors: actual panel dtypes when

@@ -338,6 +338,51 @@ def _assemble_device_jit(shapes, dtype, vals, idx):
     return jax.vmap(one)(vals) if vals.ndim == 2 else one(vals)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _assemble_level_jit(shape, dtype, vals, idx):
+    B, Fl, Wl = shape
+    sel, flat, ones = idx
+    dt = jnp.dtype(dtype)
+    slab = jnp.zeros((B * Fl * Wl,), dt)
+    slab = slab.at[ones].set(jnp.asarray(1.0, dt), indices_are_sorted=True,
+                             unique_indices=True)
+    slab = slab.at[flat].set(vals[sel].astype(dt), unique_indices=True)
+    return slab.reshape(B, Fl, Wl)
+
+
+class LazyFronts:
+    """Sequence view over an UNASSEMBLED front set: each level's slab is
+    scattered on device at first access and not retained, so the streamed
+    factorization holds only the CURRENT level's input slab in HBM — never
+    the whole multi-GiB front set. Keeps device-side assembly's one-upload
+    property (only the [nnz] value vector crosses host->device, like the
+    reference's region-resident fill, mnd.c:152-199) in the streamed
+    regime, where eagerly assembling every level's device slab upfront
+    (6.5 GiB at 1M dofs) plus transition temps exhausts a 16 GB chip."""
+
+    def __init__(self, asm: "FrontAssembler", vals, dtype=np.float32):
+        self.asm = asm
+        self.dtype = np.dtype(dtype)
+        self.shapes = asm.shapes
+        vals = np.asarray(vals)
+        if vals.ndim != 1:
+            raise ValueError("LazyFronts serves single-matrix assembly")
+        if vals.dtype.itemsize > self.dtype.itemsize:
+            vals = vals.astype(self.dtype)
+        self.vals = jnp.asarray(vals)               # the ONE upload
+
+    def __len__(self) -> int:
+        return len(self.shapes)
+
+    def __getitem__(self, lvl: int) -> jax.Array:
+        idx = tuple(jnp.asarray(a) for a in self.asm.idx[lvl])
+        return _assemble_level_jit(self.shapes[lvl], str(self.dtype),
+                                   self.vals, idx)
+
+    def nbytes_of(self, lvl: int) -> int:
+        return int(np.prod(self.shapes[lvl])) * self.dtype.itemsize
+
+
 # ---------------------------------------------------------------------------
 # Device factor / solve
 
@@ -360,27 +405,65 @@ def _expand_child_updates_matmul(fp: FrontalPlan, U, child_lvl: int):
                                indices_are_sorted=True)
 
 
+def _fold_maps(fp: FrontalPlan, child_lvl: int, nrows: int):
+    """Sibling-folded row-gather maps, precomputed in NumPy (the plan's
+    index arrays are host constants): idx[b, 2f+c] = c*nrows +
+    clamp(inv[2b+c, f]) selects from the two children stacked along rows,
+    mask marks parent positions actually present in child c (inv sentinel
+    = child boundary size). Lets the gather emit the sibling-folded
+    operand layout [B, Fp, 2C] directly — the post-gather
+    swapaxes+reshape of the unfolded form is a full-array HBM copy."""
+    inv = fp.inv_child[child_lvl]                    # [2B, Fp]
+    B2, Fp = inv.shape
+    inv2 = inv.reshape(B2 // 2, 2, Fp)
+    valid = inv2 < nrows
+    idx = (np.minimum(inv2, nrows - 1)
+           + (np.arange(2, dtype=np.int32) * nrows)[None, :, None])
+    idx_fold = np.swapaxes(idx, 1, 2).reshape(B2 // 2, 2 * Fp)
+    mask_fold = np.swapaxes(valid, 1, 2).reshape(B2 // 2, 2 * Fp)
+    return idx_fold.astype(np.int32), mask_fold
+
+
+def _folded_row_gather(fp: FrontalPlan, child_lvl: int, arr):
+    """Gather rows of the per-child arr [2B, R, C] into parent coordinates
+    in sibling-folded layout [B, Fp, 2C] in ONE pass: the two siblings are
+    a free reshape of arr ([2B, R, C] -> [B, 2R, C] row-major), the fold
+    indices offset into it, and [B, 2Fp, C] -> [B, Fp, 2C] is again a
+    free row-major reshape — no transpose copy, no sentinel pad copy."""
+    B2, R, C = arr.shape
+    idx, mask = _fold_maps(fp, child_lvl, R)
+    g = _chunked_row_gather(arr.reshape(B2 // 2, 2 * R, C),
+                            jnp.asarray(idx))        # [B, 2Fp, C]
+    g = jnp.where(jnp.asarray(mask)[:, :, None], g, 0)
+    return g.reshape(B2 // 2, idx.shape[1] // 2, 2 * C)
+
+
+def _folded_onehot(fp: FrontalPlan, child_lvl: int, dtype):
+    """One-hot column-reindex operand in sibling-folded layout [B, Fp, 2K],
+    generated directly from fwd (fwd sentinel = Fp never matches the iota,
+    so padded child columns contribute zero)."""
+    fwd = fp.fwd_child[child_lvl]                    # [2B, K]
+    B2, K = fwd.shape
+    Fp = fp.F[child_lvl - 1]
+    fwd_pair = jnp.asarray(
+        fwd.reshape(B2 // 2, 2 * K).astype(np.int32))
+    rows = lax.broadcasted_iota(jnp.int32, (Fp, 1), 0)
+    return (fwd_pair[:, None, :] == rows[None, :, :]).astype(dtype)
+
+
 def _expand_child_updates_gathermm(fp: FrontalPlan, U, child_lvl: int):
     """Half-gather matmul expansion: rows of U are gathered into parent
     coordinates (gathers run near HBM bandwidth), then a single one-hot
     einsum reindexes the columns — with both siblings folded into the
     contraction axis, so the sibling segment-sum is free. Saves the
     [K,K]x[K,Fp] einsum (2B*K^2*Fp FLOPs) of the full matmul expansion and
-    its separate segment-sum pass."""
-    inv = jnp.asarray(fp.inv_child[child_lvl]).astype(jnp.int32)   # [2B, Fp]
-    fwd = jnp.asarray(fp.fwd_child[child_lvl]).astype(jnp.int32)   # [2B, K]
-    B2, K = fwd.shape
-    Fp = fp.F[child_lvl - 1]
-    Upad = jnp.pad(U, ((0, 0), (0, 1), (0, 0)))                    # row sentinel
-    G = _chunked_row_gather(Upad, inv)                             # [2B, Fp, K]
-    rows = lax.broadcasted_iota(jnp.int32, (Fp, 1), 0)
-    S = (fwd[:, None, :] == rows[None, :, :]).astype(U.dtype)      # [2B, Fp, K]
+    its separate segment-sum pass. Both operands are produced directly in
+    the folded layout (_folded_row_gather/_folded_onehot) — the earlier
+    gather-then-swapaxes form paid two full-array HBM transpose copies."""
     acc = jnp.promote_types(U.dtype, jnp.float32)
-    Gr = jnp.swapaxes(G.reshape(B2 // 2, 2, Fp, K), 1, 2).reshape(
-        B2 // 2, Fp, 2 * K)
-    Sr = jnp.swapaxes(S.reshape(B2 // 2, 2, Fp, K), 1, 2).reshape(
-        B2 // 2, Fp, 2 * K)
-    return jnp.einsum("bfj,bgj->bfg", Gr, Sr.astype(acc),
+    Gr = _folded_row_gather(fp, child_lvl, U)        # [B, Fp, 2K]
+    Sr = _folded_onehot(fp, child_lvl, acc)          # [B, Fp, 2K]
+    return jnp.einsum("bfj,bgj->bfg", Gr, Sr,
                       preferred_element_type=acc)
 
 
@@ -423,13 +506,9 @@ def _expand_xxt_2(fp: FrontalPlan, X, child_lvl: int, W: int,
     than leaf pivots (K ~ 5-10x W), so this cuts the widest transition's
     matmul FLOPs ~K/W x, skips the [2B, K, K] HBM round trip, and rounds X
     to a low-precision matmul operand once instead of twice."""
-    inv = jnp.asarray(fp.inv_child[child_lvl]).astype(jnp.int32)   # [2B, Fp]
-    B2, Kc, Wc = X.shape
     Fp = fp.F[child_lvl - 1]
-    G = _masked_row_gather(X, inv, Kc)              # [2B, Fp, Wc]
     acc = jnp.promote_types(X.dtype, jnp.float32)
-    Gr = jnp.swapaxes(G.reshape(B2 // 2, 2, Fp, Wc), 1, 2).reshape(
-        B2 // 2, Fp, 2 * Wc)
+    Gr = _folded_row_gather(fp, child_lvl, X)       # [B, Fp, 2Wc]
     E_slab = jnp.einsum("bfj,bgj->bfg", Gr, Gr[:, :W, :],
                         preferred_element_type=acc)
     E_T = (_einsum_rows_cast(Gr[:, W:, :], Gr[:, W:, :], t_dtype or acc)
@@ -440,19 +519,12 @@ def _expand_xxt_2(fp: FrontalPlan, X, child_lvl: int, W: int,
 def _expand_gathermm_2(fp: FrontalPlan, U, child_lvl: int, W: int,
                        t_dtype=None):
     """gathermm two-piece expansion (row-gather + one-hot column einsum,
-    siblings folded), emitting the slab and trailing pieces separately."""
-    inv = jnp.asarray(fp.inv_child[child_lvl]).astype(jnp.int32)   # [2B, Fp]
-    fwd = jnp.asarray(fp.fwd_child[child_lvl]).astype(jnp.int32)   # [2B, K]
-    B2, Kc = fwd.shape
+    siblings folded, both operands produced directly in folded layout),
+    emitting the slab and trailing pieces separately."""
     Fp = fp.F[child_lvl - 1]
-    G = _masked_row_gather(U, inv, Kc)                             # [2B, Fp, K]
-    rows = lax.broadcasted_iota(jnp.int32, (Fp, 1), 0)
-    S = (fwd[:, None, :] == rows[None, :, :]).astype(U.dtype)      # [2B, Fp, K]
     acc = jnp.promote_types(U.dtype, jnp.float32)
-    Gr = jnp.swapaxes(G.reshape(B2 // 2, 2, Fp, Kc), 1, 2).reshape(
-        B2 // 2, Fp, 2 * Kc)
-    Sr = jnp.swapaxes(S.reshape(B2 // 2, 2, Fp, Kc), 1, 2).reshape(
-        B2 // 2, Fp, 2 * Kc).astype(acc)
+    Gr = _folded_row_gather(fp, child_lvl, U)                      # [B, Fp, 2K]
+    Sr = _folded_onehot(fp, child_lvl, acc)                        # [B, Fp, 2K]
     E_slab = jnp.einsum("bfj,bgj->bfg", Gr, Sr[:, :W, :],
                         preferred_element_type=acc)
     E_T = (_einsum_rows_cast(Gr[:, W:, :], Sr[:, W:, :], t_dtype or acc)
@@ -864,8 +936,13 @@ def _effective_gathermm_cap(total_front_bytes: int) -> int:
 
 
 def _gathermm_bytes(fp: FrontalPlan, U, child_lvl: int) -> int:
-    """Approximate extra HBM the gathermm expansion materializes: G and S
-    [2B, Fp, K], their sibling-folded reshapes, and the [B, Fp, Fp] output."""
+    """Approximate extra HBM the gathermm expansion materializes: the
+    folded G [B, Fp, 2K] and one-hot S [B, Fp, 2K] operands plus the
+    [B, Fp, Fp] output. Kept at the pre-folding 4x(B2*Fp*K) coefficient:
+    the folded form has no transpose copies, but XLA's transient
+    double-buffering around the gather/einsum means the calibrated cap
+    (which this estimate feeds) still reflects actual peak residency —
+    halving it admits gathermm at 1M-dof levels that then OOM."""
     B2, K, _ = U.shape
     Fp = fp.F[child_lvl - 1]
     it = U.dtype.itemsize
@@ -875,12 +952,31 @@ def _gathermm_bytes(fp: FrontalPlan, U, child_lvl: int) -> int:
 ROOT_DIST_MIN = 2048   # min root-front size for the collective factorization
 
 
-def _update_dtype_for(dtype):
+# past this many bytes per accumulated child-update array [B, K, K], the
+# update (and the trailing extend-add piece) is stored bfloat16: at deep
+# trees the f32 update, the trailing piece E_T, and the Schur result U2
+# coexist at multi-GiB each (1M dofs, level 5: u 3.1 + E_T 2.9 + U2 2.9
+# GiB) and exhaust HBM. bf16 halves all three; iterative refinement
+# absorbs the precision loss (measured at 1M dofs: residual 4.89e-12 with
+# ALL updates bf16 — same as f32).
+_UPDATE_BF16_BYTES = int(_os.environ.get(
+    "CHOLESKY_TPU_UPDATE_BF16_BYTES", str(3 << 29)))     # 1.5 GiB
+
+
+def _update_dtype_for(dtype, u_bytes: int = 0):
+    """Storage dtype for a level's accumulated child update of `u_bytes`
+    (f32 size). CHOLESKY_TPU_UPDATE_DTYPE=bfloat16/float32 forces it;
+    default 'auto' switches to bf16 past _UPDATE_BF16_BYTES."""
     import os
 
-    return (jnp.bfloat16
-            if os.environ.get("CHOLESKY_TPU_UPDATE_DTYPE") == "bfloat16"
-            and dtype == jnp.float32 else dtype)
+    if jnp.dtype(dtype) != jnp.float32:
+        return dtype
+    mode = os.environ.get("CHOLESKY_TPU_UPDATE_DTYPE", "auto")
+    if mode == "bfloat16":
+        return jnp.bfloat16
+    if mode == "auto" and u_bytes > _UPDATE_BF16_BYTES:
+        return jnp.bfloat16
+    return dtype
 
 
 def _factor_level(fp: FrontalPlan, lvl: int, piv, U, extadd: str,
@@ -1067,7 +1163,6 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
                    root_mesh=None) -> Tuple[jax.Array, ...]:
     """Factor all fronts level by level; returns per-level [B, F, W] factors
     (pivot Cholesky stacked over the solved boundary strip)."""
-    update_dtype = _update_dtype_for(fronts[0].dtype)
     total_front_bytes = sum(
         int(np.prod(f.shape)) * jnp.dtype(f.dtype).itemsize for f in fronts)
     gm_cap = _effective_gathermm_cap(total_front_bytes)
@@ -1076,8 +1171,18 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
     U = None
     for lvl in range(levels - 1, -1, -1):
         out[lvl], U = _factor_level(fp, lvl, fronts[lvl], U, extadd,
-                                    gm_cap, update_dtype, root_mesh)
+                                    gm_cap,
+                                    _update_dtype_for(fronts[0].dtype,
+                                                      _u_bytes(fp, lvl)),
+                                    root_mesh)
     return tuple(out)
+
+
+def _u_bytes(fp: FrontalPlan, lvl: int) -> int:
+    """f32 size of the accumulated child update a level's program EMITS
+    ([B, K, K], K = boundary width)."""
+    K = fp.F[lvl] - fp.W[lvl]
+    return (1 << lvl) * K * K * 4
 
 
 # ---------------------------------------------------------------------------
@@ -1153,12 +1258,22 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
     device-resident factor for the solve; the level numerics stay f32.
     upload=True: `fronts` are HOST arrays, shipped level by level right
     before use (the full front set never resides in HBM — required past
-    ~10 GiB of fronts)."""
+    ~10 GiB of fronts).
+
+    `fronts` may also be a LazyFronts: each level's slab is then assembled
+    on device right before its program runs (values-only upload, current
+    level's slab as the only front residency — the in-core analogue of
+    upload=True)."""
+    lazy = isinstance(fronts, LazyFronts)
     if upload and not isinstance(fronts, list):
         fronts = list(fronts)
-    update_dtype = _update_dtype_for(jnp.dtype(fronts[0].dtype))
-    total_front_bytes = sum(
-        int(np.prod(f.shape)) * jnp.dtype(f.dtype).itemsize for f in fronts)
+    front_dtype = fronts.dtype if lazy else fronts[0].dtype
+    if lazy:
+        total_front_bytes = sum(fronts.nbytes_of(l) for l in range(len(fronts)))
+    else:
+        total_front_bytes = sum(
+            int(np.prod(f.shape)) * jnp.dtype(f.dtype).itemsize
+            for f in fronts)
     gm_cap = _effective_gathermm_cap(total_front_bytes)
     levels = fp.levels
     out: List[jax.Array] = [None] * levels
@@ -1166,10 +1281,13 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
     utag = "none"
     for lvl in range(levels - 1, -1, -1):
         Wl, Fl = fp.W[lvl], fp.F[lvl]
-        fn = _level_step_jit(fp, lvl, utag, extadd, gm_cap, update_dtype,
+        fn = _level_step_jit(fp, lvl, utag, extadd, gm_cap,
+                             _update_dtype_for(jnp.dtype(front_dtype),
+                                               _u_bytes(fp, lvl)),
                              root_mesh if lvl == 0 else None, donate,
                              store_dtype=store_dtype)
-        work = int(np.prod(fronts[lvl].shape)) * fronts[lvl].dtype.itemsize
+        work = (fronts.nbytes_of(lvl) if lazy else
+                int(np.prod(fronts[lvl].shape)) * fronts[lvl].dtype.itemsize)
         if u_arr is not None:
             work += int(np.prod(u_arr.shape)) * u_arr.dtype.itemsize
         piv_dev = jnp.asarray(fronts[lvl]) if upload else fronts[lvl]
@@ -1673,25 +1791,31 @@ def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
     dist_min = int(os.environ.get("CHOLESKY_TPU_ROOT_DIST_MIN", ROOT_DIST_MIN))
     if root_mesh is not None and fp.W[0] < dist_min:
         root_mesh = None
-    total = sum(int(np.prod(f.shape)) * jnp.dtype(f.dtype).itemsize
-                for f in fronts)
+    lazy = isinstance(fronts, LazyFronts)
+    if lazy:
+        total = sum(fronts.nbytes_of(l) for l in range(len(fronts)))
+    else:
+        total = sum(int(np.prod(f.shape)) * jnp.dtype(f.dtype).itemsize
+                    for f in fronts)
     mode = os.environ.get("CHOLESKY_TPU_STREAM", "auto")
-    if mode == "1" or (mode == "auto" and total > _STREAM_BYTES):
+    if lazy or mode == "1" or (mode == "auto" and total > _STREAM_BYTES):
         # past ~5 GiB of fronts the monolithic program's cross-level temp
         # live ranges exceed HBM (1M dofs: 14.3 GiB of HLO temps); stream
         # one donating program per level instead
         sd = os.environ.get("CHOLESKY_TPU_STORE_DTYPE")
         store_dtype = jnp.dtype(sd) if sd else None
-        upload = os.environ.get("CHOLESKY_TPU_UPLOAD_STREAM") == "1" or (
-            total > _OFFLOAD_BYTES and isinstance(fronts[0], np.ndarray))
+        f0_dtype = fronts.dtype if lazy else fronts[0].dtype
+        upload = not lazy and (
+            os.environ.get("CHOLESKY_TPU_UPLOAD_STREAM") == "1" or (
+                total > _OFFLOAD_BYTES and isinstance(fronts[0], np.ndarray)))
         if (store_dtype is None and total > _OFFLOAD_BYTES
-                and jnp.dtype(fronts[0].dtype) == jnp.float32):
+                and jnp.dtype(f0_dtype) == jnp.float32):
             # f32 fronts past the offload threshold cannot all stay
             # resident as factors either — compress the stored factor.
             # (f32 only: an f64 factor must not silently degrade — its
             # solve path skips iterative refinement.)
             store_dtype = jnp.bfloat16
-        if not upload:
+        if not upload and not lazy:
             fronts = tuple(jnp.asarray(f) for f in fronts)
         return frontal_factor_streamed(
             fp, fronts, extadd=extadd, root_mesh=root_mesh,

@@ -291,3 +291,40 @@ def test_update_values_device_assembly_roundtrip():
     np.testing.assert_allclose(x2, fresh.solve(b), rtol=1e-12, atol=1e-12)
     assert s.residual(b, x2) <= 1e-10
     assert not np.allclose(x2, x0)
+
+
+def test_lazy_fronts_match_eager():
+    """LazyFronts (per-level device assembly inside the streamed
+    factorization) must produce the same factors as eager assembly +
+    the monolithic program."""
+    n, r, c, v, o, cl, b = generate_problem((12, 12), 3)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    fp = s.fplan
+    asm = frontal.FrontAssembler(fp, s.rows, s.cols)
+    eager = frontal.factor(fp, asm(s.vals, dtype=np.float64))
+    lazy = frontal.LazyFronts(asm, s.vals, dtype=np.float64)
+    # slabs assembled on demand are identical to the eager ones
+    for lvl in range(fp.levels):
+        np.testing.assert_array_equal(np.asarray(lazy[lvl]),
+                                      np.asarray(asm(s.vals,
+                                                     dtype=np.float64)[lvl]))
+    streamed = frontal.frontal_factor_streamed(fp, lazy)
+    for a, bb in zip(eager, streamed):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-13, atol=1e-13)
+
+
+def test_lazy_fronts_dispatch_through_factor():
+    """frontal.factor() routes a LazyFronts through the streamed driver
+    regardless of size, and the API solve built on it hits the residual
+    contract."""
+    n, r, c, v, o, cl, b = generate_problem((10, 10), 3)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    fp = s.fplan
+    lazy = frontal.LazyFronts(frontal.FrontAssembler(fp, s.rows, s.cols),
+                              s.vals, dtype=np.float64)
+    factors = frontal.factor(fp, lazy)
+    s.panels = list(factors)
+    s.factored = True
+    x = s.solve(b)
+    assert s.residual(b, x) <= 1e-10
