@@ -214,10 +214,14 @@ def main(argv=None):
     # level inside the streamed factorization (and the factor is stored
     # bf16) — no upfront device transfer; upload time is part of the
     # measured factorization wall, as in any out-of-core solver
-    offload = (os.environ.get("CHOLESKY_TPU_UPLOAD_STREAM") == "1"
-               or front_bytes > frontal._OFFLOAD_BYTES)
+    offload = os.environ.get("CHOLESKY_TPU_UPLOAD_STREAM") == "1"
     streamed_incore = (not offload
                        and front_bytes > frontal._STREAM_BYTES)
+    # past the f32-store ceiling f32 factors can't all stay resident:
+    # frontal.factor() stores them bf16, and each timed iteration re-runs
+    # assembly+factor (there is no f32 factor set to chain on)
+    big = (front_bytes > frontal._F32_STORE_BYTES
+           and np.dtype(dtype) == np.float32)
     if offload:
         t0 = time.time()
         fronts_host = frontal.assemble_fronts(
@@ -284,7 +288,10 @@ def main(argv=None):
                 # for the next timing iteration
                 out = frontal.factor(fp, list(fronts_host), extadd=extadd)
             else:
-                out = frontal.frontal_factor_streamed(fp, fs, extadd=extadd)
+                # route through the dispatcher: it picks bf16 factor
+                # storage past the offload threshold (LazyFronts or a
+                # chained factor set alike)
+                out = frontal.factor(fp, fs, extadd=extadd)
             return out, csum(out)
     else:
         def _factor_cs_fn(fs):
@@ -331,8 +338,11 @@ def main(argv=None):
                   f"retrying", file=sys.stderr)
             time.sleep(20)
     print(f"# factor compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
-    if donate:
+    if donate and not big:
         fronts = None              # consumed by the first call
+        # (big keeps `fronts`: the LazyFronts is not consumed — each timed
+        # iteration re-runs assembly+factor from it, since bf16 factors
+        # can't chain as f32 fronts)
 
     floors = []
     small = jnp.ones((8, 8), dtype=jnp.float32)
@@ -383,11 +393,11 @@ def main(argv=None):
     times = []
     cur = factors0 if donate else fronts
     for _ in range(args.iters):
-        if use_stream and offload:
-            cur = None                 # free factors before re-uploading
+        if use_stream and (offload or big):
+            cur = None                 # free factors before re-running
             factors0 = None            # (first iteration: drop the gate's set)
             t0 = time.perf_counter()
-            cur, cs = factor_cs(None)
+            cur, cs = factor_cs(None if offload else fronts)
             float(cs)
             times.append(time.perf_counter() - t0)
             continue

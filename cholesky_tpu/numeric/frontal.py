@@ -1781,6 +1781,15 @@ _STREAM_BYTES = int(_os.environ.get("CHOLESKY_TPU_STREAM_BYTES",
 _OFFLOAD_BYTES = int(_os.environ.get("CHOLESKY_TPU_OFFLOAD_BYTES",
                                      str(9 << 30)))
 
+# f32 factor residency ceiling: past this, the streamed/lazy paths store
+# the factor bfloat16 even when the fronts themselves never leave the
+# device. On a 16 GiB chip, f32 factors (same total bytes as the fronts)
+# plus one transition's multi-GiB temps OOM around 8.7 GiB of fronts
+# (measured: 110^3 = 8.66 GiB fails, 100^3 = 5.9 GiB works), so the
+# ceiling sits between those with headroom for the temps.
+_F32_STORE_BYTES = int(_os.environ.get("CHOLESKY_TPU_F32_STORE_BYTES",
+                                       str(7 << 30)))
+
 
 def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
            root_mesh=None) -> Tuple[jax.Array, ...]:
@@ -1808,9 +1817,9 @@ def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
         upload = not lazy and (
             os.environ.get("CHOLESKY_TPU_UPLOAD_STREAM") == "1" or (
                 total > _OFFLOAD_BYTES and isinstance(fronts[0], np.ndarray)))
-        if (store_dtype is None and total > _OFFLOAD_BYTES
+        if (store_dtype is None and total > _F32_STORE_BYTES
                 and jnp.dtype(f0_dtype) == jnp.float32):
-            # f32 fronts past the offload threshold cannot all stay
+            # f32 fronts past the f32-store ceiling cannot all stay
             # resident as factors either — compress the stored factor.
             # (f32 only: an f64 factor must not silently degrade — its
             # solve path skips iterative refinement.)
