@@ -1240,7 +1240,8 @@ _STREAM_SYNC_BYTES = int(_os.environ.get(
 def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
                             extadd: str = "hybrid3", root_mesh=None,
                             donate: bool = True, store_dtype=None,
-                            upload: bool = False) -> Tuple[jax.Array, ...]:
+                            upload: bool = False,
+                            offload: bool = False) -> Tuple[jax.Array, ...]:
     """Level-streamed factorization (see note above): same math and result
     as frontal_factor, executed as `levels` donating programs. `fronts` are
     CONSUMED when donate=True (like the donating monolithic jit).
@@ -1263,7 +1264,16 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
     `fronts` may also be a LazyFronts: each level's slab is then assembled
     on device right before its program runs (values-only upload, current
     level's slab as the only front residency — the in-core analogue of
-    upload=True)."""
+    upload=True).
+
+    offload=True: each completed level's STORED factor is moved to host
+    right away, so factor residency never accumulates in HBM — during the
+    factorization the device holds only the current level's slab plus the
+    extend-add carry. Required past ~12 GiB of fronts, where even a bf16
+    factor store plus the near-root f32 working slabs exceed HBM. The
+    returned tuple then contains host (NumPy) arrays for the offloaded
+    levels (level 0 stays on device); callers may device_put them back if
+    the total fits."""
     lazy = isinstance(fronts, LazyFronts)
     if upload and not isinstance(fronts, list):
         fronts = list(fronts)
@@ -1302,25 +1312,36 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
             out[0] = res
             break
         fac, nxt = res
-        out[lvl] = fac
         if utag == "none" and Fl > Wl:
             # leaf step emitted the deferred Schur operand X (already cast)
             u_arr, utag = nxt, "xxt"
         else:
             u_arr, utag = nxt, "arr"
-        if work > _STREAM_SYNC_BYTES:
-            np.asarray(fac[:1, :1, 0])        # forced completion sync
+        if offload:
+            # move the stored factor to host immediately (blocks until the
+            # level program finishes — this is also the dispatch throttle)
+            out[lvl] = jax.device_get(fac)
+            del fac, res
+        else:
+            out[lvl] = fac
+            if work > _STREAM_SYNC_BYTES:
+                np.asarray(fac[:1, :1, 0])    # forced completion sync
         if _os.environ.get("CHOLESKY_TPU_STREAM_DEBUG") == "1":
-            np.asarray(fac[:1, :1, 0])
+            o = out[lvl]
+            if not offload:
+                np.asarray(fac[:1, :1, 0])
             stats = {}
             try:
                 stats = jax.devices()[0].memory_stats() or {}
             except Exception:  # noqa: BLE001
                 pass
             used = stats.get("bytes_in_use", -1)
-            print(f"# stream lvl{lvl} done: out={fac.shape}{fac.dtype} "
-                  f"u={getattr(u_arr, 'shape', None)} "
-                  f"hbm_in_use={used/2**30:.2f} GiB", flush=True)
+            peak = stats.get("peak_bytes_in_use", -1)
+            print(f"# stream lvl{lvl} done: out={o.shape}{o.dtype} "
+                  f"u={getattr(u_arr, 'shape', None)}"
+                  f"{getattr(u_arr, 'dtype', '')} "
+                  f"hbm_in_use={used/2**30:.2f} GiB "
+                  f"peak={peak/2**30:.2f} GiB", flush=True)
     return tuple(out)
 
 
@@ -1817,18 +1838,37 @@ def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
         upload = not lazy and (
             os.environ.get("CHOLESKY_TPU_UPLOAD_STREAM") == "1" or (
                 total > _OFFLOAD_BYTES and isinstance(fronts[0], np.ndarray)))
-        if (store_dtype is None and total > _F32_STORE_BYTES
-                and jnp.dtype(f0_dtype) == jnp.float32):
+        if (store_dtype is None and jnp.dtype(f0_dtype) == jnp.float32
+                and (upload or total > _F32_STORE_BYTES)):
             # f32 fronts past the f32-store ceiling cannot all stay
             # resident as factors either — compress the stored factor.
+            # Host-streamed uploads imply the same: if the fronts don't
+            # fit in HBM, neither does an f32 copy of the factor.
             # (f32 only: an f64 factor must not silently degrade — its
             # solve path skips iterative refinement.)
             store_dtype = jnp.bfloat16
+        # past the offload threshold even the compressed factor cannot
+        # accumulate in HBM alongside the near-root f32 working slabs:
+        # move each finished level's stored factor to host as it completes
+        ofl = os.environ.get("CHOLESKY_TPU_OFFLOAD")
+        offload = (ofl == "1" if ofl in ("0", "1")
+                   else total > _OFFLOAD_BYTES)
         if not upload and not lazy:
             fronts = tuple(jnp.asarray(f) for f in fronts)
-        return frontal_factor_streamed(
+        out = frontal_factor_streamed(
             fp, fronts, extadd=extadd, root_mesh=root_mesh,
-            store_dtype=store_dtype, upload=upload)
+            store_dtype=store_dtype, upload=upload, offload=offload)
+        if offload:
+            # with the working slabs gone, the stored factor alone may fit
+            # back in HBM — re-upload so the solve stays device-resident
+            # (one PCIe pass; otherwise every solve re-ships the factor)
+            stored = sum(int(np.prod(f.shape))
+                         * jnp.dtype(getattr(f, "dtype", jnp.float32)).itemsize
+                         for f in out)
+            if stored <= _F32_STORE_BYTES:
+                out = tuple(f if isinstance(f, jax.Array)
+                            else jax.device_put(f) for f in out)
+        return out
     args = (fp.key(), tuple(jnp.asarray(f) for f in fronts), extadd, root_mesh)
     # Donation (in-place buffer reuse) halves peak HBM, but the tunnel
     # compile helper fails on donated programs past ~5 GiB of aliased

@@ -223,11 +223,13 @@ import jax.numpy as jnp
 
 
 def test_streamed_compressed_offload(monkeypatch):
-    """Host-streamed front uploads with bfloat16-stored factors (the 2M-dof
-    single-chip configuration): factor() auto-selects the path when fronts
-    exceed the offload threshold, and the solve still meets the residual
-    contract through iterative refinement."""
+    """Host-streamed front uploads with bfloat16-stored factors (the
+    fallback when fronts must materialize on host, e.g. device assembly
+    disabled): factor() auto-selects upload + compressed store when host
+    fronts exceed the offload threshold, and the solve still meets the
+    residual contract through iterative refinement."""
     monkeypatch.setenv("CHOLESKY_TPU_STREAM", "1")
+    monkeypatch.setenv("CHOLESKY_TPU_DEVICE_ASSEMBLE", "0")
     monkeypatch.setattr(frontal, "_OFFLOAD_BYTES", 1)
     n, r, c, v, o, cl, b = generate_problem((16, 15), 4)
     s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
@@ -235,6 +237,33 @@ def test_streamed_compressed_offload(monkeypatch):
     assert all(p.dtype == jnp.bfloat16 for p in s.panels)
     x = s.solve(b)
     assert s.residual(b, x) <= 1e-10
+
+
+def test_streamed_factor_offload(monkeypatch):
+    """Per-level host offload of finished factors (the >12 GiB-of-fronts
+    configuration): factor residency never accumulates in HBM during the
+    run. With re-upload headroom the factor comes back device-resident;
+    with none (ceiling forced to 0) the solve consumes host-resident
+    factor levels — both must meet the residual contract."""
+    import jax
+
+    monkeypatch.setenv("CHOLESKY_TPU_STREAM", "1")
+    monkeypatch.setenv("CHOLESKY_TPU_OFFLOAD", "1")
+    n, r, c, v, o, cl, b = generate_problem((16, 15), 4)
+
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    s.factorize()
+    assert all(isinstance(p, jax.Array) for p in s.panels)  # re-uploaded
+    x = s.solve(b)
+    assert s.residual(b, x) <= 1e-10
+
+    monkeypatch.setattr(frontal, "_F32_STORE_BYTES", 0)
+    s2 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    s2.factorize()
+    assert all(isinstance(p, np.ndarray) for p in s2.panels[1:])
+    assert all(p.dtype == jnp.bfloat16 for p in s2.panels)  # past ceiling
+    x2 = s2.solve(b)
+    assert s2.residual(b, x2) <= 1e-10
 
 
 def test_streamed_upload_matches_monolithic():
