@@ -49,4 +49,4 @@ def enable_x64() -> None:
 
 
 from cholesky_tpu.api import (  # noqa: E402,F401
-    BatchedFactors, SparseCholesky, solve_spd)
+    BatchedFactors, SparseCholesky, solve_spd, spsolve)

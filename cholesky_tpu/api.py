@@ -139,6 +139,54 @@ class SparseCholesky:
                             signs=signs, precision=precision)
 
     @classmethod
+    def from_scipy(cls, a, dtype=None, levels=None, mesh=None,
+                   engine: str = "frontal", signs=None,
+                   precision: Optional[str] = None):
+        """Build from a scipy sparse matrix (any format) or a dense
+        symmetric ndarray. Accepts the lower triangle, the upper triangle,
+        or a fully-populated symmetric matrix: (i,j)/(j,i) pairs fold to
+        the lower triangle by averaging, so a full symmetric store and a
+        one-triangle store give identical input. `dtype=None` keeps the
+        matrix's own dtype."""
+        import scipy.sparse as _sp
+
+        if _sp.issparse(a):
+            # canonicalize through CSR first: scipy's COO convention sums
+            # duplicate coordinates; the triangle fold below must then see
+            # at most one entry per (i,j)
+            coo = a.tocsr().tocoo()
+            n, r, c, v = coo.shape[0], coo.row, coo.col, coo.data
+        else:
+            arr = np.asarray(a)
+            if arr.ndim != 2 or arr.shape[0] != arr.shape[1]:
+                raise ValueError("dense input must be square 2-D")
+            r, c = np.nonzero(arr)
+            n, v = arr.shape[0], arr[r, c]
+        if a.shape[0] != a.shape[1]:
+            raise ValueError("matrix must be square")
+        # a full symmetric store carries each off-diagonal twice; fold
+        # (i,j)/(j,i) to the lower triangle by MEAN so one-triangle and
+        # full-symmetric stores produce identical COO input
+        off = r != c
+        lo_r = np.where(off & (r < c), c, r)
+        lo_c = np.where(off & (r < c), r, c)
+        key = lo_r.astype(np.int64) * n + lo_c
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        uniq, start, counts = np.unique(key_s, return_index=True,
+                                        return_counts=True)
+        vsum = np.add.reduceat(np.asarray(v, dtype=np.float64)[order], start)
+        vmean = vsum / counts
+        rr, cc = uniq // n, uniq % n
+        if dtype is None:
+            dtype = np.asarray(v).dtype
+            if np.dtype(dtype).kind != "f":
+                dtype = np.float64
+        return cls.from_matrix(int(n), rr, cc, vmean, levels=levels,
+                               dtype=dtype, mesh=mesh, engine=engine,
+                               signs=signs, precision=precision)
+
+    @classmethod
     def from_coo(cls, n: int, rows, cols, vals, ordng: ordio.Ordering,
                  clusters=None, dtype=np.float64, pad_to: int = 8, mesh=None,
                  engine: str = "frontal", signs=None,
@@ -1358,3 +1406,16 @@ def solve_spd(matrix_file: str, separator_file: str, b: np.ndarray,
                                   dtype=dtype)
     s.factorize()
     return s.solve(b)
+
+
+def spsolve(a, b: np.ndarray, dtype=None, levels=None, tol: float = 1e-10,
+            **kw) -> np.ndarray:
+    """scipy.sparse.linalg.spsolve-shaped one-shot: solve A x = b for a
+    symmetric positive-definite scipy sparse (or dense symmetric) matrix,
+    ordering computed automatically (graph nested dissection). Either
+    triangle (or both) of A may be populated. `dtype=None` keeps A's dtype
+    (float32 engages the MXU factor + iterative refinement to `tol`).
+    Extra kwargs pass through to `SparseCholesky.from_scipy`."""
+    s = SparseCholesky.from_scipy(a, dtype=dtype, levels=levels, **kw)
+    s.factorize()
+    return s.solve(b, tol=tol)

@@ -1,0 +1,80 @@
+"""scipy interop surface: SparseCholesky.from_scipy and the
+scipy.sparse.linalg.spsolve-shaped one-shot `cholesky_tpu.spsolve`.
+Triangle-handling contract: lower-only, upper-only, and fully-populated
+symmetric stores of the same matrix must produce identical solvers."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import cholesky_tpu
+from cholesky_tpu import SparseCholesky, spsolve
+from cholesky_tpu.utils.problems import fem_q4
+
+
+def _spd_scipy(seed=0):
+    n, r, c, v = fem_q4(12, 12, seed=seed)
+    lower = sp.coo_matrix((v, (r, c)), shape=(n, n))
+    full = lower + sp.tril(lower, -1).T
+    return n, lower.tocsr(), full.tocsr()
+
+
+def test_from_scipy_triangle_equivalence():
+    n, lower, full = _spd_scipy()
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(n)
+    xs = []
+    for a in (lower, sp.triu(full), full, full.toarray()):
+        s = SparseCholesky.from_scipy(a)
+        s.factorize()
+        xs.append(s.solve(b))
+        assert s.residual(b, xs[-1]) <= 1e-10
+    for x in xs[1:]:
+        np.testing.assert_allclose(x, xs[0], rtol=1e-12, atol=1e-12)
+
+
+def test_spsolve_matches_scipy():
+    n, lower, full = _spd_scipy(seed=3)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(n)
+    x = spsolve(full, b)
+    ref = sp.linalg.spsolve(full.tocsc(), b)
+    np.testing.assert_allclose(x, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_spsolve_f32_refines_to_contract():
+    # dtype=float32 factors on f32 values; the contract is relative to the
+    # matrix actually passed (its entries are f32-rounded), evaluated in f64
+    n, lower, full = _spd_scipy(seed=5)
+    b = np.random.default_rng(2).standard_normal(n)
+    a32 = full.astype(np.float32)
+    x = spsolve(a32, b)
+    a = a32.astype(np.float64)
+    r = np.linalg.norm(a @ x - b) / np.linalg.norm(b)
+    assert r <= 1e-10
+
+
+def test_from_scipy_coo_duplicates_sum():
+    # scipy COO convention: duplicate coordinates accumulate
+    r = np.array([1, 1, 0, 2, 2])
+    c = np.array([0, 0, 0, 2, 2])
+    v = np.array([-0.5, -0.5, 4.0, 2.0, 1.0])
+    a = sp.coo_matrix((v, (r, c)), shape=(3, 3))
+    diag = sp.coo_matrix(([0.0, 3.0, 0.0], ([0, 1, 2], [0, 1, 2])))
+    s = SparseCholesky.from_scipy(a + diag)
+    s.factorize()
+    dense = np.array([[4.0, -1.0, 0.0], [-1.0, 3.0, 0.0], [0.0, 0.0, 3.0]])
+    b = np.array([1.0, 2.0, 3.0])
+    x = s.solve(b)
+    np.testing.assert_allclose(dense @ x, b, rtol=1e-12, atol=1e-12)
+
+
+def test_from_scipy_rejects_nonsquare():
+    with pytest.raises(ValueError):
+        SparseCholesky.from_scipy(sp.random(4, 5, density=0.5, format="csr"))
+    with pytest.raises(ValueError):
+        SparseCholesky.from_scipy(np.ones((3, 4)))
+
+
+def test_spsolve_exported():
+    assert cholesky_tpu.spsolve is spsolve
