@@ -40,6 +40,19 @@ def setup_compilation_cache() -> str:
     return cache
 
 
+def force_cpu(n_devices: int = 0) -> None:
+    """Run on host CPU (optionally with n virtual devices for sharding
+    tests). The JAX build on some images force-prepends its TPU platform
+    and IGNORES the JAX_PLATFORMS environment variable, so CPU-intended
+    scripts must set the config instead — and must do so before any
+    backend initializes. Safe no-op if the CPU backend is already up."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if n_devices:
+        jax.config.update("jax_num_cpu_devices", n_devices)
+
+
 def enable_x64() -> None:
     """Enable float64 (required for the 1e-10 residual contract; XLA emulates
     f64 on TPU). Call before any jax array is created."""
