@@ -78,3 +78,15 @@ def test_from_scipy_rejects_nonsquare():
 
 def test_spsolve_exported():
     assert cholesky_tpu.spsolve is spsolve
+
+
+def test_from_scipy_on_mesh():
+    # scipy entry point composes with multi-chip subtree sharding
+    from cholesky_tpu.parallel.mesh import make_mesh
+
+    n, lower, full = _spd_scipy(seed=9)
+    s = SparseCholesky.from_scipy(full, mesh=make_mesh(8))
+    s.factorize()
+    b = np.random.default_rng(4).standard_normal(n)
+    x = s.solve(b)
+    assert s.residual(b, x) <= 1e-10
