@@ -44,10 +44,25 @@ def force_cpu(n_devices: int = 0) -> None:
     """Run on host CPU (optionally with n virtual devices for sharding
     tests). The JAX build on some images force-prepends its TPU platform
     and IGNORES the JAX_PLATFORMS environment variable, so CPU-intended
-    scripts must set the config instead — and must do so before any
-    backend initializes. Safe no-op if the CPU backend is already up."""
+    scripts must set the config instead — and must call this BEFORE any
+    jax operation: once a backend is up the platform choice is frozen, so
+    a late call would be silently ineffective (the script would keep
+    running on the TPU). Raises in that case instead."""
     import jax
 
+    try:
+        from jax._src import xla_bridge
+
+        if xla_bridge.backends_are_initialized():
+            if jax.default_backend() == "cpu" and not n_devices:
+                return                      # already where we want to be
+            raise RuntimeError(
+                "force_cpu() called after a JAX backend initialized on "
+                f"'{jax.default_backend()}' — the platform choice is "
+                "frozen at first use. Call force_cpu() before any other "
+                "jax operation.")
+    except ImportError:                     # private API moved: best effort
+        pass
     jax.config.update("jax_platforms", "cpu")
     if n_devices:
         jax.config.update("jax_num_cpu_devices", n_devices)

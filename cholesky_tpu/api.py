@@ -123,12 +123,17 @@ class SparseCholesky:
     @classmethod
     def from_matrix(cls, n: int, rows, cols, vals, levels=None,
                     dtype=np.float64, mesh=None, engine: str = "frontal",
-                    signs=None, precision: Optional[str] = None):
+                    signs=None, precision: Optional[str] = None,
+                    _canonical: bool = False):
         """Solve an arbitrary SPD — or, with `signs`, symmetric
         quasi-definite — matrix with NO precomputed ordering: a nested-
         dissection ordering is computed from the sparsity graph
         (symbolic/nd.py). The reference has no equivalent — it requires
-        offline ord/clust files and is SPD-only."""
+        offline ord/clust files and is SPD-only.
+
+        `_canonical=True` asserts the COO is already lower-triangle with
+        unique coordinates (from_scipy's fold guarantees this), skipping a
+        redundant O(nnz log nnz) dedup pass."""
         from cholesky_tpu.symbolic.nd import nested_dissection_graph
 
         rows = np.asarray(rows, dtype=np.int64)
@@ -136,7 +141,8 @@ class SparseCholesky:
         ordng, clusters = nested_dissection_graph(n, rows, cols, levels)
         return cls.from_coo(n, rows, cols, vals, ordng, clusters,
                             dtype=dtype, mesh=mesh, engine=engine,
-                            signs=signs, precision=precision)
+                            signs=signs, precision=precision,
+                            _canonical=_canonical)
 
     @classmethod
     def from_scipy(cls, a, dtype=None, levels=None, mesh=None,
@@ -151,6 +157,8 @@ class SparseCholesky:
         import scipy.sparse as _sp
 
         if _sp.issparse(a):
+            if a.shape[0] != a.shape[1]:
+                raise ValueError("matrix must be square")
             # canonicalize through CSR first: scipy's COO convention sums
             # duplicate coordinates; the triangle fold below must then see
             # at most one entry per (i,j)
@@ -162,8 +170,6 @@ class SparseCholesky:
                 raise ValueError("dense input must be square 2-D")
             r, c = np.nonzero(arr)
             n, v = arr.shape[0], arr[r, c]
-        if a.shape[0] != a.shape[1]:
-            raise ValueError("matrix must be square")
         # a full symmetric store carries each off-diagonal twice; fold
         # (i,j)/(j,i) to the lower triangle by MEAN so one-triangle and
         # full-symmetric stores produce identical COO input
@@ -173,10 +179,28 @@ class SparseCholesky:
         key = lo_r.astype(np.int64) * n + lo_c
         order = np.argsort(key, kind="stable")
         key_s = key[order]
+        v64 = np.asarray(v, dtype=np.float64)[order]
         uniq, start, counts = np.unique(key_s, return_index=True,
                                         return_counts=True)
-        vsum = np.add.reduceat(np.asarray(v, dtype=np.float64)[order], start)
+        vsum = np.add.reduceat(v64, start)
         vmean = vsum / counts
+        # symmetry guard: where BOTH triangles are stored, (i,j) and (j,i)
+        # must agree — silently averaging a nonsymmetric matrix would
+        # return a confidently wrong answer for the system the user meant
+        both = counts == 2
+        if np.any(both):
+            second = np.minimum(start + 1, v64.size - 1)
+            va, vb = v64[start[both]], v64[second[both]]
+            scale = np.maximum(np.abs(va), np.abs(vb))
+            bad = np.abs(va - vb) > 1e-8 * np.maximum(scale, 1e-30)
+            if np.any(bad):
+                k = int(np.flatnonzero(bad)[0])
+                ij = uniq[both][k]
+                raise ValueError(
+                    f"matrix is not symmetric: A[{ij // n},{ij % n}] stores "
+                    f"{va[k]!r} and {vb[k]!r} across the two triangles "
+                    "(this solver is for symmetric positive-definite "
+                    "systems; symmetrize explicitly if intended)")
         rr, cc = uniq // n, uniq % n
         if dtype is None:
             dtype = np.asarray(v).dtype
@@ -184,17 +208,23 @@ class SparseCholesky:
                 dtype = np.float64
         return cls.from_matrix(int(n), rr, cc, vmean, levels=levels,
                                dtype=dtype, mesh=mesh, engine=engine,
-                               signs=signs, precision=precision)
+                               signs=signs, precision=precision,
+                               _canonical=True)
 
     @classmethod
     def from_coo(cls, n: int, rows, cols, vals, ordng: ordio.Ordering,
                  clusters=None, dtype=np.float64, pad_to: int = 8, mesh=None,
                  engine: str = "frontal", signs=None,
-                 precision: Optional[str] = None):
+                 precision: Optional[str] = None, _canonical: bool = False):
         plan = build_plan(ordng, clusters, pad_to=pad_to)
         if plan.n != n:
             raise ValueError("ordering does not cover the matrix dimension")
-        r2, c2, v2 = mmio.dedup_lower(rows, cols, vals)
+        if _canonical:
+            r2 = np.asarray(rows, dtype=np.int64)
+            c2 = np.asarray(cols, dtype=np.int64)
+            v2 = np.asarray(vals, dtype=np.float64)
+        else:
+            r2, c2, v2 = mmio.dedup_lower(rows, cols, vals)
         return cls(plan, r2, c2, v2, dtype=dtype, mesh=mesh, engine=engine,
                    signs=signs, precision=precision)
 
@@ -1415,7 +1445,15 @@ def spsolve(a, b: np.ndarray, dtype=None, levels=None, tol: float = 1e-10,
     ordering computed automatically (graph nested dissection). Either
     triangle (or both) of A may be populated. `dtype=None` keeps A's dtype
     (float32 engages the MXU factor + iterative refinement to `tol`).
-    Extra kwargs pass through to `SparseCholesky.from_scipy`."""
+    A sparse `b` (scipy.sparse.linalg.spsolve accepts one) is densified —
+    a direct factor-solve has no sparsity to exploit in the RHS. Extra
+    kwargs pass through to `SparseCholesky.from_scipy`."""
+    import scipy.sparse as _sp
+
+    if _sp.issparse(b):
+        b = b.toarray()
+        if b.ndim == 2 and b.shape[1] == 1:
+            b = b.reshape(-1)
     s = SparseCholesky.from_scipy(a, dtype=dtype, levels=levels, **kw)
     s.factorize()
     return s.solve(b, tol=tol)

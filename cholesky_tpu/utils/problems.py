@@ -185,11 +185,21 @@ def random_spd(n: int, avg_degree: int = 6, seed: int = 0,
     return n2, r2, c2, v2
 
 
-GALLERY = {
-    "aniso2d": lambda: anisotropic_laplacian((48, 48), (1.0, 1e-3)),
-    "aniso3d": lambda: anisotropic_laplacian((12, 12, 12), (1.0, 0.1, 1e-3)),
-    "wathen": lambda: fem_q4(24, 24, seed=1),
-    "elasticity": lambda: vector_laplacian((14, 14), ncomp=3),
-    "random": lambda: random_spd(1500, avg_degree=8, seed=2),
-    "circuit": lambda: random_spd(1500, avg_degree=8, seed=3, skew=True),
-}
+def make_gallery(scale: int = 1):
+    """The canonical gallery at `scale`× the (CPU-test-sized) defaults.
+    scale=4 reaches ~100k-dof problems worth running on a TPU."""
+    k = int(scale)
+    return {
+        "aniso2d": lambda: anisotropic_laplacian((48 * k, 48 * k),
+                                                 (1.0, 1e-3)),
+        "aniso3d": lambda: anisotropic_laplacian(
+            (12 * k, 12 * k, 12 * k), (1.0, 0.1, 1e-3)),
+        "wathen": lambda: fem_q4(24 * k, 24 * k, seed=1),
+        "elasticity": lambda: vector_laplacian((14 * k, 14 * k), ncomp=3),
+        "random": lambda: random_spd(1500 * k * k, avg_degree=8, seed=2),
+        "circuit": lambda: random_spd(1500 * k * k, avg_degree=8, seed=3,
+                                      skew=True),
+    }
+
+
+GALLERY = make_gallery()

@@ -42,19 +42,10 @@ def main():
     from cholesky_tpu import SparseCholesky
     from cholesky_tpu.utils import problems
 
-    k = args.scale
-    gallery = {
-        "aniso2d": problems.anisotropic_laplacian((48 * k, 48 * k), (1.0, 1e-3)),
-        "aniso3d": problems.anisotropic_laplacian(
-            (12 * k, 12 * k, 12 * k), (1.0, 0.1, 1e-3)),
-        "wathen": problems.fem_q4(24 * k, 24 * k, seed=1),
-        "elasticity": problems.vector_laplacian((14 * k, 14 * k), ncomp=3),
-        "random": problems.random_spd(1500 * k * k, avg_degree=8, seed=2),
-        "circuit": problems.random_spd(1500 * k * k, avg_degree=8, seed=3,
-                                       skew=True),
-    }
+    gallery = problems.make_gallery(args.scale)
     rng = np.random.default_rng(0)
-    for name, (n, r, c, v) in gallery.items():
+    for name, gen in gallery.items():
+        n, r, c, v = gen()
         a = sp.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
         b = rng.standard_normal(n)
         t0 = time.time()

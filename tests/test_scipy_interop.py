@@ -69,6 +69,46 @@ def test_from_scipy_coo_duplicates_sum():
     np.testing.assert_allclose(dense @ x, b, rtol=1e-12, atol=1e-12)
 
 
+def test_from_scipy_accepts_nested_list():
+    s = SparseCholesky.from_scipy([[4.0, -1.0], [-1.0, 4.0]])
+    s.factorize()
+    x = s.solve(np.array([1.0, 2.0]))
+    np.testing.assert_allclose([4 * x[0] - x[1], -x[0] + 4 * x[1]],
+                               [1.0, 2.0], rtol=1e-12)
+
+
+def test_from_scipy_rejects_nonsymmetric():
+    a = sp.coo_matrix((np.array([4.0, 4.0, -1.0, -0.5]),
+                       (np.array([0, 1, 0, 1]), np.array([0, 1, 1, 0]))),
+                      shape=(2, 2))
+    with pytest.raises(ValueError, match="not symmetric"):
+        SparseCholesky.from_scipy(a)
+    # explicit stored zero opposite a nonzero is also asymmetric
+    b = sp.coo_matrix((np.array([4.0, 4.0, 0.0, -0.5]),
+                       (np.array([0, 1, 0, 1]), np.array([0, 1, 1, 0]))),
+                      shape=(2, 2))
+    with pytest.raises(ValueError, match="not symmetric"):
+        SparseCholesky.from_scipy(b)
+
+
+def test_spsolve_sparse_rhs():
+    n, lower, full = _spd_scipy(seed=7)
+    b = np.zeros(n)
+    b[::7] = 1.0
+    x = spsolve(full, sp.csr_matrix(b.reshape(-1, 1)))
+    ref = sp.linalg.spsolve(full.tocsc(), b)
+    np.testing.assert_allclose(x, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_force_cpu_after_backend_init_raises():
+    import jax
+
+    jax.devices()                   # ensure a backend is up (cpu in tests)
+    cholesky_tpu.force_cpu()        # already-cpu plain call: no-op
+    with pytest.raises(RuntimeError, match="before any other"):
+        cholesky_tpu.force_cpu(4)   # device-count change can't apply now
+
+
 def test_from_scipy_rejects_nonsquare():
     with pytest.raises(ValueError):
         SparseCholesky.from_scipy(sp.random(4, 5, density=0.5, format="csr"))
