@@ -29,21 +29,30 @@ extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "hybrid3")
 n, r, c, v, o, cl, b = generate_problem(shape, levels)
 plan = build_plan(o, cl)
 fp = frontal.build_frontal_plan(plan, r, c)
-update_dtype = frontal._update_dtype_for(jnp.float32)
 total = sum((1 << l) * fp.F[l] * fp.W[l] * 4 for l in range(fp.levels))
 gm_cap = frontal._effective_gathermm_cap(total)
 print(f"n={n} levels={fp.levels} fronts={total/2**30:.2f} GiB "
-      f"gm_cap={gm_cap/2**30:.2f} GiB update_dtype={jnp.dtype(update_dtype).name}",
-      flush=True)
+      f"gm_cap={gm_cap/2**30:.2f} GiB update_dtype=per-level auto "
+      "(mirrors frontal_factor_streamed)", flush=True)
 
 GiB = 1 << 30
+# store dtype: mirror factor()'s dispatcher — bf16 compressed factor past
+# the f32-store ceiling (or when host-streamed), else native f32
+store_dtype = (jnp.bfloat16 if total > frontal._F32_STORE_BYTES
+               or os.environ.get("CHOLESKY_TPU_UPLOAD_STREAM") == "1"
+               else None)
+print(f"store_dtype={jnp.dtype(store_dtype).name if store_dtype else 'native'}",
+      flush=True)
 u_shape = None            # (shape, dtype) of the inter-level update operand
 utag = "none"
 for lvl in range(fp.levels - 1, -1, -1):
     Wl, Fl = fp.W[lvl], fp.F[lvl]
     B = 1 << lvl
+    # per-level EMIT dtype, as frontal_factor_streamed picks it
+    update_dtype = frontal._update_dtype_for(jnp.float32,
+                                             frontal._u_bytes(fp, lvl))
     fn = frontal._level_step_jit(fp, lvl, utag, extadd, gm_cap, update_dtype,
-                                 None, True)
+                                 None, True, store_dtype=store_dtype)
     piv_spec = jax.ShapeDtypeStruct((B, Fl, Wl), jnp.float32)
     args = (piv_spec,) if utag == "none" else (
         piv_spec, jax.ShapeDtypeStruct(*u_shape))
@@ -60,7 +69,16 @@ for lvl in range(fp.levels - 1, -1, -1):
             u_shape = ((B, K, K) if K else (B, 0, 0), update_dtype)
         continue
     try:
-        comp = fn.lower(*args).compile()
+        comp = None
+        for attempt in range(3):      # tunnel compile helper flakes
+            try:
+                comp = fn.lower(*args).compile()
+                break
+            except Exception:  # noqa: BLE001
+                if attempt == 2:
+                    raise
+                import time
+                time.sleep(10)
         ma = comp.memory_analysis()
         tmp = ma.temp_size_in_bytes / GiB
         arg = ma.argument_size_in_bytes / GiB
