@@ -565,13 +565,21 @@ def _einsum_rows_cast(Ga, Gb, out_dtype):
     return lax.fori_loop(jnp.int32(0), jnp.int32(nch), body, out0)
 
 
-def _schur_update_cast(X, E_T, out_dtype):
+def _schur_update_cast(X, E_T, out_dtype, fp=None, child_lvl=None):
     """U2 = X X^T (+ E_T), f32 accumulation, stored as out_dtype, chunked
     over rows (see _einsum_rows_cast). When E_T already has the output
     dtype it SEEDS the fori carry, so the accumulation happens in place
     (the while-loop carry aliases) instead of holding E_T and U2 — two
-    multi-GiB trailing buffers — simultaneously."""
+    multi-GiB trailing buffers — simultaneously.
+
+    E_T may also be the DEFERRED tag ("gather2", U) from
+    _apply_extadd_two_piece(defer_T=True): the trailing extend-add is then
+    computed row-chunk by row-chunk INSIDE this loop (the same masked
+    gathers _apply_gather_2 would run) and never materialized — at a
+    1.7M-dof mid level the materialized [B, K, K] E_T plus its padded
+    fori carry were ~4 GiB of the level program's 15.96 GiB peak."""
     acc = jnp.promote_types(X.dtype, jnp.float32)
+    gather2 = isinstance(E_T, tuple) and E_T[0] == "gather2"
     if jnp.dtype(out_dtype) == acc and E_T is None:
         return jnp.einsum("bik,bjk->bij", X, X, preferred_element_type=acc)
     K = X.shape[1]
@@ -580,9 +588,20 @@ def _schur_update_cast(X, E_T, out_dtype):
     # handled by clamping the einsum rows instead: windows stay disjoint
     # via exact chunking over ceil-divided rows with a masked final write.
     ch = min(_CAST_CHUNK, K)
+    if gather2:
+        U = E_T[1]
+        W = X.shape[2]
+        inv = jnp.asarray(fp.inv_child[child_lvl]).astype(jnp.int32)
+        B2, Kc = U.shape[0], U.shape[1]
+        col_idx = inv[:, W:]                                 # [2B, K]
+        # bound the per-chunk gather buffers like _apply_gather_2 does
+        ch = max(128, min(ch, (256 << 20)
+                          // max(1, B2 * Kc * jnp.dtype(U.dtype).itemsize)))
+        ch = min(ch, K)
     nch = -(-K // ch)
     z = jnp.int32(0)
-    if E_T is not None and E_T.dtype == jnp.dtype(out_dtype):
+    if (E_T is not None and not gather2
+            and E_T.dtype == jnp.dtype(out_dtype)):
         carry0 = E_T
         seeded = True
     else:
@@ -597,6 +616,13 @@ def _schur_update_cast(X, E_T, out_dtype):
             if seeded else None
         if seeded:
             pc = pc + tc.astype(acc)
+        elif gather2:
+            # the trailing rows [W+f0, W+f0+ch) of the child extend-add,
+            # computed in place of slicing a materialized E_T
+            idxc = lax.dynamic_slice(inv, (z, W + f0), (B2, ch))
+            G = _masked_row_gather(U, idxc, Kc)              # [2B, ch, Kc]
+            E = _masked_minor_gather(G, col_idx, Kc)         # [2B, ch, K]
+            pc = pc + E.reshape(-1, 2, ch, K).sum(1).astype(acc)
         elif E_T is not None:
             tc = lax.dynamic_slice(E_T, (z, f0, z),
                                    (E_T.shape[0], ch, E_T.shape[2]))
@@ -619,7 +645,7 @@ def _schur_update_cast(X, E_T, out_dtype):
 
 
 def _apply_gather_2(fp: FrontalPlan, slab, U, child_lvl: int, t_dtype=None,
-                    chunk_bytes: int = 256 << 20):
+                    chunk_bytes: int = 256 << 20, defer_T: bool = False):
     """Scatter-free two-piece extend-add for the largest levels: both pieces
     are built row-chunk by row-chunk with masked gathers and CONCATENATED —
     no scatter-add chains (XLA materializes copy buffers around functional
@@ -676,6 +702,11 @@ def _apply_gather_2(fp: FrontalPlan, slab, U, child_lvl: int, t_dtype=None,
                lambda cur, Ef: cur - Ef.astype(cur.dtype))
     if K == 0:
         return slab, None
+    if defer_T:
+        # the trailing piece is consumed exactly once, row-chunk by
+        # row-chunk, by _schur_update_cast — hand it the tag instead of
+        # materializing a [B, K, K] buffer plus its padded fori carry
+        return slab, ("gather2", U)
     td = t_dtype or jnp.promote_types(U.dtype, jnp.float32)
     T = run(jnp.zeros((B, K, K), td), W, inv[:, W:],
             lambda cur, Ef: Ef.astype(cur.dtype))
@@ -683,10 +714,13 @@ def _apply_gather_2(fp: FrontalPlan, slab, U, child_lvl: int, t_dtype=None,
 
 
 def _apply_extadd_two_piece(fp: FrontalPlan, slab, U, child_lvl: int,
-                            cap: Optional[int] = None, t_dtype=None):
+                            cap: Optional[int] = None, t_dtype=None,
+                            defer_T: bool = False):
     """Dispatch the two-piece extend-add: xxt from a leaf tag, gathermm when
     its intermediates fit the byte cap, chunked fused scatter otherwise.
-    Returns (slab - E_slab, E_T or None). E_T is stored as t_dtype."""
+    Returns (slab - E_slab, E_T or None). E_T is stored as t_dtype —
+    except on the chunked-gather path with defer_T, where it is the tag
+    ("gather2", U) for _schur_update_cast to consume lazily."""
     if cap is None:
         cap = _GATHERMM_BYTES_CAP
     W = slab.shape[2]
@@ -708,7 +742,8 @@ def _apply_extadd_two_piece(fp: FrontalPlan, slab, U, child_lvl: int,
         E_slab, E_T = _expand_gathermm_2(fp, U, child_lvl, W,
                                          t_dtype=t_dtype)
         return slab - E_slab.astype(slab.dtype), E_T
-    return _apply_gather_2(fp, slab, U, child_lvl, t_dtype=t_dtype)
+    return _apply_gather_2(fp, slab, U, child_lvl, t_dtype=t_dtype,
+                           defer_T=defer_T)
 
 
 def _apply_child_updates_fused(fp: FrontalPlan, full, U, child_lvl: int):
@@ -1046,7 +1081,8 @@ def _factor_level(fp: FrontalPlan, lvl: int, piv, U, extadd: str,
         if isinstance(U, tuple) or U.shape[1] > 0:
             slab, E_T = _apply_extadd_two_piece(fp, slab, U, lvl + 1,
                                                 cap=gm_cap,
-                                                t_dtype=update_dtype)
+                                                t_dtype=update_dtype,
+                                                defer_T=True)
         if (lvl == 0 and root_mesh is not None and Wl >= ROOT_DIST_MIN
                 and B == 1):
             # collective root-front factorization over the ICI mesh
@@ -1076,7 +1112,8 @@ def _factor_level(fp: FrontalPlan, lvl: int, piv, U, extadd: str,
             return fac, None
         if Fl > Wl:
             X = fac[:, Wl:, :]
-            U2 = _schur_update_cast(X, E_T, update_dtype)
+            U2 = _schur_update_cast(X, E_T, update_dtype,
+                                    fp=fp, child_lvl=lvl + 1)
             return fac, U2
         return fac, u_empty()
 

@@ -109,18 +109,25 @@ def main():
     n, r, c, v, o, cl, b = generate_problem(shape, levels)
     plan = build_plan(o, cl)
     fp = frontal.build_frontal_plan(plan, r, c)
-    update_dtype = frontal._update_dtype_for(jnp.float32)
     total = sum((1 << l) * fp.F[l] * fp.W[l] * 4 for l in range(fp.levels))
     gm_cap = frontal._effective_gathermm_cap(total)
+    # mirror production (frontal_factor_streamed): per-level bf16 updates,
+    # compressed factor store past the f32 ceiling
+    store_dtype = (jnp.bfloat16 if total > frontal._F32_STORE_BYTES
+                   or os.environ.get("CHOLESKY_TPU_UPLOAD_STREAM") == "1"
+                   else None)
 
     utag = "none"
     u_shape = None
     for lvl in range(fp.levels - 1, -1, -1):
         Wl, Fl = fp.W[lvl], fp.F[lvl]
         B = 1 << lvl
+        update_dtype = frontal._update_dtype_for(jnp.float32,
+                                                 frontal._u_bytes(fp, lvl))
         if lvl == lvl_want:
             fn = frontal._level_step_jit(fp, lvl, utag, extadd, gm_cap,
-                                         update_dtype, None, True)
+                                         update_dtype, None, True,
+                                         store_dtype=store_dtype)
             piv_spec = jax.ShapeDtypeStruct((B, Fl, Wl), jnp.float32)
             args = (piv_spec,) if utag == "none" else (
                 piv_spec, jax.ShapeDtypeStruct(*u_shape))

@@ -84,9 +84,10 @@ for lvl in range(fp.levels - 1, -1, -1):
         arg = ma.argument_size_in_bytes / GiB
         out = ma.output_size_in_bytes / GiB
         alias = ma.alias_size_in_bytes / GiB
+        peak = getattr(ma, "peak_memory_in_bytes", 0) / GiB
         print(f"lvl{lvl:2d} utag={utag:4s} B={B:5d} F={Fl:6d} W={Wl:6d} "
               f"args={arg:6.2f} out={out:6.2f} alias={alias:6.2f} "
-              f"TEMP={tmp:6.2f} GiB", flush=True)
+              f"TEMP={tmp:6.2f} PEAK={peak:6.2f} GiB", flush=True)
     except Exception as e:  # noqa: BLE001
         print(f"lvl{lvl:2d} utag={utag:4s} B={B:5d} F={Fl:6d} W={Wl:6d} "
               f"COMPILE FAILED: {type(e).__name__}: {str(e)[:300]}",
