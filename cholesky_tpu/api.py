@@ -1192,14 +1192,49 @@ class SparseCholesky:
                 f"solver holds a quasi-definite LDL^T factor")
 
     @_with_precision
-    def condest(self, iters: int = 12, seed: int = 0) -> float:
+    def eigsh(self, k: int = 6, which: str = "smallest", tol: float = 1e-9,
+              m: int | None = None, seed: int = 0):
+        """k extremal eigenpairs of A (eigenvalues ascending, orthonormal
+        eigenvectors [n, k]), converged to ‖Av−λv‖ ≤ tol·‖A‖₁.
+
+        which='smallest' runs shift-invert Lanczos at σ=0: each step is one
+        refined triangular-solve pair through the existing factor (the
+        classical direct-solver-driven ARPACK mode; an fp32 MXU factor still
+        yields f64-accurate pairs because every solve refines to ~1e-11).
+        Smallest modes of an SPD operator are the physically interesting
+        ones — vibration/diffusion modes of a FEM stiffness matrix, the
+        smoothest components of a GMRF precision. which='largest' needs only
+        sparse matvecs (works for quasi-definite LDLᵀ solvers too). The
+        reference has no eigen capability (SURVEY §2); this is the standard
+        companion a direct SPD factorization enables."""
+        from cholesky_tpu.numeric import eigs
+
+        if which == "smallest":
+            self._require_spd("eigsh(which='smallest') (shift-invert)")
+            if not self.factored:
+                self.factorize()
+        return eigs.eigsh(self, k=k, which=which, tol=tol, m=m, seed=seed)
+
+    @_with_precision
+    def condest(self, iters: int = 12, seed: int = 0,
+                method: str = "power") -> float:
         """2-norm condition-number estimate κ₂(A) ≈ λmax(A)/λmin(A) by power
         iteration: λmax on A (sparse matvecs), 1/λmin on A⁻¹ (triangular
         solves through the factor). For SPD matrices the 2-norm equals the
         spectral radius, so both iterations converge monotonically from
-        random starts. Cost: `iters` matvecs + `iters` solves."""
+        random starts. Cost: `iters` matvecs + `iters` solves.
+
+        method='lanczos' instead converges both spectrum ends with Lanczos
+        (`numeric/eigs.py`) — tighter than power iteration when either end
+        is clustered (power iteration's error decays like (λ₂/λ₁)^iters;
+        Lanczos accelerates past it with the same per-step cost)."""
         if not self.factored:
             self.factorize()
+        if method == "lanczos":
+            from cholesky_tpu.numeric import eigs
+
+            self._require_spd("condest(method='lanczos')")
+            return eigs.cond2(self, seed=seed)
         a = self._matrix_csr()
         rng = np.random.default_rng(seed)
         v = rng.standard_normal(self.plan.n)
