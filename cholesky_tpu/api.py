@@ -1193,7 +1193,7 @@ class SparseCholesky:
 
     @_with_precision
     def eigsh(self, k: int = 6, which: str = "smallest", tol: float = 1e-9,
-              m: int | None = None, seed: int = 0):
+              m: int | None = None, seed: int = 0, M=None):
         """k extremal eigenpairs of A (eigenvalues ascending, orthonormal
         eigenvectors [n, k]), converged to ‖Av−λv‖ ≤ tol·‖A‖₁.
 
@@ -1206,14 +1206,20 @@ class SparseCholesky:
         smoothest components of a GMRF precision. which='largest' needs only
         sparse matvecs (works for quasi-definite LDLᵀ solvers too). The
         reference has no eigen capability (SURVEY §2); this is the standard
-        companion a direct SPD factorization enables."""
+        companion a direct SPD factorization enables.
+
+        M (scipy sparse / dense, full symmetric, SPD mass matrix): solve the
+        generalized pencil A·x = λ·M·x — the FEM modal problem
+        K·x = ω²·M·x, with M-inner-product Lanczos on K⁻¹M and
+        mass-normalized eigenvectors (VᵀMV = I)."""
         from cholesky_tpu.numeric import eigs
 
         if which == "smallest":
             self._require_spd("eigsh(which='smallest') (shift-invert)")
             if not self.factored:
                 self.factorize()
-        return eigs.eigsh(self, k=k, which=which, tol=tol, m=m, seed=seed)
+        return eigs.eigsh(self, k=k, which=which, tol=tol, m=m, seed=seed,
+                          M=M)
 
     @_with_precision
     def condest(self, iters: int = 12, seed: int = 0,

@@ -73,6 +73,46 @@ def test_smallest_3d_fixture_scale():
     np.testing.assert_allclose(w, w_all[:3], rtol=1e-7)
 
 
+def test_generalized_modal_matches_dense(grid400):
+    # FEM modal problem K x = lambda M x with a lumped (diagonal) mass
+    s, dense, _ = grid400
+    rng = np.random.default_rng(3)
+    mdiag = rng.uniform(0.5, 2.0, s.plan.n)
+    import scipy.sparse
+    M = scipy.sparse.diags(mdiag).tocsr()
+    w_all = scipy.linalg.eigh(dense, np.diag(mdiag), eigvals_only=True)
+    w, V = s.eigsh(k=4, M=M, tol=1e-10)
+    np.testing.assert_allclose(w, w_all[:4], rtol=1e-8)
+    # mass-normalization convention: V^T M V = I
+    np.testing.assert_allclose(V.T @ (M @ V), np.eye(4), atol=1e-8)
+    # true generalized residual
+    res = np.linalg.norm(dense @ V - (M @ V) * w, axis=0)
+    assert res.max() <= 1e-8
+
+
+def test_generalized_consistent_mass():
+    # non-diagonal SPD mass matrix (Laplacian-based, strictly diagonally
+    # dominant) on a smaller grid
+    s = _solver(shape=(10, 10), levels=2)
+    dense = s._matrix_csr().toarray()
+    n = s.plan.n
+    M = np.eye(n) - 0.1 * (dense / np.abs(dense).sum(axis=1).max())
+    M = (M + M.T) / 2
+    w_all = scipy.linalg.eigh(dense, M, eigvals_only=True)
+    w, V = s.eigsh(k=3, M=M, tol=1e-10)
+    np.testing.assert_allclose(w, w_all[:3], rtol=1e-8)
+    np.testing.assert_allclose(V.T @ (M @ V), np.eye(3), atol=1e-8)
+
+
+def test_generalized_largest_raises(grid400):
+    s, _, _ = grid400
+    import scipy.sparse
+    with pytest.raises(ValueError):
+        s.eigsh(k=1, which="largest", M=scipy.sparse.eye(s.plan.n))
+    with pytest.raises(ValueError):
+        s.eigsh(k=1, M=scipy.sparse.eye(3))   # wrong shape
+
+
 def test_quasi_definite_smallest_raises():
     n, r, c, v, o, cl, b = generate_problem((5, 5), 2)
     signs = np.ones(n)
