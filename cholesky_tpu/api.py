@@ -1108,6 +1108,81 @@ class SparseCholesky:
         return x - correction
 
     @_with_precision
+    def solve_perturbed(self, b: np.ndarray, rows: np.ndarray,
+                        cols: np.ndarray, vals: np.ndarray,
+                        tol: float = 1e-10, max_iter: int = 200) -> np.ndarray:
+        """Solve (A + ΔA)·x = b for a GENERAL symmetric perturbation ΔA
+        without refactorizing: preconditioned conjugate gradients with this
+        factor as the preconditioner. The complement to `solve_updated`'s
+        low-rank Woodbury path — use it when coefficients drift everywhere
+        (time-dependent PDE coefficients, quasi-Newton lags) but stay close
+        enough that the old factor keeps the preconditioned spectrum
+        clustered. Each iteration costs one sparse matvec plus one
+        triangular-solve pair through the factor; when iteration counts
+        grow, refactor with `update_values` instead.
+
+        ΔA is COO in the input matrix's lower-triangle convention
+        (rows ≥ cols; off-diagonal entries imply their transposes); the
+        perturbed matrix must remain SPD. b is [n] or [n, k] in original
+        dof order. Uses the flexible (Polak–Ribière) CG update so the
+        low-precision preconditioner solve cannot stall convergence.
+        Converges to ‖(A+ΔA)x−b‖/‖b‖ ≤ tol or raises RuntimeError."""
+        self._require_spd("solve_perturbed")
+        if not self.factored:
+            self.factorize()
+        import scipy.sparse
+
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        vals = np.asarray(vals, dtype=np.float64)
+        if np.any(rows < cols):
+            raise ValueError(
+                "perturbation must be lower-triangle COO (rows >= cols), "
+                "matching the input matrix convention")
+        dr, dc, dv = mmio.symmetrize_coo(rows, cols, vals)
+        a_pert = self._matrix_csr() + scipy.sparse.csr_matrix(
+            (dv, (dr, dc)), shape=(self.plan.n, self.plan.n))
+
+        b = np.asarray(b, dtype=np.float64)
+        if b.ndim == 2:
+            return np.stack([
+                self.solve_perturbed(b[:, j], rows, cols, vals, tol=tol,
+                                     max_iter=max_iter)
+                for j in range(b.shape[1])], axis=1)
+        bnorm = float(np.linalg.norm(b))
+        if bnorm == 0.0:
+            return np.zeros_like(b)
+        x = np.zeros_like(b)
+        r = b.copy()
+        z = self._solve_once(r).astype(np.float64)
+        p = z.copy()
+        rz = float(r @ z)
+        for _ in range(max_iter):
+            ap = a_pert @ p
+            pap = float(p @ ap)
+            if pap <= 0.0:
+                raise RuntimeError(
+                    "CG direction with non-positive curvature — the "
+                    "perturbed matrix is not positive definite")
+            alpha = rz / pap
+            x += alpha * p
+            r_new = r - alpha * ap
+            if np.linalg.norm(r_new) <= tol * bnorm:
+                return x
+            z_new = self._solve_once(r_new).astype(np.float64)
+            # flexible (Polak–Ribière) beta: robust to the inexact,
+            # slightly nonsymmetric fp32 preconditioner solve
+            beta = float(z_new @ (r_new - r)) / rz
+            rz = float(r_new @ z_new)
+            p = z_new + beta * p
+            r, z = r_new, z_new
+        raise RuntimeError(
+            f"solve_perturbed did not reach tol={tol:g} in {max_iter} "
+            f"iterations (relative residual "
+            f"{np.linalg.norm(r) / bnorm:.3e}) — the perturbation is too "
+            f"large for this factor; refactor with update_values")
+
+    @_with_precision
     def logdet_updated(self, u: np.ndarray, w=None, tol: float = 1e-12
                        ) -> float:
         """log det(A + U·diag(w)·Uᵀ) by the matrix determinant lemma,
