@@ -1420,6 +1420,29 @@ class SparseCholesky:
         self.panels = tuple(panels) if self.engine == "frontal" else panels
         self.factored = True
 
+    def aslinearoperator(self, inverse: bool = True, tol: float = 1e-10):
+        """A scipy.sparse.linalg.LinearOperator view of A⁻¹ (default) or A,
+        in original dof order — plugs the factored solver into any scipy
+        iterative code as a black-box preconditioner/operator
+        (`scipy.sparse.linalg.eigsh(..., OPinv=s.aslinearoperator())`,
+        `cg(..., M=s.aslinearoperator())`, LOBPCG, …). Each `matvec` of the
+        inverse operator is one refined triangular-solve pair through the
+        factor; `matmat` maps to the batched multi-RHS solve."""
+        import scipy.sparse.linalg
+
+        n = int(self.plan.n)
+        if inverse:
+            if not self.factored:
+                self.factorize()
+            return scipy.sparse.linalg.LinearOperator(
+                (n, n), dtype=np.float64,
+                matvec=lambda v: np.asarray(
+                    self.solve(np.asarray(v).reshape(n), tol=tol)),
+                matmat=lambda V: np.asarray(
+                    self.solve(np.asarray(V), tol=tol)).reshape(n, -1))
+        csr = self._matrix_csr()
+        return scipy.sparse.linalg.aslinearoperator(csr)
+
     def permuted_dense(self) -> np.ndarray:
         """The permuted (unfactored) matrix as written by -p (mmat.rg:1187-1189)."""
         panels = assemble.assemble_panels(

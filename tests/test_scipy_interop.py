@@ -130,3 +130,35 @@ def test_from_scipy_on_mesh():
     b = np.random.default_rng(4).standard_normal(n)
     x = s.solve(b)
     assert s.residual(b, x) <= 1e-10
+
+
+def test_aslinearoperator_inverse():
+    import scipy.sparse.linalg as spla
+
+    n, lower, full = _spd_scipy(seed=11)
+    s = SparseCholesky.from_scipy(full)
+    op = s.aslinearoperator()
+    rng = np.random.default_rng(5)
+    b = rng.standard_normal(n)
+    x = op.matvec(b)
+    assert s.residual(b, x) <= 1e-10
+    # matmat = batched multi-RHS solve
+    B = rng.standard_normal((n, 3))
+    X = op.matmat(B)
+    assert s.residual(B, X) <= 1e-10
+    # forward operator view matches the CSR matvec
+    fwd = s.aslinearoperator(inverse=False)
+    np.testing.assert_allclose(fwd.matvec(x), s._matrix_csr() @ x)
+
+
+def test_aslinearoperator_drives_scipy_eigsh():
+    # the classic interop: scipy's ARPACK shift-invert driven by our factor
+    import scipy.linalg
+    import scipy.sparse.linalg as spla
+
+    n, lower, full = _spd_scipy(seed=12)
+    s = SparseCholesky.from_scipy(full)
+    w = spla.eigsh(s.aslinearoperator(inverse=False), k=2, sigma=0,
+                   OPinv=s.aslinearoperator(), return_eigenvectors=False)
+    w_all = scipy.linalg.eigh(full.toarray(), eigvals_only=True)
+    np.testing.assert_allclose(np.sort(w), w_all[:2], rtol=1e-8)
