@@ -987,6 +987,18 @@ def _gathermm_bytes(fp: FrontalPlan, U, child_lvl: int) -> int:
 ROOT_DIST_MIN = 2048   # min root-front size for the collective factorization
 
 
+def _effective_root_mesh(fp: "FrontalPlan", root_mesh):
+    """Resolve the collective-root decision ONCE at dispatch: the mesh is
+    forwarded to the level programs only when the root front is wide enough
+    to amortize the per-step [F, block] collectives (CHOLESKY_TPU_ROOT_DIST_MIN
+    overrides the default). _factor_level trusts a non-None root_mesh."""
+    if root_mesh is None:
+        return None
+    dist_min = int(_os.environ.get("CHOLESKY_TPU_ROOT_DIST_MIN",
+                                   ROOT_DIST_MIN))
+    return root_mesh if fp.W[0] >= dist_min else None
+
+
 # past this many bytes per accumulated child-update array [B, K, K], the
 # update (and the trailing extend-add piece) is stored bfloat16: at deep
 # trees the f32 update, the trailing piece E_T, and the Schur result U2
@@ -1083,9 +1095,9 @@ def _factor_level(fp: FrontalPlan, lvl: int, piv, U, extadd: str,
                                                 cap=gm_cap,
                                                 t_dtype=update_dtype,
                                                 defer_T=True)
-        if (lvl == 0 and root_mesh is not None and Wl >= ROOT_DIST_MIN
-                and B == 1):
+        if lvl == 0 and root_mesh is not None and B == 1:
             # collective root-front factorization over the ICI mesh
+            # (root_mesh is pre-gated by _effective_root_mesh at dispatch)
             from cholesky_tpu.parallel.dist_cholesky import (
                 distributed_cholesky)
 
@@ -1160,9 +1172,9 @@ def _factor_level(fp: FrontalPlan, lvl: int, piv, U, extadd: str,
                   - full[:, Wl:, Wl:])
             return fac, U2.astype(update_dtype)
         return fac, u_empty()
-    if (lvl == 0 and root_mesh is not None and Wl >= ROOT_DIST_MIN
-            and B == 1):
+    if lvl == 0 and root_mesh is not None and B == 1:
         # collective root-front factorization over the ICI mesh
+        # (root_mesh is pre-gated by _effective_root_mesh at dispatch)
         from cholesky_tpu.parallel.dist_cholesky import distributed_cholesky
 
         Ld = distributed_cholesky(full[0, :Wl, :Wl], root_mesh)[None]
@@ -1200,6 +1212,7 @@ def frontal_factor(fp: FrontalPlan, fronts: Sequence[jax.Array],
                    root_mesh=None) -> Tuple[jax.Array, ...]:
     """Factor all fronts level by level; returns per-level [B, F, W] factors
     (pivot Cholesky stacked over the solved boundary strip)."""
+    root_mesh = _effective_root_mesh(fp, root_mesh)
     total_front_bytes = sum(
         int(np.prod(f.shape)) * jnp.dtype(f.dtype).itemsize for f in fronts)
     gm_cap = _effective_gathermm_cap(total_front_bytes)
@@ -1311,6 +1324,7 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
     returned tuple then contains host (NumPy) arrays for the offloaded
     levels (level 0 stays on device); callers may device_put them back if
     the total fits."""
+    root_mesh = _effective_root_mesh(fp, root_mesh)
     lazy = isinstance(fronts, LazyFronts)
     if upload and not isinstance(fronts, list):
         fronts = list(fronts)
@@ -1855,9 +1869,7 @@ def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
 
     if extadd is None:
         extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "hybrid3")
-    dist_min = int(os.environ.get("CHOLESKY_TPU_ROOT_DIST_MIN", ROOT_DIST_MIN))
-    if root_mesh is not None and fp.W[0] < dist_min:
-        root_mesh = None
+    root_mesh = _effective_root_mesh(fp, root_mesh)
     lazy = isinstance(fronts, LazyFronts)
     if lazy:
         total = sum(fronts.nbytes_of(l) for l in range(len(fronts)))

