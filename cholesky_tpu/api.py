@@ -12,7 +12,6 @@ import numpy as np
 
 from cholesky_tpu.io import mmio, ordering as ordio
 from cholesky_tpu.numeric import assemble
-from cholesky_tpu.numeric import factor as nfactor
 from cholesky_tpu.symbolic.plan import SolvePlan, build_plan
 
 _PRECISIONS = ("default", "high", "highest", "bfloat16", "tensorfloat32",
@@ -61,10 +60,7 @@ class SparseCholesky:
 
     def __init__(self, plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
                  vals: np.ndarray, dtype=np.float64, mesh=None,
-                 engine: str = "frontal", signs=None,
-                 precision: Optional[str] = None):
-        if engine not in ("frontal", "panels"):
-            raise ValueError(f"unknown engine {engine!r}")
+                 signs=None, precision: Optional[str] = None):
         import os
 
         precision = precision or os.environ.get("CHOLESKY_TPU_PRECISION")
@@ -83,29 +79,27 @@ class SparseCholesky:
         self.rows, self.cols, self.vals = rows, cols, vals
         self.dtype = dtype
         self.mesh = mesh            # optional jax.sharding.Mesh for multichip
-        self.engine = engine
         self.signs = None           # quasi-definite signature (numeric/ldlt)
         if signs is not None:
             signs = np.asarray(signs, dtype=np.float64).reshape(-1)
             if signs.shape[0] != plan.n or not np.all(np.abs(signs) == 1.0):
                 raise ValueError("signs must be [n] of +1/-1")
-            if engine != "frontal" or mesh is not None:
+            if mesh is not None:
                 raise NotImplementedError(
-                    "quasi-definite LDL^T: frontal engine, single chip")
+                    "quasi-definite LDL^T: single chip only")
             if np.all(signs == 1.0):
                 signs = None        # all-positive signature IS Cholesky
             self.signs = signs
         self.panels = None          # assembled (pre-factor) or factored panels
         self.factored = False
         self._csr = None            # cached scipy CSR for residual/matvec
-        self._fplan = None          # frontal symbolic plan (engine='frontal')
+        self._fplan = None          # frontal symbolic plan
 
     # ------------------------------------------------------------------
     @classmethod
     def from_files(cls, matrix_file: str, separator_file: str,
                    clusters_file: Optional[str] = None, dtype=np.float64,
-                   pad_to: int = 8, mesh=None,
-                   engine: str = "frontal", signs=None,
+                   pad_to: int = 8, mesh=None, signs=None,
                    precision: Optional[str] = None) -> "SparseCholesky":
         ordng = ordio.parse_ordering(separator_file)
         clusters = ordio.parse_clusters(clusters_file) if clusters_file else None
@@ -117,12 +111,12 @@ class SparseCholesky:
         # normalize to lower triangle; 'general'-symmetry files store both
         # triangles, so deduplicate (mmio.dedup_lower)
         r2, c2, v2 = mmio.dedup_lower(r, c, v)
-        return cls(plan, r2, c2, v2, dtype=dtype, mesh=mesh, engine=engine,
+        return cls(plan, r2, c2, v2, dtype=dtype, mesh=mesh,
                    signs=signs, precision=precision)
 
     @classmethod
     def from_matrix(cls, n: int, rows, cols, vals, levels=None,
-                    dtype=np.float64, mesh=None, engine: str = "frontal",
+                    dtype=np.float64, mesh=None,
                     signs=None, precision: Optional[str] = None,
                     _canonical: bool = False):
         """Solve an arbitrary SPD — or, with `signs`, symmetric
@@ -140,14 +134,13 @@ class SparseCholesky:
         cols = np.asarray(cols, dtype=np.int64)
         ordng, clusters = nested_dissection_graph(n, rows, cols, levels)
         return cls.from_coo(n, rows, cols, vals, ordng, clusters,
-                            dtype=dtype, mesh=mesh, engine=engine,
+                            dtype=dtype, mesh=mesh,
                             signs=signs, precision=precision,
                             _canonical=_canonical)
 
     @classmethod
     def from_scipy(cls, a, dtype=None, levels=None, mesh=None,
-                   engine: str = "frontal", signs=None,
-                   precision: Optional[str] = None):
+                   signs=None, precision: Optional[str] = None):
         """Build from a scipy sparse matrix (any format) or a dense
         symmetric ndarray. Accepts the lower triangle, the upper triangle,
         or a fully-populated symmetric matrix: (i,j)/(j,i) pairs fold to
@@ -207,15 +200,15 @@ class SparseCholesky:
             if np.dtype(dtype).kind != "f":
                 dtype = np.float64
         return cls.from_matrix(int(n), rr, cc, vmean, levels=levels,
-                               dtype=dtype, mesh=mesh, engine=engine,
+                               dtype=dtype, mesh=mesh,
                                signs=signs, precision=precision,
                                _canonical=True)
 
     @classmethod
     def from_coo(cls, n: int, rows, cols, vals, ordng: ordio.Ordering,
                  clusters=None, dtype=np.float64, pad_to: int = 8, mesh=None,
-                 engine: str = "frontal", signs=None,
-                 precision: Optional[str] = None, _canonical: bool = False):
+                 signs=None, precision: Optional[str] = None,
+                 _canonical: bool = False):
         plan = build_plan(ordng, clusters, pad_to=pad_to)
         if plan.n != n:
             raise ValueError("ordering does not cover the matrix dimension")
@@ -225,7 +218,7 @@ class SparseCholesky:
             v2 = np.asarray(vals, dtype=np.float64)
         else:
             r2, c2, v2 = mmio.dedup_lower(rows, cols, vals)
-        return cls(plan, r2, c2, v2, dtype=dtype, mesh=mesh, engine=engine,
+        return cls(plan, r2, c2, v2, dtype=dtype, mesh=mesh,
                    signs=signs, precision=precision)
 
     # ------------------------------------------------------------------
@@ -241,29 +234,25 @@ class SparseCholesky:
     def assemble(self) -> List[np.ndarray]:
         """(Re)build the numeric buffers from the COO input (the reference's
         fill loop, mmat.rg:1175-1183; re-run per --iterations, mmat.rg:1216)."""
-        if self.engine == "frontal":
-            from cholesky_tpu.numeric import frontal
+        from cholesky_tpu.numeric import frontal
 
-            if self._device_assembly_ok():
-                # in-core: refill runs as one compiled scatter per level on
-                # device — only the [nnz] values cross host->device (the
-                # reference re-runs host fill_block per iteration,
-                # mmat.rg:1216-1224)
-                buffers = self._assembler()(self.vals, dtype=self.dtype)
-            elif self._lazy_assembly_ok():
-                # streamed regime: per-level on-device assembly right before
-                # each level's program (LazyFronts) — values-only upload
-                # like the in-core path, but only the CURRENT level's slab
-                # ever resides in HBM alongside the factors
-                buffers = frontal.LazyFronts(self._assembler(), self.vals,
-                                             dtype=self.dtype)
-            else:
-                buffers = frontal.assemble_fronts(
-                    self.fplan, self.rows, self.cols, self.vals,
-                    dtype=self.dtype)
+        if self._device_assembly_ok():
+            # in-core: refill runs as one compiled scatter per level on
+            # device — only the [nnz] values cross host->device (the
+            # reference re-runs host fill_block per iteration,
+            # mmat.rg:1216-1224)
+            buffers = self._assembler()(self.vals, dtype=self.dtype)
+        elif self._lazy_assembly_ok():
+            # streamed regime: per-level on-device assembly right before
+            # each level's program (LazyFronts) — values-only upload
+            # like the in-core path, but only the CURRENT level's slab
+            # ever resides in HBM alongside the factors
+            buffers = frontal.LazyFronts(self._assembler(), self.vals,
+                                         dtype=self.dtype)
         else:
-            buffers = assemble.assemble_panels(
-                self.plan, self.rows, self.cols, self.vals, dtype=self.dtype)
+            buffers = frontal.assemble_fronts(
+                self.fplan, self.rows, self.cols, self.vals,
+                dtype=self.dtype)
         if self.mesh is not None:
             from cholesky_tpu.parallel.mesh import distribute_panels
 
@@ -352,13 +341,11 @@ class SparseCholesky:
 
                 self.panels = ldlt.factor_qd(self.fplan, self.panels,
                                              self.signs)
-            elif self.engine == "frontal":
+            else:
                 from cholesky_tpu.numeric import frontal
 
                 self.panels = frontal.factor(self.fplan, self.panels,
                                              root_mesh=self.mesh)
-            else:
-                self.panels = nfactor.factor(self.plan, self.panels)
         self.factored = True
         if check:
             self._check_pivots()
@@ -369,8 +356,7 @@ class SparseCholesky:
         or catastrophic cancellation in low precision)."""
         import jax.numpy as jnp
 
-        widths = (self.fplan.W if self.engine == "frontal"
-                  else [int(s) for s in self.plan.S])
+        widths = self.fplan.W
         for lvl, p in enumerate(self.panels):
             w = int(widths[lvl])
             if w == 0 or p.shape[0] == 0:
@@ -402,29 +388,21 @@ class SparseCholesky:
             x = np.empty_like(xp)
             x[self.plan.perm] = xp
             return x[:, 0] if squeeze else x
-        if self.engine == "frontal":
-            from cholesky_tpu.numeric import frontal
+        from cholesky_tpu.numeric import frontal
 
-            b = np.asarray(b, dtype=self.dtype)
-            if b.ndim == 2:
-                bp = b[self.plan.perm, :]
-                x_perm = np.asarray(
-                    frontal.solve_multi(self.fplan, self.panels, bp))
-                x = np.empty_like(x_perm)
-                x[self.plan.perm, :] = x_perm
-                return x
-            bp = b.reshape(-1)[self.plan.perm]
-            x_perm = np.asarray(frontal.solve(self.fplan, self.panels, bp))
-            x = np.empty(self.plan.n, dtype=x_perm.dtype)
-            x[self.plan.perm] = x_perm
+        b = np.asarray(b, dtype=self.dtype)
+        if b.ndim == 2:
+            bp = b[self.plan.perm, :]
+            x_perm = np.asarray(
+                frontal.solve_multi(self.fplan, self.panels, bp))
+            x = np.empty_like(x_perm)
+            x[self.plan.perm, :] = x_perm
             return x
-        blv = assemble.assemble_rhs(self.plan, b, dtype=self.dtype)
-        if self.mesh is not None:
-            from cholesky_tpu.parallel.mesh import distribute_rhs
-
-            blv = distribute_rhs(blv, self.mesh)
-        xlv = nfactor.solve(self.plan, self.panels, blv)
-        return assemble.extract_solution(self.plan, [np.asarray(x) for x in xlv])
+        bp = b.reshape(-1)[self.plan.perm]
+        x_perm = np.asarray(frontal.solve(self.fplan, self.panels, bp))
+        x = np.empty(self.plan.n, dtype=x_perm.dtype)
+        x[self.plan.perm] = x_perm
+        return x
 
     def solve(self, b: np.ndarray, refine: str = "auto", tol: float = 1e-10,
               max_iter: int = 50) -> np.ndarray:
@@ -467,8 +445,7 @@ class SparseCholesky:
             mode = "0"      # quasi-definite: host Richardson loop below
                             # (the device-IR programs assume the SPD factor)
         x = None
-        if mode == "1" and b.ndim == 1 and self.engine == "frontal" \
-                and jax.config.jax_enable_x64:
+        if mode == "1" and b.ndim == 1 and jax.config.jax_enable_x64:
             # legacy device-resident refinement with an emulated-f64
             # segment-sum matvec (slower than the host loop on this backend:
             # the f64 matvec alone is ~102 ms at 125k dofs)
@@ -485,7 +462,7 @@ class SparseCholesky:
             return x
         if b.ndim == 2 and b.shape[1] == 0:
             return np.zeros((self.plan.n, 0))
-        if mode != "0" and b.ndim == 2 and self.engine == "frontal":
+        if mode != "0" and b.ndim == 2:
             # multi-RHS device-resident refinement: the whole [n, k] block
             # refines in one while_loop (solves vmapped over columns; one
             # batched double-float residual) — the host fallback would pay
@@ -512,7 +489,7 @@ class SparseCholesky:
                 x[self.plan.perm, :] = x_perm
                 if rn_rel <= tol:
                     return x
-        if mode != "0" and b.ndim == 1 and self.engine == "frontal":
+        if mode != "0" and b.ndim == 1:
             # default device-resident refinement: f32 triangular solves +
             # double-float (f32-pair) compensated residuals in one jitted
             # while_loop — no f64 emulation, no per-iteration host round
@@ -579,8 +556,8 @@ class SparseCholesky:
         return budget
 
     def _assembler(self):
-        """Pattern-bound device assembler (frontal engine), built once and
-        kept across update_values — the scatter indices are value-free."""
+        """Pattern-bound device assembler, built once and kept across
+        update_values — the scatter indices are value-free."""
         if getattr(self, "_fasm", None) is None:
             from cholesky_tpu.numeric import frontal
 
@@ -598,7 +575,7 @@ class SparseCholesky:
 
         if os.environ.get("CHOLESKY_TPU_DEVICE_ASSEMBLE", "1") == "0":
             return False
-        if self.engine != "frontal" or self.mesh is not None:
+        if self.mesh is not None:
             return False
         from cholesky_tpu.numeric import frontal
 
@@ -615,8 +592,7 @@ class SparseCholesky:
             return False
         if os.environ.get("CHOLESKY_TPU_DEVICE_ASSEMBLE", "1") == "0":
             return False        # "no device-side assembly" means lazy too
-        if (self.engine != "frontal" or self.mesh is not None
-                or self.signs is not None):
+        if self.mesh is not None or self.signs is not None:
             return False
         return np.asarray(self.vals).ndim == 1
 
@@ -645,15 +621,12 @@ class SparseCholesky:
         flag = os.environ.get("CHOLESKY_TPU_INV_PIVOTS")
         if flag in ("0", "1"):
             return flag == "1"
-        try:
-            fp = self.fplan
-            factor_bytes = self._factor_bytes()
-            # inverses are computed in f32 regardless of factor storage
-            # (frontal._invert_pivot_level_jit)
-            inv_bytes = sum(
-                (1 << l) * fp.W[l] * fp.W[l] * 4 for l in range(fp.levels))
-        except Exception:  # noqa: BLE001 — panels engine has no fplan
-            return True
+        fp = self.fplan
+        factor_bytes = self._factor_bytes()
+        # inverses are computed in f32 regardless of factor storage
+        # (frontal._invert_pivot_level_jit)
+        inv_bytes = sum(
+            (1 << l) * fp.W[l] * fp.W[l] * 4 for l in range(fp.levels))
         budget = self._hbm_budget(0.85)
         # Streamed factorizations (fronts past _STREAM_BYTES) bound per-level
         # residency and measured fine WITH inverses at 1M dofs (6.5 GiB
@@ -726,12 +699,9 @@ class SparseCholesky:
         """The factor L as a dense lower-triangular array in permuted coords."""
         if not self.factored:
             self.factorize()
-        if self.engine == "frontal":
-            from cholesky_tpu.numeric import frontal
+        from cholesky_tpu.numeric import frontal
 
-            return frontal.extract_factor_dense(self.fplan, self.panels)
-        return assemble.extract_factor_dense(
-            self.plan, [np.asarray(p) for p in self.panels])
+        return frontal.extract_factor_dense(self.fplan, self.panels)
 
     def factor_coo(self):
         """The factor L as COO (0-based permuted coordinates, lower
@@ -739,14 +709,9 @@ class SparseCholesky:
         infeasible."""
         if not self.factored:
             self.factorize()
-        if self.engine == "frontal":
-            from cholesky_tpu.numeric import frontal
+        from cholesky_tpu.numeric import frontal
 
-            return frontal.extract_factor_coo(self.fplan, self.panels)
-        ldense = assemble.extract_factor_dense(
-            self.plan, [np.asarray(p) for p in self.panels])
-        r, c = np.nonzero(ldense)
-        return r, c, ldense[r, c]
+        return frontal.extract_factor_coo(self.fplan, self.panels)
 
     @_with_precision
     def inv_diag(self) -> np.ndarray:
@@ -760,21 +725,11 @@ class SparseCholesky:
         self._require_spd("selected inversion")
         if not self.factored:
             self.factorize()
+        from cholesky_tpu.numeric import selinv
+
         out = np.empty(self.plan.n)
-        if self.engine == "frontal":
-            from cholesky_tpu.numeric import selinv
-
-            self._selinv_guard()
-            out[self.plan.perm] = selinv.selinv_diag(self.fplan, self.panels)
-            return out
-        # panels engine (small-problem path): dense fallback via the factor
-        import scipy.linalg
-
-        ldense = assemble.extract_factor_dense(
-            self.plan, [np.asarray(p) for p in self.panels])
-        linv = scipy.linalg.solve_triangular(
-            ldense, np.eye(self.plan.n), lower=True)
-        out[self.plan.perm] = (linv * linv).sum(axis=0)
+        self._selinv_guard()
+        out[self.plan.perm] = selinv.selinv_diag(self.fplan, self.panels)
         return out
 
     def _selinv_guard(self) -> None:
@@ -806,11 +761,8 @@ class SparseCholesky:
         between coupled sites in a GMRF, off-diagonal posterior terms. Same
         recursion as inv_diag, stopping at the deepest requested tree
         level. Entries outside the pattern raise ValueError (solve unit
-        vectors for those). Frontal engine only."""
+        vectors for those)."""
         self._require_spd("selected inversion")
-        if self.engine != "frontal":
-            raise NotImplementedError(
-                "inv_entries requires the frontal engine")
         if not self.factored:
             self.factorize()
         from cholesky_tpu.numeric import selinv
@@ -855,9 +807,6 @@ class SparseCholesky:
         follows the factor precision (f64 exact to roundoff; f32 ≈ 1e-7
         relative; bf16-stored out-of-core factors correspondingly less)."""
         self._require_spd("schur_complement")
-        if self.engine != "frontal":
-            raise NotImplementedError(
-                "schur_complement requires the frontal engine")
         if not self.factored:
             self.factorize()
         import jax.numpy as jnp
@@ -874,8 +823,6 @@ class SparseCholesky:
         interior levels). `b` is the FULL rhs in original dof order; the
         result is ordered as schur_dofs()."""
         self._require_spd("condense_rhs")
-        if self.engine != "frontal":
-            raise NotImplementedError("condense_rhs requires the frontal engine")
         if not self.factored:
             self.factorize()
         from cholesky_tpu.numeric import frontal
@@ -894,9 +841,6 @@ class SparseCholesky:
         x in original dof order. The (b, x_root) pair must be consistent —
         the interior recovery reuses the partial forward pass of b."""
         self._require_spd("expand_solution")
-        if self.engine != "frontal":
-            raise NotImplementedError(
-                "expand_solution requires the frontal engine")
         if not self.factored:
             self.factorize()
         from cholesky_tpu.numeric import frontal
@@ -928,11 +872,8 @@ class SparseCholesky:
         moments from inv_diag/inv_entries, draws from here). `z` is [n] or
         [n, k] standard normal; returns samples in ORIGINAL dof order.
         Accuracy follows the factor dtype (f64 exact to roundoff; f32
-        covariance error ~1e-7 relative — far below sampling noise).
-        Frontal engine only."""
+        covariance error ~1e-7 relative — far below sampling noise)."""
         self._require_spd("sample")
-        if self.engine != "frontal":
-            raise NotImplementedError("sample requires the frontal engine")
         if not self.factored:
             self.factorize()
         from cholesky_tpu.numeric import frontal
@@ -951,10 +892,8 @@ class SparseCholesky:
         """The inverse transform of sample(): z = L⁻¹ P x. For
         x ~ N(0, A⁻¹) (in original dof order) the result is standard
         normal — residual whitening / standardized innovations for model
-        checking. `x` is [n] or [n, k]. Frontal engine only."""
+        checking. `x` is [n] or [n, k]."""
         self._require_spd("whiten")
-        if self.engine != "frontal":
-            raise NotImplementedError("whiten requires the frontal engine")
         if not self.factored:
             self.factorize()
         from cholesky_tpu.numeric import frontal
@@ -976,15 +915,11 @@ class SparseCholesky:
         family (GP hyperparameter candidates, MCMC proposals, time steps)
         costs far less than K sequential factorizations. Returns a
         BatchedFactors handle (solve / logdet / residual per system);
-        this solver's own factor state is untouched. Frontal engine,
-        in-core only. With a mesh, the SYSTEM axis shards over the
-        devices — each chip owns K/ndev independent factorizations
-        (embarrassingly parallel; the mesh shards the family here, not
-        the tree)."""
+        this solver's own factor state is untouched. In-core only. With
+        a mesh, the SYSTEM axis shards over the devices — each chip owns
+        K/ndev independent factorizations (embarrassingly parallel; the
+        mesh shards the family here, not the tree)."""
         self._require_spd("factorize_many")
-        if self.engine != "frontal":
-            raise NotImplementedError(
-                "factorize_many requires the frontal engine")
         vals_many = np.asarray(vals_many, dtype=np.float64)
         if vals_many.ndim != 2 or vals_many.shape[1] != self.vals.shape[0]:
             raise ValueError(
@@ -1215,16 +1150,15 @@ class SparseCholesky:
     # ------------------------------------------------------------------
     def logdet(self) -> float:
         """log det(A) = 2 Σ log diag(L), read off the factor's per-level
-        pivot blocks. Padded diagonal entries are exactly 1 in both engines
-        (assemble_fronts / _pad_identity) and contribute nothing. Standard
+        pivot blocks. Padded diagonal entries are exactly 1
+        (assemble_fronts) and contribute nothing. Standard
         SPD-solver capability (GP likelihoods, model evidence) the reference
         lacks."""
         if not self.factored:
             self.factorize()
         import jax.numpy as jnp
 
-        widths = (self.fplan.W if self.engine == "frontal"
-                  else [int(s) for s in self.plan.S])
+        widths = self.fplan.W
         total = 0.0
         for lvl, p in enumerate(self.panels):
             w = int(widths[lvl])
@@ -1356,7 +1290,7 @@ class SparseCholesky:
         h.update(np.ascontiguousarray(self.cols, dtype=np.int64).tobytes())
         h.update(np.ascontiguousarray(self.vals, dtype=np.float64).tobytes())
         h.update(str(np.dtype(self.dtype)).encode())
-        h.update(self.engine.encode())
+        h.update(b"frontal")        # engine tag kept for checkpoint compat
         return h.hexdigest()
 
     @staticmethod
@@ -1384,7 +1318,7 @@ class SparseCholesky:
             if a.dtype.kind != "f" or a.dtype.itemsize < 4:
                 a = a.astype(np.float32)     # bfloat16 -> f32 is exact
             arrays[f"panel_{i}"] = a
-        meta = {"version": 1, "engine": self.engine,
+        meta = {"version": 1, "engine": "frontal",
                 "n_panels": len(dtypes), "panel_dtypes": dtypes,
                 "fingerprint": self._factor_fingerprint()}
         arrays["meta"] = np.frombuffer(
@@ -1417,7 +1351,7 @@ class SparseCholesky:
             from cholesky_tpu.parallel.mesh import distribute_panels
 
             panels = distribute_panels(panels, self.mesh)
-        self.panels = tuple(panels) if self.engine == "frontal" else panels
+        self.panels = tuple(panels)
         self.factored = True
 
     def aslinearoperator(self, inverse: bool = True, tol: float = 1e-10):

@@ -29,7 +29,7 @@ def parse_args(argv):
         "b_file": "", "solution_file": "", "factor_file": "",
         "permuted_matrix_file": "", "debug_path": "", "debug": False,
         "iterations": 1, "dtype": "float64", "devices": 0, "bench": False,
-        "engine": "frontal", "profile": False, "debug_dumps": False,
+        "profile": False, "debug_dumps": False,
         "save_factor": "", "load_factor": "", "inv_diag_file": "",
         "signs_file": "",
     }
@@ -58,8 +58,6 @@ def parse_args(argv):
             opts["dtype"] = argv[i + 1]; i += 2
         elif a == "--devices":
             opts["devices"] = int(argv[i + 1]); i += 2
-        elif a == "--engine":
-            opts["engine"] = argv[i + 1]; i += 2
         elif a == "--profile":
             opts["profile"] = True; i += 1
         elif a == "--debug-dumps":
@@ -107,8 +105,7 @@ def main(argv=None) -> int:
         print("usage: python -m cholesky_tpu.cli -i matrix.mtx [-s ord.txt] "
               "[-c clust.txt] [-b B.mtx] [-o solution.txt] [-m factor.mtx] "
               "[-p permuted.mtx] [-d debug_dir] [--iterations N] "
-              "[--dtype float64|float32] [--devices N] "
-              "[--engine frontal|panels] [--profile] "
+              "[--dtype float64|float32] [--devices N] [--profile] "
               "[--save-factor ckpt.npz] [--load-factor ckpt.npz] "
               "[--inv-diag out.txt] [--signs signs.txt]\n"
               "Without -s, a nested-dissection ordering is computed from the "
@@ -136,15 +133,14 @@ def main(argv=None) -> int:
         solver = SparseCholesky.from_files(
             opts["matrix_file"], opts["separator_file"],
             opts["clusters_file"] or None, dtype=dtype, mesh=mesh,
-            engine=opts["engine"], signs=signs)
+            signs=signs)
     else:
         # no ordering provided: compute nested dissection from the sparsity
         # graph (capability beyond the reference, which requires ord files)
         print("No separator file; computing nested-dissection ordering.")
         _, r, c_, v = mmio.read_coo(opts["matrix_file"])
         solver = SparseCholesky.from_matrix(
-            banner.rows, r, c_, v, dtype=dtype, mesh=mesh,
-            engine=opts["engine"], signs=signs)
+            banner.rows, r, c_, v, dtype=dtype, mesh=mesh, signs=signs)
     plan = solver.plan
     print(f"levels: {plan.levels}")
     print(f"separators: {plan.num_separators}")
@@ -180,20 +176,12 @@ def main(argv=None) -> int:
     if opts["profile"]:
         from cholesky_tpu.numeric import profile as prof
 
-        if opts["engine"] == "frontal":
-            from cholesky_tpu.numeric import frontal
+        from cholesky_tpu.numeric import frontal
 
-            fronts = frontal.assemble_fronts(
-                solver.fplan, solver.rows, solver.cols, solver.vals,
-                dtype=dtype)
-            prof.profile_frontal(solver.fplan, fronts)
-        else:
-            from cholesky_tpu.numeric import assemble as asm
-
-            panels = asm.assemble_panels(
-                solver.plan, solver.rows, solver.cols, solver.vals,
-                dtype=dtype)
-            prof.profile_factor(solver.plan, panels)
+        fronts = frontal.assemble_fronts(
+            solver.fplan, solver.rows, solver.cols, solver.vals,
+            dtype=dtype)
+        prof.profile_frontal(solver.fplan, fronts)
 
     factor_times = []
     if opts["load_factor"]:

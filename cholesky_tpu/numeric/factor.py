@@ -1,6 +1,10 @@
-"""Batched multifrontal Cholesky factorization (the numeric hot loop).
+"""Batched dense-ancestor-path Cholesky — the ORACLE engine.
 
-TPU-native re-design of the reference's per-level task schedule
+This module is NOT the production numeric path (that is numeric/frontal.py,
+the exact-boundary multifrontal engine); it is the verification/teaching
+engine behind cholesky_tpu.verify.oracle.PanelsOracle. Its value is that it
+is the most literal batched translation of the reference's per-level task
+schedule
 (mmat.rg:1211-1358): instead of one Legion leaf task per block per BLAS call
 (fused_dpotrf/fused_dtrsm/fused_dsyrk/fused_dgemm, blas.rg:293-503), each tree
 level is processed by THREE batched dense kernels over the stacked panel

@@ -60,8 +60,7 @@ def test_extend_add_maps_cover_children():
 @pytest.mark.parametrize("name", ["lapl_9x9", "lapl_25x25", "lapl_400x400"])
 def test_frontal_factor_matches_scipy(name):
     p = fixture_paths(name)
-    s = SparseCholesky.from_files(p["mat"], p["separators"], p["clusters"],
-                                  engine="frontal")
+    s = SparseCholesky.from_files(p["mat"], p["separators"], p["clusters"])
     s.factorize()
     a = mmio.read_dense(p["mat"])
     pmat = permute_matrix_dense(s.plan, a)
@@ -69,15 +68,19 @@ def test_frontal_factor_matches_scipy(name):
     assert np.allclose(s.factor_dense(), lref, rtol=1e-9, atol=1e-9)
 
 
-def test_engines_agree():
+def test_frontal_matches_panels_oracle():
+    """The production engine against the explicitly-named verification
+    oracle (verify/oracle.py): same solution to f64 roundoff."""
+    from cholesky_tpu.verify.oracle import PanelsOracle
+
     n, r, c, v, o, cl, b = generate_problem((14, 14, 14), 4)
-    xs = {}
-    for engine in ("frontal", "panels"):
-        s = SparseCholesky.from_coo(n, r, c, v, o, cl, engine=engine)
-        xs[engine] = s.solve(b)
-        assert s.residual(b, xs[engine]) <= 1e-10
-    np.testing.assert_allclose(xs["frontal"], xs["panels"],
-                               rtol=1e-9, atol=1e-9)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    x = s.solve(b)
+    assert s.residual(b, x) <= 1e-10
+    oracle = PanelsOracle(s.plan, s.rows, s.cols, s.vals)
+    x_o = oracle.solve(b)
+    assert s.residual(b, x_o) <= 1e-10
+    np.testing.assert_allclose(x, x_o, rtol=1e-9, atol=1e-9)
 
 
 def test_frontal_fp32_ir():

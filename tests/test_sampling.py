@@ -79,8 +79,9 @@ def test_sample_f32():
     np.testing.assert_allclose(x[s.plan.perm], x_ref, rtol=2e-4, atol=2e-4)
 
 
-def test_panels_engine_raises():
+def test_quasi_definite_raises():
     n, r, c, v, o, cl, b = generate_problem((5, 5), 2)
-    s = SparseCholesky.from_coo(n, r, c, v, o, cl, engine="panels")
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, signs=np.ones(n))
+    s.signs = -np.ones(n)      # simulate a held LDL^T factor
     with pytest.raises(NotImplementedError):
         s.sample(np.ones(n))

@@ -97,8 +97,9 @@ def test_schur_spd_and_solve_equivalence():
                                rtol=1e-9, atol=1e-11)
 
 
-def test_panels_engine_raises():
+def test_quasi_definite_raises():
     n, r, c, v, o, cl, b = generate_problem((5, 5), 2)
-    s = SparseCholesky.from_coo(n, r, c, v, o, cl, engine="panels")
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    s.signs = -np.ones(n)      # simulate a held LDL^T factor
     with pytest.raises(NotImplementedError):
         s.schur_complement()

@@ -62,11 +62,20 @@ def test_inv_diag_auto_nd_irregular():
     np.testing.assert_allclose(s.inv_diag(), ref, rtol=1e-9)
 
 
-def test_inv_diag_panels_engine():
+def test_inv_diag_vs_panels_oracle_factor():
+    """inv_diag against a dense inverse built from the ORACLE engine's
+    factor — two independent factorizations, one answer."""
+    import scipy.linalg
+
+    from cholesky_tpu.verify.oracle import PanelsOracle
+
     n, r, c, v, o, cl, b = generate_problem((5, 5), 3)
-    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64,
-                                engine="panels")
-    ref = np.diag(np.linalg.inv(_dense(n, r, c, v)))
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    oracle = PanelsOracle(s.plan, s.rows, s.cols, s.vals)
+    L = oracle.factor_dense()
+    linv = scipy.linalg.solve_triangular(L, np.eye(n), lower=True)
+    ref = np.empty(n)
+    ref[s.plan.perm] = (linv * linv).sum(axis=0)
     np.testing.assert_allclose(s.inv_diag(), ref, rtol=1e-10)
 
 

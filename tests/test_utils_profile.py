@@ -60,8 +60,7 @@ def test_profile_panels_emits():
     from cholesky_tpu.numeric import assemble
 
     n, r, c, v, o, cl, b = generate_problem((10, 10), 3)
-    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32,
-                                engine="panels")
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
     panels = assemble.assemble_panels(s.plan, s.rows, s.cols, s.vals,
                                       dtype=np.float32)
     lines = []
