@@ -63,13 +63,24 @@ class FrontalPlan:
                                        # child boundary position to its parent
                                        # front position, or F(L-1) sentinel
                                        # (strictly increasing per slot)
+    fingerprint: str = ""              # structural hash (front_rows + perm):
+                                       # distinguishes same-shape plans with
+                                       # different sparsity/ordering in the
+                                       # trace caches (key() users)
 
     @property
     def levels(self) -> int:
         return self.plan.levels
 
     def key(self):
-        return (self.levels, self.W, self.F, self.plan.n)
+        """Static identity for trace caches. MUST separate any two plans
+        whose compiled programs differ: the level programs bake front_rows /
+        inv_child / fwd_child in as constants, and two problems can share
+        every bucket shape (levels, W, F, n) while differing in structure —
+        e.g. the same grid under two orderings. The fingerprint hashes the
+        structure so such plans never collide (they did, silently, before:
+        the second plan reused the first's executables and factored wrong)."""
+        return (self.levels, self.W, self.F, self.plan.n, self.fingerprint)
 
 
 _FPLAN_CACHE = {}
@@ -199,7 +210,14 @@ def build_frontal_plan(plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
             fwd[sl, inv[sl][js]] = js
         fwd_child[lvl] = fwd
 
-    fp = FrontalPlan(plan, W, tuple(F_list), front_rows, inv_child, fwd_child)
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=12)
+    h.update(np.ascontiguousarray(plan.perm, dtype=np.int64).tobytes())
+    for fr in front_rows:
+        h.update(np.ascontiguousarray(fr, dtype=np.int32).tobytes())
+    fp = FrontalPlan(plan, W, tuple(F_list), front_rows, inv_child, fwd_child,
+                     fingerprint=h.hexdigest())
     _FPLAN_CACHE[fp.key()] = fp
     return fp
 

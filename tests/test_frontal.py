@@ -28,6 +28,32 @@ def test_boundary_structure_9x9():
     assert fp.F[0] == fp.W[0]
 
 
+def test_same_shape_different_ordering_no_cache_collision():
+    """Two plans can share every bucket shape (levels, W, F, n) while
+    differing in structure — the 5x5-grid fixture ordering vs our geometric
+    ND of the same grid. The level-program trace caches key on
+    FrontalPlan.key(); before the structural fingerprint was added, the
+    second plan silently reused the first's compiled programs (constants
+    baked at trace time) and factored WRONG. Both must be exact."""
+    p = fixture_paths("lapl_25x25")
+    s_fix = SparseCholesky.from_files(p["mat"], p["separators"], p["clusters"])
+    s_fix.factorize()
+
+    n, r, c, v, o, cl, b = generate_problem((5, 5), 3)
+    s_gen = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    assert s_gen.fplan.key() != s_fix.fplan.key()
+    import scipy.sparse
+
+    off = r != c
+    a = scipy.sparse.coo_matrix(
+        (np.concatenate([v, v[off]]),
+         (np.concatenate([r, c[off]]), np.concatenate([c, r[off]]))),
+        shape=(n, n)).toarray()
+    lref = np.linalg.cholesky(a[np.ix_(s_gen.plan.perm, s_gen.plan.perm)])
+    np.testing.assert_allclose(s_gen.factor_dense(), lref,
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_front_sizes_beat_panels():
     """Fronts must be no larger than the dense ancestor-path panels, and
     strictly smaller on 3-D problems (the entire point of the engine)."""
