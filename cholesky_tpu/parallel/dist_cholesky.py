@@ -3,17 +3,38 @@
 The elimination-tree sharding in parallel/mesh.py replicates levels with
 fewer separators than chips; for very large root fronts (a 128^3 grid has a
 16384^2 root front) that wastes the mesh exactly where the FLOPs peak. This
-module factors a single large front cooperatively: the front is sharded
-column-block-wise over the 1-D mesh, and a right-looking blocked Cholesky
-runs inside `shard_map` — per step, the active panel is broadcast with a
-`psum` (the owner contributes, others zero), every chip redundantly factors
-the small diagonal block (cheaper than a second broadcast), and each chip
-updates only its own trailing columns. Per-step communication is one
-[F, bs] all-reduce over ICI; compute is F^2·bs/ndev per chip per step.
+module factors a single large front cooperatively with a **1-D block-cyclic
+right-looking blocked Cholesky** inside `shard_map`:
+
+  * column block k (width `block`) is OWNED by chip k % ndev — cyclic
+    ownership keeps every chip's trailing-update work balanced to within one
+    block for the whole factorization (a contiguous column layout idles the
+    chips that own leading columns: chip 0 does ~1/ndev of the FLOPs of the
+    last chip, measured 1.9x wall at F=8192 on the 8-device mesh);
+  * per step, the active panel is broadcast with one `psum` over ICI (the
+    owner contributes, others zero): Fp·block·4 bytes per step, and with
+    nb = Fp/block steps the total collective volume is Fp²·4 bytes per chip
+    for the whole factorization — the same order as reading the matrix once
+    (a ring all-reduce moves 2·(ndev−1)/ndev ≈ 2x that on the wire; at
+    Fp = 16384 that is 2 GiB over ICI at ~100 GB/s ≈ 20 ms, small next to
+    the 16384³/3 = 1.5 TFLOP of compute);
+  * every chip redundantly factors the [block, block] diagonal block
+    (block³/3 FLOPs — cheaper than a second collective) and triangular-
+    solves the panel below it;
+  * the trailing update of a chip's own columns is one [Fp, block] x
+    [block, local] MXU matmul per step — each chip updates only the columns
+    it owns, so compute per step is Fp·block·Fp/ndev flops, balanced by the
+    cyclic layout.
+
+Per-chip HBM: Fp·(Fp/ndev)·4 bytes of local columns plus one [Fp, block]
+panel — a 16384² root front on 8 chips is 128 MiB of local columns + 16 MiB
+panel, comfortably in-core where the replicated front (1 GiB + its Schur
+temps) is not.
 
 This replaces the reference's implicit Legion/Realm distribution of the
-root-separator POTRF chain (mmat.rg:1240-1245 at lvl=0) with explicit XLA
-collectives — the "collective root-front factorization" of the rebuild plan.
+root-separator POTRF chain (mmat.rg:1240-1245 at lvl=0; placement policy
+cholesky.cc:55-73) with explicit XLA collectives — the "collective root-front
+factorization" of the rebuild plan.
 """
 
 from __future__ import annotations
@@ -30,14 +51,33 @@ from cholesky_tpu.parallel.mesh import TREE_AXIS
 from cholesky_tpu.utils import round_up as _round_up
 
 
+def _cyclic_perm(Fp: int, ndev: int, block: int) -> np.ndarray:
+    """Global column -> block-cyclic storage position: column c of block
+    k = c // block moves to owner d = k % ndev, local block j = k // ndev;
+    its storage position is d * (Fp // ndev) + j * block + (c % block).
+    Returns `to_slot` with to_slot[c] = storage slot of column c."""
+    k = np.arange(Fp) // block
+    within = np.arange(Fp) % block
+    d = k % ndev
+    j = k // ndev
+    return d * (Fp // ndev) + j * block + within
+
+
 def distributed_cholesky(a: jax.Array, mesh: Mesh, block: int = 256) -> jax.Array:
     """Cholesky of an SPD matrix [F, F] (lower triangle referenced), computed
-    cooperatively over `mesh`'s TREE_AXIS with column-block sharding.
-    Returns L (lower triangular, zero above). jit-composable: sharding is
-    applied with with_sharding_constraint, so this can be called inside a
-    larger jitted program (the frontal engine's root-front path)."""
+    cooperatively over `mesh`'s TREE_AXIS with 1-D block-cyclic column
+    ownership. Returns L (lower triangular, zero above) in the matrix's
+    dtype. jit-composable: shardings are applied with
+    with_sharding_constraint, so this can be called inside a larger jitted
+    program (the frontal engine's root-front path).
+
+    Accepts f32/f64 input; a bf16 input (bf16-stored factor slabs feeding a
+    distributed root) is computed in f32 and returned bf16."""
     ndev = int(mesh.devices.size)
     F = a.shape[0]
+    in_dtype = a.dtype
+    if a.dtype == jnp.bfloat16:
+        a = a.astype(jnp.float32)
     Fp = _round_up(F, ndev * block)
     if Fp != F:
         pad = Fp - F
@@ -47,6 +87,14 @@ def distributed_cholesky(a: jax.Array, mesh: Mesh, block: int = 256) -> jax.Arra
     cols_per_dev = Fp // ndev
     nb = Fp // block
 
+    # permute columns into block-cyclic storage order so the TREE_AXIS
+    # sharding's contiguous device slices hold each device's cyclic blocks
+    # (host-constant index arrays; the gathers are baked at trace time)
+    to_slot = _cyclic_perm(Fp, ndev, block)       # column c -> storage slot
+    from_slot = np.empty_like(to_slot)
+    from_slot[to_slot] = np.arange(Fp)            # storage slot -> column c
+    a = a[:, jnp.asarray(from_slot)]
+
     a = jax.lax.with_sharding_constraint(
         a, NamedSharding(mesh, P(None, TREE_AXIS)))
 
@@ -55,17 +103,19 @@ def distributed_cholesky(a: jax.Array, mesh: Mesh, block: int = 256) -> jax.Arra
         out_specs=P(None, TREE_AXIS))
     def _chol(local):                      # local: [Fp, cols_per_dev]
         d = lax.axis_index(TREE_AXIS).astype(jnp.int32)
-        col0 = d * jnp.int32(cols_per_dev)  # global index of my first column
         rows = lax.broadcasted_iota(jnp.int32, (Fp, 1), 0)
+        # global column index of each of my storage slots (block-cyclic):
+        # slot j*block + t  ->  column (j*ndev + d)*block + t
+        jloc = lax.broadcasted_iota(jnp.int32, (1, cols_per_dev), 1)
+        cols_glob = ((jloc // block) * ndev + d) * block + (jloc % block)
 
         def step(k, local):
-            kb = (k * block).astype(jnp.int32) if hasattr(k, 'astype') else jnp.int32(k * block)
-            # 1) broadcast the current block column: owner contributes
-            owner = (kb // cols_per_dev) == d
-            loc_off = (kb - col0).astype(jnp.int32)
+            kb = (k * block).astype(jnp.int32)
+            owner = (k % ndev) == d
+            loc_off = ((k // ndev) * block).astype(jnp.int32)
             zero = jnp.int32(0)
-            safe_off = jnp.clip(loc_off, 0, cols_per_dev - block).astype(jnp.int32)
-            my_panel = lax.dynamic_slice(local, (zero, safe_off), (Fp, block))
+            # 1) broadcast the current block column: owner contributes
+            my_panel = lax.dynamic_slice(local, (zero, loc_off), (Fp, block))
             panel = lax.psum(
                 jnp.where(owner, my_panel, jnp.zeros_like(my_panel)),
                 TREE_AXIS)                  # [Fp, block], pre-update col k
@@ -77,25 +127,25 @@ def distributed_cholesky(a: jax.Array, mesh: Mesh, block: int = 256) -> jax.Arra
                 ld, below, left_side=False, lower=True, transpose_a=True)
             lpanel = x + jnp.where(
                 (rows >= kb) & (rows < kb + block),
-                lax.dynamic_update_slice(jnp.zeros_like(panel), ld, (kb, zero)),
+                lax.dynamic_update_slice(jnp.zeros_like(panel), ld,
+                                         (kb, zero)),
                 0.0)
             # 3) owner stores the factored panel into its local columns
-            stored = lax.dynamic_update_slice(local, lpanel, (zero, safe_off))
+            stored = lax.dynamic_update_slice(local, lpanel, (zero, loc_off))
             local = jnp.where(owner, stored, local)
-            # 4) trailing update of my columns: A[:, j] -= X row_j . X^T
-            #    row of the panel corresponding to each of my columns
-            xj = lax.dynamic_slice(x, (col0, zero), (cols_per_dev, block))
-            cols_glob = col0 + lax.broadcasted_iota(
-                jnp.int32, (1, cols_per_dev), 1)
-            active = cols_glob >= kb + block       # columns right of panel
+            # 4) trailing update of MY columns: local[:, c] -= X · X[g(c), :]ᵀ
+            #    where g(c) is slot c's global column (block-cyclic gather)
+            xj = x[cols_glob[0]]                        # [cols_per_dev, block]
+            active = cols_glob >= kb + block            # cols right of panel
             upd = jnp.dot(x, xj.T, preferred_element_type=x.dtype)
             local = local - jnp.where(active, upd, 0.0)
             return local
 
         local = lax.fori_loop(jnp.int32(0), jnp.int32(nb), step, local)
         # zero strict upper triangle of my columns
-        cols_glob = col0 + lax.broadcasted_iota(jnp.int32, (1, cols_per_dev), 1)
         return jnp.where(rows >= cols_glob, local, 0.0)
 
     out = _chol(a)
-    return out[:F, :F]
+    # un-permute the columns back to natural order
+    out = out[:, jnp.asarray(to_slot)]
+    return out[:F, :F].astype(in_dtype)
