@@ -384,6 +384,66 @@ def _nd_dofs_python(n: int, indptr, indices, levels: int
     return dofs
 
 
+def _truncation_costs(dofs: Dict[int, np.ndarray], levels: int) -> np.ndarray:
+    """Predicted factorization cost of truncating the heap-indexed separator
+    tree at each depth L in 1..levels (cost[L-1] = depth-L tree).
+
+    Truncating at L keeps separators above depth L-1 and merges each depth-
+    (L-1) subtree into one leaf. The cost mirrors what the BATCHED engine
+    executes: one padded [B, F, W] bucket per level, so every slot at a
+    depth pays the depth's MAXIMUM pivot width W and an ancestor-path bound
+    on the boundary K — cost per depth d is 2^d · (W³/3 + K·W² + 2·K²·W).
+    On meshes deeper is monotonically cheaper (separators shrink
+    geometrically and stay balanced); on expander-like graphs
+    (random/circuit) separators neither shrink nor balance, so every extra
+    level multiplies near-maximal boundary work by the batch — the
+    bucket-max structure is exactly what the per-node panel count misses."""
+    from cholesky_tpu.utils import round_up
+
+    nsep = (1 << levels) - 1
+    size = np.zeros(nsep + 1)
+    for h in range(1, nsep + 1):
+        size[h] = len(dofs[h])
+    subtree = size.copy()
+    for h in range(nsep, 0, -1):
+        if 2 * h + 1 <= nsep:
+            subtree[h] += subtree[2 * h] + subtree[2 * h + 1]
+    anc = np.zeros(nsep + 1)
+    for h in range(2, nsep + 1):
+        anc[h] = anc[h // 2] + size[h // 2]
+
+    def c(w, k):
+        w = round_up(max(int(w), 1), 8)
+        k = round_up(int(k), 8) if k > 0 else 0
+        return w ** 3 / 3.0 + k * w * w + 2.0 * k * k * w
+
+    costs = np.empty(levels)
+    for L in range(1, levels + 1):
+        total = 0.0
+        for d in range(L):
+            lo, hi = 1 << d, min(1 << (d + 1), nsep + 1)
+            s = size[lo:hi] if d < L - 1 else subtree[lo:hi]
+            total += (hi - lo) * c(s.max(), anc[lo:hi].max())
+        costs[L - 1] = total
+    return costs
+
+
+def _truncate_dofs(dofs: Dict[int, np.ndarray], levels: int,
+                   new_levels: int) -> Dict[int, np.ndarray]:
+    """Merge each depth-(new_levels-1) subtree of the heap-indexed dof map
+    into a single sorted leaf. Heap indices above the cut are preserved."""
+    out = {h: dofs[h] for h in range(1, 1 << (new_levels - 1))}
+    for h in range(1 << (new_levels - 1), 1 << new_levels):
+        parts, stack = [], [h]
+        while stack:
+            g = stack.pop()
+            if g in dofs:
+                parts.append(dofs[g])
+                stack.extend((2 * g, 2 * g + 1))
+        out[h] = np.sort(np.concatenate(parts))
+    return out
+
+
 def nested_dissection_graph(n: int, rows: np.ndarray, cols: np.ndarray,
                             levels: Optional[int] = None,
                             leaf_target: int = 96,
@@ -402,6 +462,7 @@ def nested_dissection_graph(n: int, rows: np.ndarray, cols: np.ndarray,
 
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
+    auto_depth = levels is None
     if levels is None:
         levels = max(1, int(np.ceil(np.log2(max(n / leaf_target, 1)))) + 1)
     nsep = (1 << levels) - 1
@@ -423,6 +484,18 @@ def nested_dissection_graph(n: int, rows: np.ndarray, cols: np.ndarray,
     if dofs is None:
         indptr, indices = _build_adjacency(n, rows, cols)
         dofs = _nd_dofs_python(n, indptr, indices, levels)
+
+    if auto_depth and levels > 1:
+        # expander-like graphs (huge non-shrinking separators) pay MORE for
+        # every added tree level; shrink the tree when a shallower
+        # truncation is predicted decisively cheaper (25% margin keeps
+        # mesh-like problems at the heuristic depth)
+        costs = _truncation_costs(dofs, levels)
+        best = int(np.argmin(costs))
+        if costs[best] < 0.75 * costs[levels - 1]:
+            levels = best + 1
+            nsep = (1 << levels) - 1
+            dofs = _truncate_dofs(dofs, len(costs), levels)
 
     ordering = Ordering(
         levels=levels, num_separators=nsep,

@@ -75,6 +75,30 @@ def plan_flops(plan) -> float:
     return total
 
 
+def frontal_flops(fp) -> float:
+    """FLOPs the frontal engine's batched kernels EXECUTE on padded
+    [B, F, W] front buckets (full-matmul counting — the Schur update runs
+    as a plain dot, 2·K²·W): per level, B·(W³/3 + K·W² + 2·K²·W) with
+    K = F − W. The ratio schedule_flops/frontal_flops is the engine's
+    padding efficiency — how much of the executed work the reference's
+    cluster-level op schedule (verify/schedule.py) would call useful.
+    Bucket padding, sentinel rows, and exact-boundary-vs-cluster slack all
+    land in the gap."""
+    total = 0.0
+    for lvl in range(fp.levels):
+        b = 1 << lvl
+        w = int(fp.W[lvl])
+        k = int(fp.F[lvl]) - w
+        total += b * (w ** 3 / 3 + k * w * w + 2.0 * k * k * w)
+    return total
+
+
+def padding_efficiency(fp, useful_flops: float) -> float:
+    """useful (cluster-schedule) FLOPs / executed (padded frontal) FLOPs."""
+    ex = frontal_flops(fp)
+    return float(useful_flops / ex) if ex > 0 else 0.0
+
+
 def grid_plan_table(shape: Tuple[int, ...], levels_range=None,
                     dtype_bytes: int = 4):
     """Tabulate depth choices for a grid problem: (levels, leaf_dofs,

@@ -185,6 +185,63 @@ def random_spd(n: int, avg_degree: int = 6, seed: int = 0,
     return n2, r2, c2, v2
 
 
+def dense_row_spd(shape: Tuple[int, ...], k_dense: int = 3,
+                  seed: int = 0) -> Coo:
+    """Grid Laplacian plus ``k_dense`` DENSE rows/columns coupled to every
+    dof — the power-rail / ground-net structure of circuit matrices and the
+    Lagrange-multiplier rows of constrained FEM systems (SuiteSparse's
+    ``bcsstk``/``c-`` families). A dense row makes its vertex adjacent to
+    the whole graph, so every separator-tree level's boundary must carry it:
+    the adversarial case for exact-boundary frontal analysis and for the
+    bucketing machinery (one huge front row in otherwise small fronts).
+    SPD by diagonal dominance of the added rows."""
+    rng = np.random.default_rng(seed)
+    n0, lr, lc, lv = anisotropic_laplacian(shape)
+    n = n0 + k_dense
+    # dense rows sit at the END in natural numbering; auto-ND must discover
+    # they belong in the root separator
+    dr, dc, dv = [lr], [lc], [lv]
+    for t in range(k_dense):
+        i = n0 + t
+        coup = -rng.uniform(0.01, 0.1, size=i)        # row i vs all j < i
+        dr.append(np.full(i, i, dtype=np.int64))
+        dc.append(np.arange(i, dtype=np.int64))
+        dv.append(coup)
+        dr.append(np.array([i], dtype=np.int64))
+        dc.append(np.array([i], dtype=np.int64))
+        dv.append(np.array([2.0 * np.abs(coup).sum() + 1.0]))
+        # and symmetric dominance margin on the existing diagonal
+        dr.append(np.arange(i, dtype=np.int64))
+        dc.append(np.arange(i, dtype=np.int64))
+        dv.append(np.abs(coup))
+    return _to_lower_coo(n, np.concatenate(dr), np.concatenate(dc),
+                         np.concatenate(dv))
+
+
+def imbalanced_spd(big_shape: Tuple[int, ...] = (40, 40),
+                   small_shape: Tuple[int, ...] = (40, 2),
+                   bridge: int = 3, seed: int = 0) -> Coo:
+    """Two grid components of very different sizes joined by ``bridge``
+    random edges — huge separator imbalance: any balanced bisection of the
+    vertex set must cut the BIG component internally, while the natural
+    separator (the bridge) splits 95/5. Multilevel/graph ND heuristics that
+    assume balanced parts produce skewed trees here; the bucketing machinery
+    sees sibling subtrees of wildly different front sizes."""
+    rng = np.random.default_rng(seed)
+    nb, br_, bc_, bv_ = anisotropic_laplacian(big_shape)
+    ns, sr_, sc_, sv_ = anisotropic_laplacian(small_shape)
+    n = nb + ns
+    bi = rng.integers(0, nb, size=bridge)
+    bj = nb + rng.integers(0, ns, size=bridge)
+    bv = -rng.uniform(0.1, 0.5, size=bridge)
+    diag_fix_r = np.concatenate([bi, bj])
+    diag_fix_v = np.concatenate([-bv, -bv])           # keep dominance
+    rows = np.concatenate([br_, sr_ + nb, bj, diag_fix_r])
+    cols = np.concatenate([bc_, sc_ + nb, bi, diag_fix_r])
+    vals = np.concatenate([bv_, sv_, bv, diag_fix_v])
+    return _to_lower_coo(n, rows, cols, vals)
+
+
 def make_gallery(scale: int = 1):
     """The canonical gallery at `scale`× the (CPU-test-sized) defaults.
     scale=4 reaches ~100k-dof problems worth running on a TPU."""
@@ -199,6 +256,9 @@ def make_gallery(scale: int = 1):
         "random": lambda: random_spd(1500 * k * k, avg_degree=8, seed=2),
         "circuit": lambda: random_spd(1500 * k * k, avg_degree=8, seed=3,
                                       skew=True),
+        "dense_rows": lambda: dense_row_spd((30 * k, 30 * k), k_dense=3),
+        "imbalanced": lambda: imbalanced_spd((40 * k, 40 * k), (40 * k, 2),
+                                             bridge=3),
     }
 
 

@@ -85,3 +85,48 @@ def test_random_spd_diagonally_dominant():
     a = _dense(n, r, c, v)
     off = np.abs(a).sum(axis=1) - np.abs(np.diag(a))
     assert np.all(np.diag(a) >= off + 0.999)
+
+
+def test_dense_rows_are_dense():
+    n, r, c, v = problems.dense_row_spd((12, 12), k_dense=2)
+    a = _dense(n, r, c, v)
+    # the last two rows couple to every dof
+    assert np.all(a[-1, :] != 0) and np.all(a[-2, :-1] != 0)
+
+
+def _padding_efficiency(s):
+    from cholesky_tpu.symbolic import fill as fillmod
+    from cholesky_tpu.utils import capacity
+    from cholesky_tpu.verify import schedule as schedmod
+
+    fa = fillmod.analyze_fill(s.plan, s.rows, s.cols, s.vals)
+    ops = schedmod.generate_schedule(fa)
+    return capacity.padding_efficiency(s.fplan, schedmod.schedule_flops(ops))
+
+
+@pytest.mark.parametrize("name,floor", [
+    # bucket-padding waste must stay bounded on hostile structures
+    # (VERDICT r1 #6). Floors are ~25% under measured values — regression
+    # bands, not aspirations: dense_rows 0.35, imbalanced 0.28,
+    # random/circuit 0.99 (the auto-depth policy collapses expander graphs
+    # to the dense root rather than paying bucket-max padding at depth).
+    ("dense_rows", 0.26),
+    ("imbalanced", 0.21),
+    ("random", 0.75),
+    ("circuit", 0.75),
+])
+def test_hostile_padding_efficiency_bounded(name, floor):
+    n, r, c, v = problems.GALLERY[name]()
+    s = SparseCholesky.from_matrix(n, r, c, v)
+    assert _padding_efficiency(s) >= floor
+
+
+def test_expander_auto_depth_collapses():
+    """On an expander graph every ND level multiplies bucket-max boundary
+    work; the auto-depth policy must refuse to build a deep tree whose
+    executed FLOPs exceed the dense factorization's."""
+    from cholesky_tpu.utils import capacity
+
+    n, r, c, v = problems.GALLERY["random"]()
+    s = SparseCholesky.from_matrix(n, r, c, v)
+    assert capacity.frontal_flops(s.fplan) <= 1.5 * (n ** 3 / 3)
