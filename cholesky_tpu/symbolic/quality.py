@@ -1,0 +1,81 @@
+"""Ordering-quality metrics: exact symbolic-elimination cost of a
+permutation, for comparing the graph nested-dissection ordering against
+alternatives (RCM, natural) on irregular graphs.
+
+The reference consumes precomputed orderings (SURVEY.md: ordering computed
+offline, mnd.c:22 reads it); this module is the evidence layer for the
+rebuild's own ordering generator (symbolic/nd.py) — scalar column-update
+FLOPs and nnz(L) under any candidate permutation, engine-independent.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def fill_flops(n: int, rows: np.ndarray, cols: np.ndarray
+               ) -> Tuple[float, int]:
+    """Exact symbolic factorization of the symmetric pattern: returns
+    (sum cnt_j^2 column FLOPs, nnz(L)) for elimination in natural order.
+    Child structures merge into their elimination-tree parent once each,
+    so total set work is O(nnz(L))."""
+    adj = [set() for _ in range(n)]
+    for r, c in zip(rows, cols):
+        if r == c:
+            continue
+        lo, hi = (c, r) if r > c else (r, c)
+        adj[lo].add(hi)
+    children = [[] for _ in range(n)]
+    struct = [None] * n
+    flops = 0.0
+    nnz = 0
+    for j in range(n):
+        s = adj[j]
+        for ch in children[j]:
+            s |= struct[ch]
+            struct[ch] = None
+        s.discard(j)
+        struct[j] = s
+        cnt = len(s) + 1
+        flops += float(cnt) * cnt
+        nnz += cnt
+        if s:
+            children[min(s)].append(j)
+    return flops, nnz
+
+
+def permuted_cost(n: int, rows: np.ndarray, cols: np.ndarray,
+                  perm: np.ndarray) -> Tuple[float, int]:
+    """Cost of eliminating in the order given by perm (perm[k] = original
+    dof eliminated k-th)."""
+    iperm = np.empty(n, dtype=np.int64)
+    iperm[np.asarray(perm)] = np.arange(n)
+    return fill_flops(n, iperm[rows], iperm[cols])
+
+
+def nd_cost(n, rows, cols, vals=None, levels=None) -> Tuple[float, int]:
+    """Symbolic cost of this package's graph-ND ordering (auto depth when
+    levels is None — including the expander depth-collapse policy; pass an
+    explicit levels to measure the deep ordering itself)."""
+    from cholesky_tpu.symbolic.nd import nested_dissection_graph
+    from cholesky_tpu.symbolic.plan import build_plan
+
+    o, cl = nested_dissection_graph(n, rows, cols, levels=levels)
+    return permuted_cost(n, rows, cols, build_plan(o, cl).perm)
+
+
+def rcm_cost(n, rows, cols, vals) -> Tuple[float, int]:
+    """Symbolic cost of scipy's reverse Cuthill-McKee ordering (the
+    in-image alternative orderer)."""
+    import scipy.sparse
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    off = rows != cols
+    a = scipy.sparse.csr_matrix(
+        (np.concatenate([vals, vals[off]]),
+         (np.concatenate([rows, cols[off]]),
+          np.concatenate([cols, rows[off]]))), shape=(n, n))
+    perm = np.asarray(reverse_cuthill_mckee(a, symmetric_mode=True))
+    return permuted_cost(n, rows, cols, perm)

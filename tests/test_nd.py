@@ -255,3 +255,23 @@ def test_out_of_range_indices_raise():
         nested_dissection_graph(5, rows, cols, levels=2, native=True)
     with pytest.raises(IndexError):
         nested_dissection_graph(5, rows, cols, levels=2, native=False)
+
+
+def test_nd_vs_rcm_on_irregular_graphs():
+    """Ordering quality vs the in-image alternative (scipy RCM) on the
+    gallery's irregular problems — exact symbolic-elimination FLOPs of the
+    DEEP ND ordering must beat RCM by at least the banded margin (measured
+    ratios ~25% tighter: random 0.56, circuit 0.50, dense_rows 0.05,
+    imbalanced 0.38). The engine's auto-depth policy may still COLLAPSE the
+    expander trees for batched execution (test_problems.py covers that);
+    this test pins the quality of the ordering itself. VERDICT r1 #9."""
+    from cholesky_tpu.symbolic.quality import nd_cost, rcm_cost
+    from cholesky_tpu.utils import problems
+
+    bands = {"random": 0.75, "circuit": 0.70,
+             "dense_rows": 0.25, "imbalanced": 0.60}
+    for name, band in bands.items():
+        n, r, c, v = problems.GALLERY[name]()
+        f_nd, _ = nd_cost(n, r, c, levels=8)
+        f_rcm, _ = rcm_cost(n, r, c, v)
+        assert f_nd <= band * f_rcm, (name, f_nd / f_rcm)
