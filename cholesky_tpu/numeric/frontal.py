@@ -1304,6 +1304,80 @@ def _level_step_jit(fp: FrontalPlan, lvl: int, utag: str, extadd: str,
 _STREAM_SYNC_BYTES = int(_os.environ.get(
     "CHOLESKY_TPU_STREAM_SYNC_BYTES", str(256 << 20)))
 
+# Top-of-tree fusion for the streamed path: once the REMAINING levels'
+# combined working set (slabs + square-front temps + carry) fits under this
+# budget, they run as ONE jitted program instead of one dispatch per level.
+# The narrow top of a deep tree (B = 1, 2, 4) is dispatch-bound — each
+# per-level program pays tunnel enqueue latency for sub-millisecond compute —
+# and fusing recovers the reference's data-driven overlap across phase
+# boundaries at the top of the tree (Legion overlaps wherever region
+# dependences allow, SURVEY §2; the big levels keep per-level programs for
+# HBM reasons). 0 disables.
+_TOP_FUSE_BYTES = int(_os.environ.get("CHOLESKY_TPU_TOP_FUSE_BYTES",
+                                      str(256 << 20)))
+
+
+def _top_fuse_start(fp: "FrontalPlan", front_itemsize: int) -> int:
+    """Highest level s (>= 1) such that levels s..0 can run as one fused
+    program within _TOP_FUSE_BYTES, or -1 when fusion never applies.
+    Budget per level: pivot slab + square-front f32 temp + child carry."""
+    if _TOP_FUSE_BYTES <= 0 or fp.levels < 3:
+        return -1
+    total = 0
+    start = -1
+    # cap at B <= 8 (lvl <= 3) — fusion targets the dispatch-bound narrow
+    # top — and always leave the entry level on the per-level path so the
+    # donating/throttled streaming machinery still governs the wide levels
+    for lvl in range(min(4, fp.levels - 1)):   # accumulate from root down
+        B = 1 << lvl
+        slab = B * fp.F[lvl] * fp.W[lvl] * front_itemsize
+        square = B * fp.F[lvl] * fp.F[lvl] * 4
+        total += slab + square + _u_bytes(fp, lvl)
+        if total > _TOP_FUSE_BYTES:
+            break
+        start = lvl
+    # fusing a single level is just the per-level program with extra cache
+    # surface; require at least two
+    return start if start >= 1 else -1
+
+
+def _top_fused_jit(fp: "FrontalPlan", start_lvl: int, utag: str, extadd: str,
+                   gm_cap: int, front_dtype, root_mesh, donate: bool,
+                   store_dtype=None):
+    """One compiled program running levels start_lvl..0 back to back.
+    Takes (pivs tuple ordered start_lvl..0, u_arr or None); returns the
+    factors in the same order."""
+    key = (fp.key(), "topfuse", start_lvl, utag, extadd, gm_cap,
+           jnp.dtype(front_dtype).name, root_mesh, donate,
+           jnp.dtype(store_dtype).name if store_dtype else None)
+    fn = _LEVEL_JIT_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def run(pivs, U):
+        outs = []
+        for i, lvl in enumerate(range(start_lvl, -1, -1)):
+            fac, U = _factor_level(
+                fp, lvl, pivs[i], U, extadd, gm_cap,
+                _update_dtype_for(jnp.dtype(front_dtype), _u_bytes(fp, lvl)),
+                root_mesh if lvl == 0 else None)
+            if store_dtype is not None and fac.dtype != jnp.dtype(store_dtype):
+                fac = fac.astype(store_dtype)
+            outs.append(fac)
+        return tuple(outs)
+
+    if utag == "none":
+        def step(pivs):
+            return run(pivs, None)
+        fn = jax.jit(step, donate_argnums=(0,) if donate else ())
+    else:
+        def step(pivs, u_arr):
+            U = ("xxt", u_arr) if utag == "xxt" else u_arr
+            return run(pivs, U)
+        fn = jax.jit(step, donate_argnums=(0, 1) if donate else ())
+    _LEVEL_JIT_CACHE[key] = fn
+    return fn
+
 
 def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
                             extadd: str = "hybrid3", root_mesh=None,
@@ -1358,7 +1432,24 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
     out: List[jax.Array] = [None] * levels
     u_arr = None
     utag = "none"
+    fuse_start = _top_fuse_start(fp, jnp.dtype(front_dtype).itemsize)
     for lvl in range(levels - 1, -1, -1):
+        if lvl == fuse_start:
+            # the remaining (narrow) levels run as one fused program
+            ffn = _top_fused_jit(fp, lvl, utag, extadd, gm_cap, front_dtype,
+                                 root_mesh, donate, store_dtype=store_dtype)
+            pivs = []
+            for l in range(lvl, -1, -1):
+                pivs.append(jnp.asarray(fronts[l]) if upload or lazy
+                            else fronts[l])
+                if upload:
+                    fronts[l] = None
+            pivs = tuple(pivs)
+            facs = ffn(pivs) if utag == "none" else ffn(pivs, u_arr)
+            for i, l in enumerate(range(lvl, -1, -1)):
+                out[l] = (jax.device_get(facs[i]) if offload and l > 0
+                          else facs[i])
+            return tuple(out)
         Wl, Fl = fp.W[lvl], fp.F[lvl]
         fn = _level_step_jit(fp, lvl, utag, extadd, gm_cap,
                              _update_dtype_for(jnp.dtype(front_dtype),

@@ -312,6 +312,58 @@ def test_streamed_upload_matches_monolithic():
         np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
 
 
+def test_streamed_top_fusion_matches_monolithic(monkeypatch):
+    """Top-of-tree fusion (VERDICT r1 #7): on deep trees the streamed driver
+    runs the dispatch-bound narrow levels (B <= 8) as ONE jitted program.
+    The fused path must engage (deep plan, default budget) and produce
+    bit-identical factors to both the monolithic program and the unfused
+    per-level streamed path."""
+    n, r, c, v, o, cl, b = generate_problem((23, 21), 6)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    fp = s.fplan
+    start = frontal._top_fuse_start(fp, 8)
+    assert start >= 1, "fusion must engage on a 6-level tree"
+    assert start <= 3, "fusion must stay below the wide levels (B <= 8)"
+
+    fronts = frontal.assemble_fronts(fp, s.rows, s.cols, s.vals,
+                                     dtype=np.float64)
+    ref = frontal.frontal_factor(fp, tuple(jnp.asarray(f) for f in fronts))
+    fused = frontal.frontal_factor_streamed(
+        fp, tuple(jnp.asarray(f) for f in fronts))
+    monkeypatch.setattr(frontal, "_TOP_FUSE_BYTES", 0)
+    unfused = frontal.frontal_factor_streamed(
+        fp, tuple(jnp.asarray(f) for f in fronts))
+    for a_, b_, c_ in zip(ref, fused, unfused):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+        np.testing.assert_array_equal(np.asarray(b_), np.asarray(c_))
+
+
+def test_streamed_top_fusion_offload_store(monkeypatch):
+    """Fused top levels compose with upload + bf16 factor store + host
+    offload (the out-of-core configuration): factors above level 0 come
+    back host-resident in the store dtype and the solve path's inputs are
+    identical to the unfused streamed run."""
+    n, r, c, v, o, cl, b = generate_problem((23, 21), 6)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    fp = s.fplan
+    assert frontal._top_fuse_start(fp, 4) >= 1
+
+    def make():
+        return [f.copy() for f in frontal.assemble_fronts(
+            fp, s.rows, s.cols, s.vals, dtype=np.float32)]
+
+    fused = frontal.frontal_factor_streamed(
+        fp, make(), upload=True, store_dtype=jnp.bfloat16, offload=True)
+    monkeypatch.setattr(frontal, "_TOP_FUSE_BYTES", 0)
+    unfused = frontal.frontal_factor_streamed(
+        fp, make(), upload=True, store_dtype=jnp.bfloat16, offload=True)
+    for lvl, (a_, b_) in enumerate(zip(fused, unfused)):
+        assert a_.dtype == jnp.bfloat16 and b_.dtype == jnp.bfloat16
+        if lvl > 0:
+            assert isinstance(a_, np.ndarray), "offload: host-resident"
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+
+
 def test_device_assembly_matches_host():
     """FrontAssembler (one compiled scatter per level, values-only upload)
     must produce bit-identical slabs to the host assemble_fronts pass, for
