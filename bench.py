@@ -46,6 +46,126 @@ def parse_shape(s):
     return tuple(int(x) for x in s.split(","))
 
 
+def measure_peak_fraction():
+    """The BASELINE '>=60% of TPU matmul peak on large fronts' gate, folded
+    into the default bench artifact (VERDICT r1 #3): measure the chip's
+    matmul peak proxy (chained 4096^2 fp32 matmuls) and the root-front SYRK
+    rate at the 50^3 root Schur shape, return their ratio + both rates.
+    Timing by scalar-checksum readback minus the RPC floor, as everywhere."""
+    import jax
+    import jax.numpy as jnp
+    from jax import random
+
+    k = random.PRNGKey(0)
+
+    def timeit(f, *a, iters=4):
+        float(f(*a))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(f(*a))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    floor = timeit(jax.jit(lambda x: jnp.sum(x) * 1.0), jnp.ones((8, 8)))
+
+    n = 4096
+    a = random.normal(k, (n, n), jnp.float32)
+    b2 = random.normal(k, (n, n), jnp.float32)
+
+    def many_mm(x, y):
+        # independent products (a serially-dependent chain pipelines worse
+        # than the SYRK it is supposed to bound, yielding fractions > 1)
+        return sum(jnp.sum((x + i * 1e-7) @ y) for i in range(20))
+
+    t = (timeit(jax.jit(many_mm), a, b2) - floor) / 20
+    peak = 2 * n ** 3 / t / 1e12
+
+    m_, k_ = 2504, 1256               # 50^3 root front Schur shape
+    x = random.normal(k, (m_, k_), jnp.float32)
+    sy = jax.jit(lambda x: sum(
+        jnp.sum(jnp.einsum("ik,jk->ij", x + i * 1e-7, x,
+                           preferred_element_type=jnp.float32))
+        for i in range(50)))
+    t = (timeit(sy, x) - floor) / 50
+    syrk = 2 * m_ * m_ * k_ / t / 1e12
+    return {"gemm_peak_tflops": round(peak, 1),
+            "syrk_root_tflops": round(syrk, 1),
+            "peak_fraction": round(syrk / peak, 3)}
+
+
+def bench_fixture(fixture_dir, mtx, ordf, clustf, rhs, dtype="float32",
+                  iters=3):
+    """Second-scale row: end-to-end factor+solve on a reference fixture
+    (default: lapl_3375x3375, the reference's largest committed problem,
+    test_matrices.py:120). Returns a compact dict for the bench JSON."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from cholesky_tpu import SparseCholesky
+    from cholesky_tpu.io import mmio
+    from cholesky_tpu.numeric import frontal
+    from cholesky_tpu.symbolic import fill as fillmod
+    from cholesky_tpu.verify import schedule as schedmod
+
+    solver = SparseCholesky.from_files(
+        os.path.join(fixture_dir, mtx), os.path.join(fixture_dir, ordf),
+        os.path.join(fixture_dir, clustf), dtype=np.dtype(dtype))
+    b = mmio.read_array(os.path.join(fixture_dir, rhs)).reshape(-1)
+    fa = fillmod.analyze_fill(solver.plan, solver.rows, solver.cols,
+                              solver.vals)
+    useful = schedmod.schedule_flops(schedmod.generate_schedule(fa))
+
+    fp = solver.fplan
+    fronts = tuple(frontal.FrontAssembler(fp, solver.rows, solver.cols)(
+        solver.vals, dtype=np.dtype(dtype)))
+    def _factor_cs(fs):
+        out = frontal.frontal_factor(fp, fs)
+        return out, sum(jnp.sum(p.astype(jnp.float32)) for p in out)
+
+    cs_fn = jax.jit(_factor_cs)
+
+    @jax.jit
+    def rpc_floor_fn(x):
+        return jnp.sum(x)
+
+    small = jnp.ones((8, 8), dtype=jnp.float32)
+    float(rpc_floor_fn(small))
+    floor = min(_t(lambda: float(rpc_floor_fn(small))) for _ in range(5))
+
+    factors, cs = cs_fn(fronts)
+    float(cs)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _, cs = cs_fn(fronts)
+        float(cs)
+        times.append(time.perf_counter() - t0)
+    t_factor = max(min(times) - floor, 1e-9)
+
+    solver.panels = factors
+    solver.factored = True
+    x = solver.solve(b)
+    t0 = time.perf_counter()
+    x = solver.solve(b)
+    t_solve = max(time.perf_counter() - t0 - floor, 1e-9)
+    residual = solver.residual(b, x)
+    return {"n": solver.plan.n,
+            "factor_gflops": round(useful / t_factor / 1e9, 1),
+            "factor_wall_s": round(t_factor, 4),
+            "solve_wall_s": round(t_solve, 4),
+            "residual": float(f"{residual:.3e}"),
+            "residual_ok": bool(residual <= 1e-10)}
+
+
+def _t(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
 def kernel_rates():
     """Measure large-front kernel throughput vs the chip's matmul peak (the
     BASELINE 'large-front POTRF/GEMM >= 60% of TPU matmul peak' target).
@@ -130,6 +250,8 @@ def main(argv=None):
                     help="interval-0 cluster granularity for FLOP accounting")
     ap.add_argument("--kernel-rates", action="store_true",
                     help="measure large-front kernel rates vs matmul peak")
+    ap.add_argument("--no-extras", action="store_true",
+                    help="skip the peak-fraction and second-scale extras")
     args = ap.parse_args(argv)
 
     if args.kernel_rates:
@@ -137,6 +259,7 @@ def main(argv=None):
 
     if args.quick:
         args.shape, args.levels = (20, 20, 20), 5
+        args.no_extras = True          # smoke runs stay seconds-scale
 
     key = "x".join(map(str, args.shape)) + f"_L{args.levels}"
 
@@ -433,6 +556,32 @@ def main(argv=None):
         result["solve_wall_s"] = round(t_solve, 4)
     if gate_error:
         result["gate_error"] = gate_error
+
+    # padding efficiency (VERDICT r1 #6): useful cluster-schedule FLOPs /
+    # executed padded-bucket FLOPs of the frontal engine
+    from cholesky_tpu.utils import capacity
+
+    result["padding_efficiency"] = round(
+        capacity.padding_efficiency(fp, useful_flops), 3)
+
+    if not args.no_extras:
+        # fold the >=60%-of-matmul-peak BASELINE gate and a second scale row
+        # (the reference's largest committed fixture) into the artifact
+        # (VERDICT r1 #3); failures degrade to an error key, never kill the
+        # primary metric
+        try:
+            result.update(measure_peak_fraction())
+        except Exception as e:  # noqa: BLE001 — tunnel compiler flakes
+            result["peak_fraction_error"] = type(e).__name__
+        fdir = "/root/reference/tests/lapl_3375x3375"
+        if os.path.isdir(fdir):
+            try:
+                result["fixture_3375"] = bench_fixture(
+                    fdir, "lapl_15_3.mtx", "lapl_15_3_ord_5.txt",
+                    "lapl_15_3_clust_5.txt", "B_3375x1.mtx",
+                    dtype=args.dtype)
+            except Exception as e:  # noqa: BLE001
+                result["fixture_3375"] = {"error": type(e).__name__}
     print(json.dumps(result))
     return 0
 
