@@ -112,7 +112,9 @@ def bench_fixture(fixture_dir, mtx, ordf, clustf, rhs, dtype="float32",
 
     solver = SparseCholesky.from_files(
         os.path.join(fixture_dir, mtx), os.path.join(fixture_dir, ordf),
-        os.path.join(fixture_dir, clustf), dtype=np.dtype(dtype))
+        os.path.join(fixture_dir, clustf), dtype=np.dtype(dtype),
+        precision="default")   # factor timed below runs one-pass; keep the
+    #                            solve applying at the same precision
     b = mmio.read_array(os.path.join(fixture_dir, rhs)).reshape(-1)
     fa = fillmod.analyze_fill(solver.plan, solver.rows, solver.cols,
                               solver.vals)
@@ -281,7 +283,11 @@ def main(argv=None):
     n, r, c, v, o, cl, b = generate_problem(
         args.shape, args.levels, cluster_size=args.cluster_size)
     dtype = np.dtype(args.dtype)
-    solver = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=dtype)
+    # the factor timing chain + gate run the max-throughput (one-pass)
+    # configuration; the production AUTO precision ladder is timed
+    # separately below (solve_wall_s) so the two stay consistent pairs
+    solver = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=dtype,
+                                     precision="default")
     plan = solver.plan
     print(f"# problem {key}: n={n}, levels={plan.levels}, "
           f"gen {time.time()-t0:.1f}s", file=sys.stderr)
@@ -565,6 +571,30 @@ def main(argv=None):
         capacity.padding_efficiency(fp, useful_flops), 3)
 
     if not args.no_extras:
+        # production solve (VERDICT r1 #4): the API default resolves the
+        # matmul-precision ladder from plan statistics (api.SparseCholesky
+        # .precision). When it picks a raised-precision factor, time that
+        # CONSISTENT pair — solve_wall_s then reports the production
+        # configuration at the tol=1e-10 contract; the gate chain's
+        # one-pass pair moves to solve_wall_s_default (tol=1e-11).
+        prod = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=dtype)
+        if prod.precision not in (None, "default") and t_solve is not None:
+            try:
+                cur = None          # free the timing chain's factor set
+                prod.factorize()
+                x = prod.solve(b, tol=1e-10)
+                t0 = time.perf_counter()
+                x = prod.solve(b, tol=1e-10)
+                tp = max(time.perf_counter() - t0 - floor, 1e-9)
+                rres = float(prod.residual(b, x))
+                result["solve_wall_s_default"] = result.pop("solve_wall_s")
+                result["solve_wall_s"] = round(tp, 4)
+                result["solve_precision"] = f"{prod.precision} (auto)"
+                result["residual_production"] = float(f"{rres:.3e}")
+                result["residual_ok"] = bool(result["residual_ok"]
+                                             and rres <= 1e-10)
+            except Exception as e:  # noqa: BLE001 — tunnel compiler flakes
+                result["production_solve_error"] = type(e).__name__
         # fold the >=60%-of-matmul-peak BASELINE gate and a second scale row
         # (the reference's largest committed fixture) into the artifact
         # (VERDICT r1 #3); failures degrade to an error key, never kill the

@@ -17,6 +17,16 @@ from cholesky_tpu.symbolic.plan import SolvePlan, build_plan
 _PRECISIONS = ("default", "high", "highest", "bfloat16", "tensorfloat32",
                "float32")
 
+# AUTO precision ladder (precision=None, fp32): executed frontal FLOPs at or
+# below this pick the 6-pass 'highest' factor — measured at 50^3/125k dofs
+# (0.35 TFLOP executed): factor 0.049 -> 0.111 s but IR sweeps 8 -> 2 and
+# solve 0.147 -> 0.077 s, so factor+solve already wins at ONE solve per
+# factor. Above it the factorization wall dominates (80^3 is ~2.2 TFLOP,
+# ~1 s at one-pass) and the one-pass factor wins. Calibration:
+# tools/exp_solve_matrix.py.
+_AUTO_HIGHEST_FLOPS = float(__import__("os").environ.get(
+    "CHOLESKY_TPU_AUTO_HIGHEST_FLOPS", 1e12))
+
 
 def _precision_ctx(prec: Optional[str]):
     """Context manager applying a matmul-precision override for everything
@@ -70,11 +80,12 @@ class SparseCholesky:
         # factor applications (both must match: the refinement contraction
         # rate is set by the WORSE of factor-construction and factor-
         # application error). 'default' maximizes factor throughput (one-pass
-        # bf16 MXU + Pallas fast paths) and needs ~9 IR iterations at 50^3;
-        # 'highest' converges in 3 (solve wall 0.19 -> 0.11 s measured) at
-        # ~1.4x the factor wall — the right trade for many-solves-per-factor
-        # workloads.
-        self.precision = precision
+        # bf16 MXU + Pallas fast paths) but needs ~8 IR sweeps at 50^3;
+        # 'highest' (6-pass) converges in 2 (solve 0.147 -> 0.077 s measured,
+        # tools/exp_solve_matrix.py) at ~2.3x the factor wall. None = AUTO:
+        # resolve from plan statistics at first use (see precision property);
+        # pass 'default' to force the one-pass factor.
+        self._precision = precision
         self.plan = plan
         self.rows, self.cols, self.vals = rows, cols, vals
         self.dtype = dtype
@@ -96,6 +107,39 @@ class SparseCholesky:
         self._fplan = None          # frontal symbolic plan
 
     # ------------------------------------------------------------------
+    @property
+    def precision(self) -> Optional[str]:
+        """Effective matmul precision. Explicit (ctor kwarg, env, factorize
+        override) wins; otherwise AUTO from plan statistics: fp32 factors
+        whose executed frontal FLOPs are small are solve-dominated — the
+        6-pass 'highest' factor costs ~2.3x the (cheap) factor wall but cuts
+        IR sweeps 8 -> 2, more than paying for itself by the first solve
+        (50^3 measured: factor 0.049 -> 0.111 s, solve 0.147 -> 0.077 s,
+        factor+solve 0.196 -> 0.189 s, and every further solve saves 70 ms).
+        Past the FLOP threshold the factorization dominates and the one-pass
+        factor wins (1M dofs: factor 3.9 s vs ~9 s, solve saves ~1 s)."""
+        if self._precision is not None:
+            return None if self._precision == "default" else self._precision
+        if (np.dtype(self.dtype) != np.float32 or self.signs is not None
+                or self.factored):
+            # f64 needs no ladder; LDL^T solves host-side; a factor that
+            # already exists was built at the resolved-then precision —
+            # never flip mid-life (solve must apply at the factor's own
+            # precision)
+            return self._precision_resolved \
+                if getattr(self, "_precision_resolved", None) else None
+        from cholesky_tpu.utils import capacity
+
+        auto = ("highest" if capacity.frontal_flops(self.fplan)
+                <= _AUTO_HIGHEST_FLOPS else None)
+        self._precision_resolved = auto
+        return auto
+
+    @precision.setter
+    def precision(self, value: Optional[str]) -> None:
+        self._precision = value
+        self._precision_resolved = None
+
     @classmethod
     def from_files(cls, matrix_file: str, separator_file: str,
                    clusters_file: Optional[str] = None, dtype=np.float64,

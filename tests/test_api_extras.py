@@ -272,3 +272,43 @@ def test_precision_knob():
 
     with pytest.raises(ValueError, match="precision"):
         SparseCholesky.from_coo(n, r, c, v, o, cl, precision="f16")
+
+
+def test_precision_auto_ladder(monkeypatch):
+    """Unset precision resolves from plan statistics (VERDICT r1 #4): small
+    fp32 problems are solve-dominated and pick the 6-pass 'highest' factor;
+    past the executed-FLOP threshold (or for f64) the one-pass default wins.
+    The resolution pins once factored — solves must apply the factor at the
+    precision it was built with."""
+    from cholesky_tpu import api
+
+    n, r, c, v, o, cl, b = _build()
+
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    assert s.precision == "highest"          # tiny problem: auto ladder up
+    x = s.solve(b)
+    assert s.residual(b, x) <= 1e-10
+
+    # explicit 'default' forces the one-pass factor (escape hatch)
+    sd = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32,
+                                 precision="default")
+    assert sd.precision is None
+
+    # f64 needs no ladder
+    s64 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    assert s64.precision is None
+
+    # past the threshold the one-pass factor wins (simulate a big problem)
+    monkeypatch.setattr(api, "_AUTO_HIGHEST_FLOPS", 0.0)
+    sb = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    assert sb.precision is None
+
+    # the resolution pins at factorization: flipping the threshold after
+    # factoring must not change what solves apply
+    monkeypatch.setattr(api, "_AUTO_HIGHEST_FLOPS", 1e12)
+    s2 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    s2.factorize()
+    monkeypatch.setattr(api, "_AUTO_HIGHEST_FLOPS", 0.0)
+    assert s2.precision == "highest"
+    x2 = s2.solve(b)
+    assert s2.residual(b, x2) <= 1e-10

@@ -65,7 +65,9 @@ for (B, F, W) in CLASSES:
     slab = jnp.concatenate([piv, bound], axis=1)        # [B, F, W]
     jax.block_until_ready(slab)
 
-    def xla_path(s=slab):
+    def xla_path(s):
+        # s passed as an ARGUMENT — closing over the slab would bake a
+        # multi-hundred-MB constant into the program (minutes-long compile)
         Ld = frontal._blocked_cholesky(s[:, :W, :])
         if F > W:
             X = frontal._tri_solve(Ld, s[:, W:, :], left_side=False,
@@ -73,7 +75,8 @@ for (B, F, W) in CLASSES:
             return jnp.sum(X) + jnp.sum(Ld)
         return jnp.sum(Ld)
 
-    t_xla = (timeit(jax.jit(xla_path)) - floor) * 1e3
+    xf = jax.jit(xla_path)
+    t_xla = (timeit(lambda: xf(slab)) - floor) * 1e3
 
     t_lanes = float("nan")
     if W >= pk.BS:
