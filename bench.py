@@ -49,12 +49,22 @@ def parse_shape(s):
 def measure_peak_fraction():
     """The BASELINE '>=60% of TPU matmul peak on large fronts' gate, folded
     into the default bench artifact (VERDICT r1 #3): measure the chip's
-    matmul peak proxy (chained 4096^2 fp32 matmuls) and the root-front SYRK
-    rate at the 50^3 root Schur shape, return their ratio + both rates.
-    Timing by scalar-checksum readback minus the RPC floor, as everywhere."""
+    matmul peak proxy (4096^2 fp32 matmuls) and the root-front SYRK rate at
+    the 50^3 root Schur shape, return their ratio + both rates.
+
+    Each measured program runs hundreds of sequential MXU ops inside ONE
+    lax.fori_loop so device time (>= 200 ms) dwarfs the tunnel RPC floor's
+    +-10 ms jitter. A handful of unrolled ops per call does NOT work here:
+    50 SYRK terms are ~4 ms of device time, and subtracting a ~35 +- 10 ms
+    floor from a ~39 ms wall measured anywhere between 90 and 360 'TF/s' on
+    the same chip (the round-1 artifact's 1.857 'peak fraction' was exactly
+    this artifact). Compiled cost analysis confirms nothing is elided. The
+    SYRK loop refreshes its operand every iteration (required so LICM can't
+    hoist the einsum), which costs ~15% extra HBM traffic — the reported
+    SYRK rate is a mild underestimate."""
     import jax
     import jax.numpy as jnp
-    from jax import random
+    from jax import lax, random
 
     k = random.PRNGKey(0)
 
@@ -69,25 +79,31 @@ def measure_peak_fraction():
 
     floor = timeit(jax.jit(lambda x: jnp.sum(x) * 1.0), jnp.ones((8, 8)))
 
-    n = 4096
+    n, r_mm = 4096, 300
     a = random.normal(k, (n, n), jnp.float32)
-    b2 = random.normal(k, (n, n), jnp.float32)
+    # spectral norm ~0.5 keeps the 300-deep product chain finite
+    y2 = random.normal(k, (n, n), jnp.float32) / (2.0 * np.sqrt(n))
 
-    def many_mm(x, y):
-        # independent products (a serially-dependent chain pipelines worse
-        # than the SYRK it is supposed to bound, yielding fractions > 1)
-        return sum(jnp.sum((x + i * 1e-7) @ y) for i in range(20))
+    def chain_mm(x, y):
+        return jnp.sum(lax.fori_loop(0, r_mm, lambda i, acc: acc @ y, x))
 
-    t = (timeit(jax.jit(many_mm), a, b2) - floor) / 20
+    t = (timeit(jax.jit(chain_mm), a, y2) - floor) / r_mm
     peak = 2 * n ** 3 / t / 1e12
 
     m_, k_ = 2504, 1256               # 50^3 root front Schur shape
     x = random.normal(k, (m_, k_), jnp.float32)
-    sy = jax.jit(lambda x: sum(
-        jnp.sum(jnp.einsum("ik,jk->ij", x + i * 1e-7, x,
-                           preferred_element_type=jnp.float32))
-        for i in range(50)))
-    t = (timeit(sy, x) - floor) / 50
+    r_sy = 2000
+
+    def many_sy(x):
+        def body(i, c):
+            # fresh operand each step (i-dependent, carry-chained): not
+            # hoistable, not algebraically factorable across iterations
+            z = x + (1e-7 * i + 1e-30 * c)
+            return c + 1e-12 * jnp.sum(jnp.einsum(
+                "ik,jk->ij", z, z, preferred_element_type=jnp.float32))
+        return lax.fori_loop(0, r_sy, body, jnp.float32(0))
+
+    t = (timeit(jax.jit(many_sy), x) - floor) / r_sy
     syrk = 2 * m_ * m_ * k_ / t / 1e12
     return {"gemm_peak_tflops": round(peak, 1),
             "syrk_root_tflops": round(syrk, 1),
@@ -171,8 +187,10 @@ def _t(f):
 def kernel_rates():
     """Measure large-front kernel throughput vs the chip's matmul peak (the
     BASELINE 'large-front POTRF/GEMM >= 60% of TPU matmul peak' target).
-    Ops are chained inside one jit and timed by scalar readback so the
-    tunnel's RPC floor and async dispatch don't pollute the numbers."""
+    Hundreds of sequential ops run inside one lax.fori_loop per jit call and
+    are timed by scalar readback, so device time dwarfs the tunnel RPC
+    floor's +-10 ms jitter (see measure_peak_fraction's docstring for why
+    short unrolled chains produce garbage through the tunnel)."""
     import time
 
     import jax
@@ -195,38 +213,46 @@ def kernel_rates():
     out = {"metric": "kernel_rates", "unit": "TFLOP/s", "vs_baseline": None}
 
     # matmul peak proxy: chained 4096^2 fp32 matmuls
-    n = 4096
+    n, r_mm = 4096, 300
     a = random.normal(k, (n, n), jnp.float32)
-    b2 = random.normal(k, (n, n), jnp.float32)
+    # spectral norm ~0.5 keeps the 300-deep product chain finite
+    b2 = random.normal(k, (n, n), jnp.float32) / (2.0 * np.sqrt(n))
+
     def chain_mm(x, y):
-        acc = x
-        for _ in range(20):
-            acc = acc @ y
-        return jnp.sum(acc)
+        return jnp.sum(lax.fori_loop(0, r_mm, lambda i, acc: acc @ y, x))
 
     mm = jax.jit(chain_mm)
-    t = (timeit(mm, a, b2) - floor) / 20
+    t = (timeit(mm, a, b2) - floor) / r_mm
     peak = 2 * n ** 3 / t / 1e12
     out["gemm_4096_tflops"] = round(peak, 1)
 
     # root-front SYRK (the Schur update shape of a 50^3 root): [2504, 1256]
     m_, k_ = 2504, 1256
+    r_sy = 2000
     x = random.normal(k, (m_, k_), jnp.float32)
-    sy = jax.jit(lambda x: sum(
-        jnp.sum(jnp.einsum("ik,jk->ij", x + i * 1e-7, x,
-                           preferred_element_type=jnp.float32))
-        for i in range(100)))
-    t = (timeit(sy, x) - floor) / 100
+
+    def many_sy(x):
+        def body(i, c):
+            z = x + (1e-7 * i + 1e-30 * c)   # fresh operand: defeats LICM
+            return c + 1e-12 * jnp.sum(jnp.einsum(
+                "ik,jk->ij", z, z, preferred_element_type=jnp.float32))
+        return lax.fori_loop(0, r_sy, body, jnp.float32(0))
+
+    t = (timeit(jax.jit(many_sy), x) - floor) / r_sy
     out["syrk_2504x1256_tflops"] = round(2 * m_ * m_ * k_ / t / 1e12, 1)
 
-    # root-front POTRF at 2504 (chained x4; full-matrix sums defeat DCE)
+    # root-front POTRF at 2504
     spd = x @ x.T + m_ * jnp.eye(m_, dtype=jnp.float32)
-    ch = jax.jit(lambda d: sum(
-        jnp.sum(lax.linalg.cholesky(
-            d + i * 1e-6 * jnp.eye(m_, dtype=jnp.float32),
-            symmetrize_input=False))
-        for i in range(24)))
-    t = (timeit(ch, spd) - floor) / 24
+    r_ch, eye = 200, jnp.eye(m_, dtype=jnp.float32)
+
+    def many_ch(d):
+        def body(i, c):
+            L = lax.linalg.cholesky(d + (1e-6 * i + 1e-30 * c) * eye,
+                                    symmetrize_input=False)
+            return c + 1e-9 * jnp.sum(L)
+        return lax.fori_loop(0, r_ch, body, jnp.float32(0))
+
+    t = (timeit(jax.jit(many_ch), spd) - floor) / r_ch
     out["potrf_2504_tflops"] = round(m_ ** 3 / 3 / t / 1e12, 2)
 
     out["value"] = out["syrk_2504x1256_tflops"]

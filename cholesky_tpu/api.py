@@ -6,6 +6,7 @@ library object instead of a CLI-only binary.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -24,7 +25,7 @@ _PRECISIONS = ("default", "high", "highest", "bfloat16", "tensorfloat32",
 # factor. Above it the factorization wall dominates (80^3 is ~2.2 TFLOP,
 # ~1 s at one-pass) and the one-pass factor wins. Calibration:
 # tools/exp_solve_matrix.py.
-_AUTO_HIGHEST_FLOPS = float(__import__("os").environ.get(
+_AUTO_HIGHEST_FLOPS = float(os.environ.get(
     "CHOLESKY_TPU_AUTO_HIGHEST_FLOPS", 1e12))
 
 

@@ -147,20 +147,7 @@ def build_frontal_plan(plan: SolvePlan, rows: np.ndarray, cols: np.ndarray,
         max_sz = max(int(plan.sep_sizes[t.sep_at(lvl, sl)]) for sl in range(B))
         bndK = max((len(bnd[t.sep_at(lvl, sl)]) for sl in range(B)),
                    default=0)
-        # Pivot width: pad to 128 when the Pallas front-factor kernel is
-        # enabled and the [F, W] slab fits its VMEM budget; else 8. (The
-        # kernel is opt-in via CHOLESKY_TPU_PALLAS=1 — XLA's batched path
-        # currently wins on this backend, see pallas_kernels.py.)
-        import os
-
         Wl = _round_up(max_sz, pad_to)
-        if os.environ.get("CHOLESKY_TPU_PALLAS") == "1":
-            from cholesky_tpu.numeric.pallas_kernels import VMEM_BUDGET
-
-            w128 = _round_up(max_sz, 128)
-            f128 = w128 + (_round_up(bndK, pad_to) if bndK else 0)
-            if f128 * w128 * 4 <= VMEM_BUDGET:
-                Wl = w128
         Fl = Wl + _round_up(bndK, pad_to) if bndK else Wl
         fr = np.full((B, Fl), n, dtype=np.int64)
         for sl in range(B):
@@ -1073,7 +1060,7 @@ def _factor_level(fp: FrontalPlan, lvl: int, piv, U, extadd: str,
         # leaf levels: no children, so the square front is never needed —
         # factor the [B, F, W] pivot slab directly (the full [B, F, F]
         # materialization would dominate HBM at deep trees)
-        if _use_lanes(B, Wl, piv.dtype):
+        if _use_lanes(B, Wl, piv.dtype, Fl):
             from cholesky_tpu.numeric.pallas_kernels import factor_slab_lanes
 
             fac = factor_slab_lanes(piv, Wl)
@@ -1121,11 +1108,7 @@ def _factor_level(fp: FrontalPlan, lvl: int, piv, U, extadd: str,
 
             return distributed_cholesky(slab[0, :Wl, :Wl], root_mesh)[None], \
                 None
-        if _use_pallas(Fl, Wl, piv.dtype):
-            from cholesky_tpu.numeric.pallas_kernels import front_factor_small
-
-            fac = front_factor_small(slab, Fl, Wl)
-        elif _use_lanes(B, Wl, piv.dtype):
+        if _use_lanes(B, Wl, piv.dtype, Fl):
             from cholesky_tpu.numeric.pallas_kernels import factor_slab_lanes
 
             fac = factor_slab_lanes(slab, Wl)
@@ -1177,26 +1160,13 @@ def _factor_level(fp: FrontalPlan, lvl: int, piv, U, extadd: str,
             full = _apply_child_updates_fused(fp, full, U, lvl + 1)
         else:
             full = full - expand(fp, U, lvl + 1).astype(full.dtype)
-    if _use_pallas(Fl, Wl, piv.dtype):
-        from cholesky_tpu.numeric.pallas_kernels import front_factor_small
-
-        fac = front_factor_small(full[:, :, :Wl], Fl, Wl)
-        if lvl == 0:
-            return fac, None
-        if Fl > Wl:
-            X = fac[:, Wl:, :]
-            U2 = (jnp.einsum("bik,bjk->bij", X, X,
-                             preferred_element_type=X.dtype)
-                  - full[:, Wl:, Wl:])
-            return fac, U2.astype(update_dtype)
-        return fac, u_empty()
     if lvl == 0 and root_mesh is not None and B == 1:
         # collective root-front factorization over the ICI mesh
         # (root_mesh is pre-gated by _effective_root_mesh at dispatch)
         from cholesky_tpu.parallel.dist_cholesky import distributed_cholesky
 
         Ld = distributed_cholesky(full[0, :Wl, :Wl], root_mesh)[None]
-    elif _use_lanes(B, Wl, piv.dtype):
+    elif _use_lanes(B, Wl, piv.dtype, Fl):
         from cholesky_tpu.numeric.pallas_kernels import factor_slab_lanes
 
         fac = factor_slab_lanes(full[:, :, :Wl], Wl)
@@ -1511,28 +1481,12 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
 _DISABLE_CUSTOM_KERNELS = False
 
 
-def _use_lanes(B: int, W: int, dtype) -> bool:
+def _use_lanes(B: int, W: int, dtype, F: int = None) -> bool:
     if _DISABLE_CUSTOM_KERNELS:
         return False
     from cholesky_tpu.numeric.pallas_kernels import lanes_eligible
 
-    return lanes_eligible(B, W, dtype)
-
-
-def _use_pallas(F: int, W: int, dtype) -> bool:
-    import os
-
-    import jax as _jax
-
-    if _DISABLE_CUSTOM_KERNELS:
-        return False
-    if os.environ.get("CHOLESKY_TPU_PALLAS") != "1":
-        return False
-    if _jax.default_backend() != "tpu":
-        return False
-    from cholesky_tpu.numeric.pallas_kernels import pallas_eligible
-
-    return pallas_eligible(F, W, dtype)
+    return lanes_eligible(B, W, dtype, F)
 
 
 def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],

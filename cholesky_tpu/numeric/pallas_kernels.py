@@ -1,28 +1,23 @@
 """Pallas TPU kernels for the frontal engine's hot per-level stages.
 
-The dominant non-matmul cost in the level loop is the batched partial front
-factorization: Cholesky of the [W, W] pivot block plus the triangular solve
-of the [F-W, W] boundary strip. XLA lowers batched Cholesky to an unblocked
-column-at-a-time While loop over HBM-resident arrays (~n sequential passes of
-full-array traffic); for the many small/mid fronts of a deep elimination
-tree that is bandwidth-bound and slow. This kernel keeps each front's
-[F, W] pivot-column slab resident in VMEM, runs a blocked right-looking
-Cholesky (128-wide panels), inverts each 128x128 diagonal factor in-register,
-and turns every panel solve and trailing update into an MXU matmul.
+The dominant non-matmul cost in the level loop is the sequential diagonal
+work of the batched partial front factorization. XLA lowers batched
+Cholesky to an unblocked column-at-a-time While loop over HBM-resident
+arrays (~n sequential passes of full-array traffic); for the many
+small/mid fronts of a deep elimination tree that is bandwidth-bound and
+slow. The batch-in-lanes kernels below keep that work in VMEM with the
+batch transposed into the 128-lane dimension.
 
-Pallas TPU lowering notes: values inside the kernel cannot be
-dynamic-sliced, so the per-column recurrences use masked whole-block ops
-(row/column extraction by iota comparison — 128x128 VPU work per step), and
-all block movement uses static slices on the output ref.
-
-One pallas_call per tree level, grid over the batch of fronts. Falls back to
-the XLA path when the slab exceeds the VMEM budget (top-of-tree fronts,
-which are matmul-dominated anyway).
+A whole-front Pallas kernel (VMEM-resident blocked right-looking partial
+factorization of each [F, W] slab, one grid step per front) was built,
+measured per level class against XLA and the lanes path on the real chip
+(tools/bench_front_kernels.py, table in docs/performance.md), and DELETED:
+it lost at every eligible class — 6x at [64, 1008, 384], 17x at
+[256, 512, 256] — because one-front-per-grid-step serializes what the
+lanes layout executes 128 fronts wide per vector op.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -31,93 +26,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BS = 128                        # panel width (MXU native)
-VMEM_BUDGET = 10 * 1024 * 1024  # slab bytes allowed in VMEM
-
-
-def _chol_unblocked(d):
-    """Cholesky of a [BS, BS] SPD block (lower), column-at-a-time recurrence
-    with masked whole-block extraction (no dynamic slicing)."""
-    n = d.shape[0]
-    rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
-
-    def body(j, L):
-        # L[j, :j] as a [1, n] masked row
-        lj_row = jnp.sum(jnp.where((rows == j) & (cols < j), L, 0.0),
-                         axis=0, keepdims=True)
-        acc = jnp.dot(L, lj_row.T, preferred_element_type=jnp.float32)
-        dj = jnp.sum(jnp.where(cols == j, d, 0.0), axis=1, keepdims=True)
-        aj = dj - acc                                        # [n, 1]
-        piv = jnp.sum(jnp.where(rows[:, :1] == j, aj, 0.0))
-        colv = aj * lax.rsqrt(piv)
-        colv = jnp.where(rows[:, :1] >= j, colv, 0.0)
-        return jnp.where(cols == j, colv, L)
-
-    return lax.fori_loop(0, n, body, jnp.zeros_like(d))
-
-
-def _tri_inv_lower(L):
-    """Inverse of a lower-triangular [BS, BS] factor: forward substitution
-    row by row — M[i, :] = (I[i, :] - L[i, :i] @ M[:i, :]) / L[i, i]."""
-    n = L.shape[0]
-    rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    eye = (rows == cols).astype(L.dtype)
-
-    def body(i, M):
-        li = jnp.sum(jnp.where((rows == i) & (cols < i), L, 0.0),
-                     axis=0, keepdims=True)                  # [1, n] = L[i, :i]
-        acc = jnp.dot(li, M, preferred_element_type=jnp.float32)
-        ei = jnp.where(cols[:1, :] == i, 1.0, 0.0)
-        piv = jnp.sum(jnp.where((rows == i) & (cols == i), L, 0.0))
-        row = (ei - acc) / piv
-        return jnp.where(rows == i, row, M)
-
-    return lax.fori_loop(0, n, body, jnp.zeros_like(L))
-
-
-def _front_factor_kernel(a_ref, out_ref, *, F, W):
-    """Partial factorization of one [F, W] front slab (pivot columns)."""
-    out_ref[0] = a_ref[0]
-    nb = W // BS
-    for k in range(nb):                      # static unroll
-        c0 = k * BS
-        d = out_ref[0, c0:c0 + BS, c0:c0 + BS]
-        ld = _chol_unblocked(d)
-        out_ref[0, c0:c0 + BS, c0:c0 + BS] = ld
-        if F - c0 - BS > 0:
-            minv = _tri_inv_lower(ld)
-            b = out_ref[0, c0 + BS:, c0:c0 + BS]
-            t = jnp.dot(b, minv.T, preferred_element_type=jnp.float32)
-            out_ref[0, c0 + BS:, c0:c0 + BS] = t
-            rem = W - c0 - BS
-            if rem > 0:
-                t_cols = t[:rem, :]
-                upd = jnp.dot(t, t_cols.T,
-                              preferred_element_type=jnp.float32)
-                out_ref[0, c0 + BS:, c0 + BS:] = (
-                    out_ref[0, c0 + BS:, c0 + BS:] - upd)
-
-
-def front_factor_small(fronts_piv: jax.Array, F: int, W: int) -> jax.Array:
-    """Batched partial front factorization: [B, F, W] -> [B, F, W] with the
-    pivot Cholesky in rows [:W] (junk above the diagonal is not cleared) and
-    the solved boundary strip in rows [W:]. Requires W % 128 == 0 and the
-    slab under the VMEM budget."""
-    B = fronts_piv.shape[0]
-    kernel = functools.partial(_front_factor_kernel, F=F, W=W)
-    flops = int(B * (W ** 3 // 3 + (F - W) * W * W + W * BS * BS))
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, F, W), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, F, W), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, F, W), fronts_piv.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=2 * B * F * W * 4, transcendentals=0),
-    )(fronts_piv)
 
 
 def _nondefault_matmul_precision() -> bool:
@@ -130,13 +38,6 @@ def _nondefault_matmul_precision() -> bool:
     is paying for."""
     v = jax.config.jax_default_matmul_precision
     return v not in (None, "default", "bfloat16")
-
-
-def pallas_eligible(F: int, W: int, dtype) -> bool:
-    itemsize = jnp.dtype(dtype).itemsize
-    return (W % BS == 0 and F * W * itemsize <= VMEM_BUDGET
-            and jnp.dtype(dtype) == jnp.float32
-            and not _nondefault_matmul_precision())
 
 
 # ---------------------------------------------------------------------------
@@ -269,19 +170,29 @@ def factor_slab_lanes(a: jax.Array, W: int, interpret: bool = False):
     return out
 
 
-LANES_MIN_B = 64   # min batch: XLA lays the slab out batch-minor to feed the
+LANES_MIN_B = 32   # min batch: XLA lays the slab out batch-minor to feed the
                    # kernel's [F, W, B] transpose, padding B to 128 lanes —
-                   # at B=8 that is a 16x HBM blowup per slab (OOMs 80^3);
-                   # at B>=64 the pad waste is <=2x and the kernel's speedup
-                   # dominates. Batches below also waste 1-B/128 of the
-                   # kernel's own lane compute.
+                   # at B=8 that is a 16x HBM blowup per slab (OOMs 80^3).
+                   # Batches below also waste 1-B/128 of the kernel's own
+                   # lane compute.
+
+# B-vs-W crossover, fit to the per-level-class shootout on the real chip
+# (tools/bench_front_kernels.py; table in docs/performance.md): lanes wins
+# 1.25x at [32, 1488, 512] and loses 2x at [16, 2160, 640] — sequential
+# panel count grows with W while lane utilization grows with B, and the
+# measured boundary is B >= W/16.
+LANES_W_PER_B = 16
+
+# padded-slab HBM guard: below 128 fronts the batch-minor layout pads the
+# lane dimension to 128, multiplying the slab's HBM footprint 128/B x.
+_LANES_PAD_BYTES = 2 * 1024 ** 3
 
 
-def lanes_eligible(B: int, W: int, dtype) -> bool:
+def lanes_eligible(B: int, W: int, dtype, F: int = None) -> bool:
     """Use the lanes kernels when the sequential diagonal work dominates:
     f32, at least one full 128-panel, and a batch big enough that lane
-    packing beats XLA's small-batch loop and the batch-minor layout padding
-    stays bounded."""
+    packing beats XLA's small-batch loop (B >= max(32, W/16), the measured
+    crossover) and the batch-minor layout padding stays bounded."""
     import os
 
     if os.environ.get("CHOLESKY_TPU_LANES", "1") != "1":
@@ -289,6 +200,12 @@ def lanes_eligible(B: int, W: int, dtype) -> bool:
     min_b = int(os.environ.get("CHOLESKY_TPU_LANES_MIN_B", LANES_MIN_B))
     if jnp.dtype(dtype) != jnp.float32 or W < BS or B < min_b:
         return False
+    if B * LANES_W_PER_B < W:
+        return False
+    if F is not None and B < LANES_BT:
+        padded = -(-B // LANES_BT) * LANES_BT * F * W * 4
+        if padded > _LANES_PAD_BYTES:
+            return False
     if _nondefault_matmul_precision():
         return False
     return jax.default_backend() in ("tpu", "axon")

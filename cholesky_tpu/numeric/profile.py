@@ -101,7 +101,7 @@ def profile_frontal(fp, fronts: Sequence, iters: int = 3,
         # POTRF + boundary TRSM), plain XLA POTRF/TRSM otherwise. Timing
         # raw lax.linalg.cholesky where the engine runs the lanes kernel
         # overstates POTRF cost ~4x.
-        use_lanes = fr._use_lanes(B, Wl, full.dtype)
+        use_lanes = fr._use_lanes(B, Wl, full.dtype, Fl)
         m = Fl - Wl
         if use_lanes:
             from cholesky_tpu.numeric.pallas_kernels import factor_slab_lanes
