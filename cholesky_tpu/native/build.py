@@ -22,7 +22,7 @@ def build(force: bool = False) -> str:
         return LIB
     # portable ISA on purpose: the library is rebuilt on whatever host
     # imports it, and -march=native binaries SIGILL on lesser CPUs
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", LIB, SRC]
+    cmd = ["g++", "-O3", "-pthread", "-shared", "-fPIC", "-o", LIB, SRC]
     subprocess.run(cmd, check=True)
     return LIB
 

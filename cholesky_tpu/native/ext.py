@@ -213,15 +213,20 @@ def assemble_panels(rows, cols, vals, sep_of, loc_of, nsep, levels, row_off,
         np.ascontiguousarray(row_off, np.int64), H, S, ptrs)
 
 
-_lib.nd_order.restype = _i64
-_lib.nd_order.argtypes = [_i64, _i64, _i64p, _i64p, _i64, _i64p]
+_lib.nd_order_mt.restype = _i64
+_lib.nd_order_mt.argtypes = [_i64, _i64, _i64p, _i64p, _i64, _i64p, _i64]
 
 
 def nd_order(n: int, rows: np.ndarray, cols: np.ndarray,
-             levels: int) -> np.ndarray:
+             levels: int, threads: int | None = None) -> np.ndarray:
     """Native nested-dissection ordering core (statement-level mirror of
-    symbolic/nd.py — see mndio.cc nd_order). Returns sep_of [n]: the heap
-    index h (1..2^levels-1) of the separator/leaf owning each dof."""
+    symbolic/nd.py — see mndio.cc nd_order_mt). Returns sep_of [n]: the heap
+    index h (1..2^levels-1) of the separator/leaf owning each dof.
+
+    `threads=None` resolves CHOLESKY_TPU_ND_THREADS, else min(cpus, 8).
+    Output is bit-identical for every thread count: a tree depth's parts
+    are disjoint subgraphs split by workers with private workspaces
+    (tests/test_nd.py::test_native_nd_threads_identical)."""
     rows = np.ascontiguousarray(rows, np.int64)
     cols = np.ascontiguousarray(cols, np.int64)
     # The C++ core indexes CSR/workspace arrays with these values; an
@@ -233,9 +238,12 @@ def nd_order(n: int, rows: np.ndarray, cols: np.ndarray,
                 f"{name} contains dof indices outside [0, {n}) "
                 f"(min {arr.min()}, max {arr.max()}) — COO indices must be "
                 f"0-based")
+    if threads is None:
+        threads = int(os.environ.get("CHOLESKY_TPU_ND_THREADS",
+                                     min(os.cpu_count() or 1, 8)))
     sep_of = np.zeros(int(n), dtype=np.int64)
-    rc = _lib.nd_order(_i64(int(n)), _i64(len(rows)), rows, cols,
-                       _i64(int(levels)), sep_of)
+    rc = _lib.nd_order_mt(_i64(int(n)), _i64(len(rows)), rows, cols,
+                          _i64(int(levels)), sep_of, _i64(int(threads)))
     if rc != 0:
         raise RuntimeError(f"nd_order failed: rc={rc}")
     return sep_of

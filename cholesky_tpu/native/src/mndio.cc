@@ -15,11 +15,14 @@
 // Build: cc -O3 -shared -fPIC -o libmndio.so mndio.cc   (see build.py)
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <queue>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -443,6 +446,8 @@ int64_t fill_analyze(
   return 0;
 }
 
+}  // extern "C"
+
 // ---------------------------------------------------------------------------
 // Nested-dissection ordering core (native mirror of symbolic/nd.py).
 //
@@ -457,38 +462,39 @@ int64_t fill_analyze(
 // including iteration orders, heap tie-breaking by insertion sequence, and
 // sorted-unique semantics — so tests can require bit-identical output
 // (tests/test_nd.py::test_native_nd_matches_python). Keep both in sync.
+//
+// Threading (nd_order_mt): parts at one tree depth are disjoint subgraphs,
+// so their splits run on a thread pool, each worker with a private stamped
+// workspace. A worker reads only the shared immutable CSR, its own
+// workspace, and its own part's vertex list, and writes disjoint boxes /
+// sep_of slices — the output is bit-identical to the serial order for any
+// thread count (tests/test_nd.py::test_native_nd_threads_identical).
 
-int64_t nd_order(int64_t n, int64_t nnz, const int64_t* rows,
-                 const int64_t* cols, int64_t levels, int64_t* sep_of) {
-  // ---- bounds check first: every value below indexes n-sized arrays
-  // (returns -1; the ctypes wrapper raises — mirroring Python's IndexError)
-  for (int64_t e = 0; e < nnz; ++e)
-    if (rows[e] < 0 || rows[e] >= n || cols[e] < 0 || cols[e] >= n)
-      return -1;
-  // ---- CSR adjacency, mirroring _build_adjacency (stable sort by row of
-  // [rows|cols] concatenated with [cols|rows], self loops dropped).
-  std::vector<int64_t> indptr(n + 1, 0);
-  int64_t m = 0;
-  for (int64_t e = 0; e < nnz; ++e) m += (rows[e] != cols[e]);
-  std::vector<int64_t> indices(2 * m);
-  for (int64_t e = 0; e < nnz; ++e)
-    if (rows[e] != cols[e]) { indptr[rows[e] + 1]++; indptr[cols[e] + 1]++; }
-  for (int64_t i = 0; i < n; ++i) indptr[i + 1] += indptr[i];
-  {
-    std::vector<int64_t> cursor(indptr.begin(), indptr.end() - 1);
-    // first all (rows->cols), then all (cols->rows): matches the
-    // concatenation order before numpy's stable argsort by row
-    for (int64_t e = 0; e < nnz; ++e)
-      if (rows[e] != cols[e]) indices[cursor[rows[e]]++] = cols[e];
-    for (int64_t e = 0; e < nnz; ++e)
-      if (rows[e] != cols[e]) indices[cursor[cols[e]]++] = rows[e];
-  }
+namespace {
 
-  // ---- stamped workspace (_Workspace)
-  std::vector<int64_t> member(n, 0), lvl_val(n, 0), lvl_stamp(n, 0);
-  std::vector<int8_t> side(n, -1);
-  std::vector<int64_t> lock_stamp(n, 0);
+struct NdGraph {
+  int64_t n;
+  std::vector<int64_t> indptr, indices;
+};
+
+// Per-thread stamped workspace (_Workspace) + the split algorithm. The
+// lambda bodies inside split_part are the single source of the algorithm;
+// they reference the workspace fields and the two CSR aliases only.
+struct NdWorker {
+  const NdGraph* gp;
+  std::vector<int64_t> member, lvl_val, lvl_stamp, lock_stamp;
+  std::vector<int8_t> side;
   int64_t node_stamp = 0, bfs_stamp = 0, pass_stamp = 0;
+
+  explicit NdWorker(const NdGraph& g)
+      : gp(&g), member(g.n, 0), lvl_val(g.n, 0), lvl_stamp(g.n, 0),
+        lock_stamp(g.n, 0), side(g.n, -1) {}
+
+  void split_part(const std::vector<int64_t>& verts_in,
+                  std::vector<int64_t>& a_out, std::vector<int64_t>& b_out,
+                  std::vector<int64_t>& s_out) {
+  const std::vector<int64_t>& indptr = gp->indptr;
+  const std::vector<int64_t>& indices = gp->indices;
 
   auto bfs = [&](int64_t start) -> int64_t {
     int64_t st = ++bfs_stamp;
@@ -783,25 +789,104 @@ int64_t nd_order(int64_t n, int64_t nnz, const int64_t* rows,
     std::sort(s.begin(), s.end());
   };
 
-  // heap-ordered recursion (mirror of nested_dissection_graph's loop)
+  split(verts_in, a_out, b_out, s_out);
+  }  // split_part
+};
+
+}  // namespace
+
+extern "C" {
+
+int64_t nd_order_mt(int64_t n, int64_t nnz, const int64_t* rows,
+                    const int64_t* cols, int64_t levels, int64_t* sep_of,
+                    int64_t nthreads) {
+  // ---- bounds check first: every value below indexes n-sized arrays
+  // (returns -1; the ctypes wrapper raises — mirroring Python's IndexError)
+  for (int64_t e = 0; e < nnz; ++e)
+    if (rows[e] < 0 || rows[e] >= n || cols[e] < 0 || cols[e] >= n)
+      return -1;
+  // ---- CSR adjacency, mirroring _build_adjacency (stable sort by row of
+  // [rows|cols] concatenated with [cols|rows], self loops dropped).
+  NdGraph g;
+  g.n = n;
+  g.indptr.assign(n + 1, 0);
+  int64_t m = 0;
+  for (int64_t e = 0; e < nnz; ++e) m += (rows[e] != cols[e]);
+  g.indices.resize(2 * m);
+  for (int64_t e = 0; e < nnz; ++e)
+    if (rows[e] != cols[e]) { g.indptr[rows[e] + 1]++; g.indptr[cols[e] + 1]++; }
+  for (int64_t i = 0; i < n; ++i) g.indptr[i + 1] += g.indptr[i];
+  {
+    std::vector<int64_t> cursor(g.indptr.begin(), g.indptr.end() - 1);
+    // first all (rows->cols), then all (cols->rows): matches the
+    // concatenation order before numpy's stable argsort by row
+    for (int64_t e = 0; e < nnz; ++e)
+      if (rows[e] != cols[e]) g.indices[cursor[rows[e]]++] = cols[e];
+    for (int64_t e = 0; e < nnz; ++e)
+      if (rows[e] != cols[e]) g.indices[cursor[cols[e]]++] = rows[e];
+  }
+
+  // heap-ordered recursion, depth-synchronous (the serial h = 1..nsep loop
+  // visits exactly depth order; parts within a depth are independent)
   int64_t nsep = ((int64_t)1 << levels) - 1;
+  int64_t half = (int64_t)1 << (levels - 1);
   std::vector<std::vector<int64_t>> boxes(2 * nsep + 2);
   boxes[1].resize(n);
   for (int64_t i = 0; i < n; ++i) boxes[1][i] = i;
-  for (int64_t h = 1; h <= nsep; ++h) {
-    if (h < ((int64_t)1 << (levels - 1))) {
-      std::vector<int64_t> a, b, s;
-      split(boxes[h], a, b, s);
-      for (int64_t v : s) sep_of[v] = h;
-      boxes[2 * h].swap(a);
-      boxes[2 * h + 1].swap(b);
-      boxes[h].clear();
-      boxes[h].shrink_to_fit();
-    } else {
-      for (int64_t v : boxes[h]) sep_of[v] = h;
+
+  if (nthreads < 1) nthreads = 1;
+  std::vector<std::unique_ptr<NdWorker>> workers;
+  workers.emplace_back(new NdWorker(g));
+
+  for (int64_t h0 = 1; h0 < half; h0 <<= 1) {
+    int64_t h1 = std::min(h0 << 1, half);
+    int64_t total = 0;
+    for (int64_t h = h0; h < h1; ++h) total += (int64_t)boxes[h].size();
+    // parallelize a depth only when the work amortizes thread + workspace
+    // cost (each worker's stamped arrays are 33n bytes)
+    int64_t T = std::min<int64_t>(nthreads, h1 - h0);
+    if (T <= 1 || total < (int64_t)1 << 16) {
+      NdWorker& W = *workers[0];
+      for (int64_t h = h0; h < h1; ++h) {
+        std::vector<int64_t> a, b, s;
+        W.split_part(boxes[h], a, b, s);
+        for (int64_t v : s) sep_of[v] = h;
+        boxes[2 * h].swap(a);
+        boxes[2 * h + 1].swap(b);
+        boxes[h].clear();
+        boxes[h].shrink_to_fit();
+      }
+      continue;
     }
+    while ((int64_t)workers.size() < T) workers.emplace_back(new NdWorker(g));
+    std::atomic<int64_t> next(h0);
+    auto work = [&](int64_t wi) {
+      NdWorker& W = *workers[wi];
+      for (;;) {
+        int64_t h = next.fetch_add(1);
+        if (h >= h1) break;
+        std::vector<int64_t> a, b, s;
+        W.split_part(boxes[h], a, b, s);
+        for (int64_t v : s) sep_of[v] = h;   // disjoint across parts
+        boxes[2 * h].swap(a);
+        boxes[2 * h + 1].swap(b);
+        boxes[h].clear();
+        boxes[h].shrink_to_fit();
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int64_t wi = 1; wi < T; ++wi) pool.emplace_back(work, wi);
+    work(0);
+    for (auto& t : pool) t.join();
   }
+  for (int64_t h = half; h <= nsep; ++h)
+    for (int64_t v : boxes[h]) sep_of[v] = h;
   return 0;
+}
+
+int64_t nd_order(int64_t n, int64_t nnz, const int64_t* rows,
+                 const int64_t* cols, int64_t levels, int64_t* sep_of) {
+  return nd_order_mt(n, nnz, rows, cols, levels, sep_of, 1);
 }
 
 }  // extern "C"

@@ -454,8 +454,10 @@ def nested_dissection_graph(n: int, rows: np.ndarray, cols: np.ndarray,
     `leaf_target` dofs (utils.py:6's heuristic).
 
     The planning core runs in the native library when available (mndio.cc
-    nd_order — a statement-level mirror of this module's Python, ~20x
-    faster at production scale: 34 s -> 1.6 s at 262k dofs); `native=False`
+    nd_order_mt — a statement-level mirror of this module's Python, ~20x
+    faster at production scale: 1M dofs in ~4 s on one core, and threaded
+    across each depth's disjoint parts on many-core hosts with
+    bit-identical output, CHOLESKY_TPU_ND_THREADS); `native=False`
     forces the Python path (the parity oracle), `native=None` auto-selects,
     env CHOLESKY_TPU_NATIVE_ND=0 disables."""
     import os

@@ -166,6 +166,23 @@ def test_native_nd_matches_python():
           np.concatenate([c1, c2 + n1]), 4)
 
 
+def test_native_nd_threads_identical():
+    """nd_order_mt's thread pool must be invisible in the output: parts at
+    one tree depth are disjoint subgraphs split by workers with PRIVATE
+    stamped workspaces, so any thread count yields the serial ordering
+    bit-for-bit. The graph is big enough (> 2^16 vertices per depth) that
+    the parallel branch actually engages."""
+    ext = pytest.importorskip("cholesky_tpu.native.ext")
+    rng = np.random.default_rng(3)
+    n, r, c, _ = grid_laplacian((42, 42, 42))      # 74k dofs
+    p = rng.permutation(n)
+    rows, cols = np.maximum(p[r], p[c]), np.minimum(p[r], p[c])
+    ref = ext.nd_order(n, rows, cols, 8, threads=1)
+    for t in (2, 4, 7):
+        np.testing.assert_array_equal(
+            ext.nd_order(n, rows, cols, 8, threads=t), ref)
+
+
 def test_disconnected_graph():
     """Two disconnected components (block-diagonal SPD)."""
     rng = np.random.default_rng(2)
