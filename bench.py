@@ -46,11 +46,10 @@ def parse_shape(s):
     return tuple(int(x) for x in s.split(","))
 
 
-def measure_peak_fraction():
-    """The BASELINE '>=60% of TPU matmul peak on large fronts' gate, folded
-    into the default bench artifact (VERDICT r1 #3): measure the chip's
-    matmul peak proxy (4096^2 fp32 matmuls) and the root-front SYRK rate at
-    the 50^3 root Schur shape, return their ratio + both rates.
+def _mxu_rates(include_potrf=False, iters=4):
+    """Shared large-front kernel-rate harness: the chip's matmul peak proxy
+    (4096^2 fp32 matmuls), the root-front SYRK rate at the 50^3 root Schur
+    shape, optionally root POTRF. Returns TFLOP/s floats.
 
     Each measured program runs hundreds of sequential MXU ops inside ONE
     lax.fori_loop so device time (>= 200 ms) dwarfs the tunnel RPC floor's
@@ -68,7 +67,7 @@ def measure_peak_fraction():
 
     k = random.PRNGKey(0)
 
-    def timeit(f, *a, iters=4):
+    def timeit(f, *a):
         float(f(*a))
         ts = []
         for _ in range(iters):
@@ -105,6 +104,28 @@ def measure_peak_fraction():
 
     t = (timeit(jax.jit(many_sy), x) - floor) / r_sy
     syrk = 2 * m_ * m_ * k_ / t / 1e12
+
+    potrf = None
+    if include_potrf:
+        spd = x @ x.T + m_ * jnp.eye(m_, dtype=jnp.float32)
+        r_ch, eye = 200, jnp.eye(m_, dtype=jnp.float32)
+
+        def many_ch(d):
+            def body(i, c):
+                L = lax.linalg.cholesky(d + (1e-6 * i + 1e-30 * c) * eye,
+                                        symmetrize_input=False)
+                return c + 1e-9 * jnp.sum(L)
+            return lax.fori_loop(0, r_ch, body, jnp.float32(0))
+
+        t = (timeit(jax.jit(many_ch), spd) - floor) / r_ch
+        potrf = m_ ** 3 / 3 / t / 1e12
+    return peak, syrk, potrf
+
+
+def measure_peak_fraction():
+    """The BASELINE '>=60% of TPU matmul peak on large fronts' gate, folded
+    into the default bench artifact (VERDICT r1 #3)."""
+    peak, syrk, _ = _mxu_rates()
     return {"gemm_peak_tflops": round(peak, 1),
             "syrk_root_tflops": round(syrk, 1),
             "peak_fraction": round(syrk / peak, 3)}
@@ -186,75 +207,15 @@ def _t(f):
 
 def kernel_rates():
     """Measure large-front kernel throughput vs the chip's matmul peak (the
-    BASELINE 'large-front POTRF/GEMM >= 60% of TPU matmul peak' target).
-    Hundreds of sequential ops run inside one lax.fori_loop per jit call and
-    are timed by scalar readback, so device time dwarfs the tunnel RPC
-    floor's +-10 ms jitter (see measure_peak_fraction's docstring for why
-    short unrolled chains produce garbage through the tunnel)."""
-    import time
-
-    import jax
-    import jax.numpy as jnp
-    from jax import lax, random
-
+    BASELINE 'large-front POTRF/GEMM >= 60% of TPU matmul peak' target),
+    through the shared _mxu_rates harness (plus root POTRF)."""
     import cholesky_tpu; cholesky_tpu.setup_compilation_cache()
-    k = random.PRNGKey(0)
 
-    def timeit(f, *a, iters=6):
-        float(f(*a))
-        ts = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            float(f(*a))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    floor = timeit(jax.jit(lambda x: jnp.sum(x) * 1.0), jnp.ones((8, 8)))
-    out = {"metric": "kernel_rates", "unit": "TFLOP/s", "vs_baseline": None}
-
-    # matmul peak proxy: chained 4096^2 fp32 matmuls
-    n, r_mm = 4096, 300
-    a = random.normal(k, (n, n), jnp.float32)
-    # spectral norm ~0.5 keeps the 300-deep product chain finite
-    b2 = random.normal(k, (n, n), jnp.float32) / (2.0 * np.sqrt(n))
-
-    def chain_mm(x, y):
-        return jnp.sum(lax.fori_loop(0, r_mm, lambda i, acc: acc @ y, x))
-
-    mm = jax.jit(chain_mm)
-    t = (timeit(mm, a, b2) - floor) / r_mm
-    peak = 2 * n ** 3 / t / 1e12
-    out["gemm_4096_tflops"] = round(peak, 1)
-
-    # root-front SYRK (the Schur update shape of a 50^3 root): [2504, 1256]
-    m_, k_ = 2504, 1256
-    r_sy = 2000
-    x = random.normal(k, (m_, k_), jnp.float32)
-
-    def many_sy(x):
-        def body(i, c):
-            z = x + (1e-7 * i + 1e-30 * c)   # fresh operand: defeats LICM
-            return c + 1e-12 * jnp.sum(jnp.einsum(
-                "ik,jk->ij", z, z, preferred_element_type=jnp.float32))
-        return lax.fori_loop(0, r_sy, body, jnp.float32(0))
-
-    t = (timeit(jax.jit(many_sy), x) - floor) / r_sy
-    out["syrk_2504x1256_tflops"] = round(2 * m_ * m_ * k_ / t / 1e12, 1)
-
-    # root-front POTRF at 2504
-    spd = x @ x.T + m_ * jnp.eye(m_, dtype=jnp.float32)
-    r_ch, eye = 200, jnp.eye(m_, dtype=jnp.float32)
-
-    def many_ch(d):
-        def body(i, c):
-            L = lax.linalg.cholesky(d + (1e-6 * i + 1e-30 * c) * eye,
-                                    symmetrize_input=False)
-            return c + 1e-9 * jnp.sum(L)
-        return lax.fori_loop(0, r_ch, body, jnp.float32(0))
-
-    t = (timeit(jax.jit(many_ch), spd) - floor) / r_ch
-    out["potrf_2504_tflops"] = round(m_ ** 3 / 3 / t / 1e12, 2)
-
+    peak, syrk, potrf = _mxu_rates(include_potrf=True, iters=6)
+    out = {"metric": "kernel_rates", "unit": "TFLOP/s", "vs_baseline": None,
+           "gemm_4096_tflops": round(peak, 1),
+           "syrk_2504x1256_tflops": round(syrk, 1),
+           "potrf_2504_tflops": round(potrf, 2)}
     out["value"] = out["syrk_2504x1256_tflops"]
     out["syrk_pct_of_peak"] = round(
         100 * out["syrk_2504x1256_tflops"] / out["gemm_4096_tflops"], 1)
@@ -545,6 +506,12 @@ def main(argv=None):
     if hasattr(solver, "_ell_cache"):
         del solver._ell_cache
 
+    # Timing is one synced call per measurement, min over iters, floor
+    # subtracted. A chain of async donating dispatches synced once was
+    # tried and REJECTED: through this tunnel dispatches serialize at the
+    # RPC rate, so the chain measures dispatch throughput (~68 ms/call),
+    # not device wall (~30 ms) — and enqueueing several monolithic
+    # executions lets their HLO temps coexist (OOM at 80^3 donate scale).
     times = []
     cur = factors0 if donate else fronts
     for _ in range(args.iters):
@@ -604,6 +571,9 @@ def main(argv=None):
         # configuration at the tol=1e-10 contract; the gate chain's
         # one-pass pair moves to solve_wall_s_default (tol=1e-11).
         prod = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=dtype)
+        prod._fplan = fp     # reuse the measured plan: .precision would
+        #                      otherwise rebuild the full frontal symbolic
+        #                      analysis from scratch (minutes at 1M dofs)
         if prod.precision not in (None, "default") and t_solve is not None:
             try:
                 cur = None          # free the timing chain's factor set

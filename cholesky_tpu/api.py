@@ -24,9 +24,14 @@ _PRECISIONS = ("default", "high", "highest", "bfloat16", "tensorfloat32",
 # solve 0.147 -> 0.077 s, so factor+solve already wins at ONE solve per
 # factor. Above it the factorization wall dominates (80^3 is ~2.2 TFLOP,
 # ~1 s at one-pass) and the one-pass factor wins. Calibration:
-# tools/exp_solve_matrix.py.
-_AUTO_HIGHEST_FLOPS = float(os.environ.get(
-    "CHOLESKY_TPU_AUTO_HIGHEST_FLOPS", 1e12))
+# tools/exp_solve_matrix.py. The env knob is read at use time like every
+# sibling CHOLESKY_TPU_* knob (setting it after import must work).
+_AUTO_HIGHEST_FLOPS = 1e12
+
+
+def _auto_highest_flops() -> float:
+    env = os.environ.get("CHOLESKY_TPU_AUTO_HIGHEST_FLOPS")
+    return float(env) if env is not None else _AUTO_HIGHEST_FLOPS
 
 
 def _precision_ctx(prec: Optional[str]):
@@ -132,7 +137,7 @@ class SparseCholesky:
         from cholesky_tpu.utils import capacity
 
         auto = ("highest" if capacity.frontal_flops(self.fplan)
-                <= _AUTO_HIGHEST_FLOPS else None)
+                <= _auto_highest_flops() else None)
         self._precision_resolved = auto
         return auto
 
@@ -1365,7 +1370,11 @@ class SparseCholesky:
             arrays[f"panel_{i}"] = a
         meta = {"version": 1, "engine": "frontal",
                 "n_panels": len(dtypes), "panel_dtypes": dtypes,
-                "fingerprint": self._factor_fingerprint()}
+                "fingerprint": self._factor_fingerprint(),
+                # the factor was built at this matmul precision; a loader
+                # must apply solves at the same precision (the AUTO ladder's
+                # env threshold may differ in the loading process)
+                "precision": self.precision}
         arrays["meta"] = np.frombuffer(
             json.dumps(meta).encode(), dtype=np.uint8)
         path = self._npz_path(path)
@@ -1396,6 +1405,16 @@ class SparseCholesky:
             from cholesky_tpu.parallel.mesh import distribute_panels
 
             panels = distribute_panels(panels, self.mesh)
+        # pin the loaded factor's matmul precision BEFORE factored=True —
+        # solves must apply at the precision the factor was built at, not
+        # re-resolve the AUTO ladder in this process (checkpoints from
+        # before the meta key resolve from plan statistics, which is the
+        # same deterministic decision the writer made under equal env)
+        if self._precision is None:
+            if "precision" in meta:
+                self._precision_resolved = meta["precision"]
+            else:
+                _ = self.precision      # resolve while factored is False
         self.panels = tuple(panels)
         self.factored = True
 

@@ -428,10 +428,11 @@ def _truncation_costs(dofs: Dict[int, np.ndarray], levels: int) -> np.ndarray:
     return costs
 
 
-def _truncate_dofs(dofs: Dict[int, np.ndarray], levels: int,
+def _truncate_dofs(dofs: Dict[int, np.ndarray],
                    new_levels: int) -> Dict[int, np.ndarray]:
     """Merge each depth-(new_levels-1) subtree of the heap-indexed dof map
-    into a single sorted leaf. Heap indices above the cut are preserved."""
+    into a single sorted leaf. Heap indices above the cut are preserved
+    (the subtree walk is bounded by `g in dofs`, not by a depth count)."""
     out = {h: dofs[h] for h in range(1, 1 << (new_levels - 1))}
     for h in range(1 << (new_levels - 1), 1 << new_levels):
         parts, stack = [], [h]
@@ -497,7 +498,7 @@ def nested_dissection_graph(n: int, rows: np.ndarray, cols: np.ndarray,
         if costs[best] < 0.75 * costs[levels - 1]:
             levels = best + 1
             nsep = (1 << levels) - 1
-            dofs = _truncate_dofs(dofs, len(costs), levels)
+            dofs = _truncate_dofs(dofs, levels)
 
     ordering = Ordering(
         levels=levels, num_separators=nsep,

@@ -312,3 +312,30 @@ def test_precision_auto_ladder(monkeypatch):
     assert s2.precision == "highest"
     x2 = s2.solve(b)
     assert s2.residual(b, x2) <= 1e-10
+
+    # the env knob is read at use time, like every sibling knob
+    monkeypatch.setattr(api, "_AUTO_HIGHEST_FLOPS", 1e12)
+    monkeypatch.setenv("CHOLESKY_TPU_AUTO_HIGHEST_FLOPS", "0")
+    se = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    assert se.precision is None
+
+
+def test_save_load_preserves_precision(tmp_path, monkeypatch):
+    """A loaded factor must be APPLIED at the matmul precision it was built
+    with — the AUTO ladder must not re-resolve in the loading process (whose
+    env threshold may differ). The checkpoint meta carries the precision."""
+    from cholesky_tpu import api
+
+    n, r, c, v, o, cl, b = _build()
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    s.factorize()
+    assert s.precision == "highest"
+    p = s.save_factor(str(tmp_path / "ck"))
+
+    # loader process simulated with the opposite AUTO decision
+    monkeypatch.setenv("CHOLESKY_TPU_AUTO_HIGHEST_FLOPS", "0")
+    s2 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    s2.load_factor(p)
+    assert s2.precision == "highest"
+    x = s2.solve(b)
+    assert s2.residual(b, x) <= 1e-10

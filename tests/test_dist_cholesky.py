@@ -1,8 +1,6 @@
 """Collective (multi-chip) root-front factorization tests on the 8-device
 CPU mesh."""
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -106,27 +104,24 @@ def test_collective_root_in_solver(mesh, monkeypatch):
         return real(a, m, block)
 
     monkeypatch.setattr(dc, "distributed_cholesky", spy)
-    os.environ["CHOLESKY_TPU_ROOT_DIST_MIN"] = "16"
-    try:
-        n, r, c, v, o, cl, b = generate_problem((20, 24), 5)
-        s = SparseCholesky.from_coo(n, r, c, v, o, cl, mesh=mesh)
-        x = s.solve(b)
-        assert s.residual(b, x) <= 1e-10
-        assert calls, "collective root front was not engaged"
-        # same answer as the single-device, non-collective path
-        s2 = SparseCholesky.from_coo(n, r, c, v, o, cl)
-        np.testing.assert_allclose(x, s2.solve(b), rtol=1e-9, atol=1e-9)
+    monkeypatch.setenv("CHOLESKY_TPU_ROOT_DIST_MIN", "16")
+    n, r, c, v, o, cl, b = generate_problem((20, 24), 5)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, mesh=mesh)
+    x = s.solve(b)
+    assert s.residual(b, x) <= 1e-10
+    assert calls, "collective root front was not engaged"
+    # same answer as the single-device, non-collective path
+    s2 = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    np.testing.assert_allclose(x, s2.solve(b), rtol=1e-9, atol=1e-9)
 
-        # and the fp32 production path through the collective root,
-        # refined to the 1e-10 contract
-        calls.clear()
-        s32 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32,
-                                      mesh=mesh)
-        x32 = s32.solve(b, tol=1e-10)
-        assert s32.residual(b, x32) <= 1e-10
-        assert calls, "collective root front was not engaged (fp32)"
-    finally:
-        del os.environ["CHOLESKY_TPU_ROOT_DIST_MIN"]
+    # and the fp32 production path through the collective root,
+    # refined to the 1e-10 contract
+    calls.clear()
+    s32 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32,
+                                  mesh=mesh)
+    x32 = s32.solve(b, tol=1e-10)
+    assert s32.residual(b, x32) <= 1e-10
+    assert calls, "collective root front was not engaged (fp32)"
 
 
 def test_selinv_on_mesh(mesh):
