@@ -319,6 +319,19 @@ class FrontAssembler:
         vals = np.asarray(vals)
         if vals.dtype.itemsize > dtype.itemsize:
             vals = vals.astype(dtype)       # halve the upload before H2D
+        if any(int(np.prod(s)) >= _INT32_SCATTER_LIMIT for s in self.shapes):
+            # huge-front regime: per-level programs; >= 2^31-element slabs
+            # go through the (slot, rem) int32-safe scatter
+            v = jnp.asarray(vals)
+            outs = []
+            for lvl, shape in enumerate(self.shapes):
+                big = int(np.prod(shape)) >= _INT32_SCATTER_LIMIT
+                raw = _big_level_idx(self, lvl) if big else self.idx[lvl]
+                idx = tuple(jnp.asarray(a) for a in raw)
+                fn = _assemble_level_big_jit if big else _assemble_level_jit
+                one = lambda x: fn(shape, str(dtype), x, idx)  # noqa: B023
+                outs.append(jax.vmap(one)(v) if v.ndim == 2 else one(v))
+            return outs
         idx = tuple(tuple(jnp.asarray(a) for a in lvl) for lvl in self.idx)
         out = _assemble_device_jit(self.shapes, str(dtype), jnp.asarray(vals),
                                    idx)
@@ -355,6 +368,45 @@ def _assemble_level_jit(shape, dtype, vals, idx):
     return slab.reshape(B, Fl, Wl)
 
 
+# jnp scatter indices are int32 without x64; a level slab with >= 2^31
+# elements (bf16-streamed huge-front regimes) must scatter per-slot
+_INT32_SCATTER_LIMIT = 1 << 31
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _assemble_level_big_jit(shape, dtype, vals, idx):
+    """Level slab with >= 2^31 elements: a flat index would overflow int32
+    (x64-off jnp downcasts int64 indices), so scatter into [B, Fl*Wl] with
+    (slot, remainder) int32 pairs — each component stays < 2^31 because a
+    SINGLE front never reaches 2^31 elements (8.6 GB f32)."""
+    B, Fl, Wl = shape
+    sel, slot, rem, oslot, orem = idx
+    dt = jnp.dtype(dtype)
+    slab = jnp.zeros((B, Fl * Wl), dt)
+    slab = slab.at[oslot, orem].set(jnp.asarray(1.0, dt),
+                                    unique_indices=True)
+    slab = slab.at[slot, rem].set(vals[sel].astype(dt), unique_indices=True)
+    return slab.reshape(B, Fl, Wl)
+
+
+def _big_level_idx(asm: "FrontAssembler", lvl: int):
+    """(sel, slot, rem, ones_slot, ones_rem) int32 host arrays for a
+    >= 2^31-element level, memoized on the assembler."""
+    cache = getattr(asm, "_big_idx_cache", None)
+    if cache is None:
+        cache = asm._big_idx_cache = {}
+    if lvl not in cache:
+        _, Fl, Wl = asm.shapes[lvl]
+        fw = Fl * Wl
+        sel, flat, ones = asm.idx[lvl]
+        cache[lvl] = (sel.astype(np.int32),
+                      (flat // fw).astype(np.int32),
+                      (flat % fw).astype(np.int32),
+                      (ones // fw).astype(np.int32),
+                      (ones % fw).astype(np.int32))
+    return cache[lvl]
+
+
 class LazyFronts:
     """Sequence view over an UNASSEMBLED front set: each level's slab is
     scattered on device at first access and not retained, so the streamed
@@ -380,9 +432,13 @@ class LazyFronts:
         return len(self.shapes)
 
     def __getitem__(self, lvl: int) -> jax.Array:
+        shape = self.shapes[lvl]
+        if int(np.prod(shape)) >= _INT32_SCATTER_LIMIT:
+            idx = tuple(jnp.asarray(a) for a in _big_level_idx(self.asm, lvl))
+            return _assemble_level_big_jit(shape, str(self.dtype),
+                                           self.vals, idx)
         idx = tuple(jnp.asarray(a) for a in self.asm.idx[lvl])
-        return _assemble_level_jit(self.shapes[lvl], str(self.dtype),
-                                   self.vals, idx)
+        return _assemble_level_jit(shape, str(self.dtype), self.vals, idx)
 
     def nbytes_of(self, lvl: int) -> int:
         return int(np.prod(self.shapes[lvl])) * self.dtype.itemsize

@@ -424,6 +424,45 @@ def test_lazy_fronts_match_eager():
                                    rtol=1e-13, atol=1e-13)
 
 
+def test_big_slab_assembly_matches_flat(monkeypatch):
+    """Levels whose slab reaches 2^31 elements scatter via (slot, rem)
+    int32 pairs instead of a flat index (which jnp silently downcasts to
+    int32 without x64 — OverflowError at trace time, garbage past it).
+    Exercise the big path by lowering the limit so EVERY level routes
+    through it; slabs and end-to-end factors must be identical."""
+    n, r, c, v, o, cl, b = generate_problem((12, 12), 3)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float64)
+    fp = s.fplan
+    asm = frontal.FrontAssembler(fp, s.rows, s.cols)
+    flat_slabs = asm(s.vals, dtype=np.float64)
+    lazy_flat = [np.asarray(frontal.LazyFronts(asm, s.vals,
+                                               dtype=np.float64)[lvl])
+                 for lvl in range(fp.levels)]
+    monkeypatch.setattr(frontal, "_INT32_SCATTER_LIMIT", 1)
+    asm2 = frontal.FrontAssembler(fp, s.rows, s.cols)
+    big_slabs = asm2(s.vals, dtype=np.float64)
+    lazy2 = frontal.LazyFronts(asm2, s.vals, dtype=np.float64)
+    for lvl in range(fp.levels):
+        np.testing.assert_array_equal(np.asarray(big_slabs[lvl]),
+                                      np.asarray(flat_slabs[lvl]))
+        np.testing.assert_array_equal(np.asarray(lazy2[lvl]),
+                                      lazy_flat[lvl])
+    # the batched [K, nnz] path (factorize_many) through the big branch
+    # (compare before factoring: frontal.factor DONATES its input slabs)
+    many = asm2(np.stack([s.vals, 2.0 * s.vals]), dtype=np.float64)
+    twice = asm(2.0 * s.vals, dtype=np.float64)
+    for lvl in range(fp.levels):
+        np.testing.assert_array_equal(np.asarray(many[lvl][0]),
+                                      np.asarray(flat_slabs[lvl]))
+        np.testing.assert_array_equal(np.asarray(many[lvl][1]),
+                                      np.asarray(twice[lvl]))
+    streamed = frontal.frontal_factor_streamed(fp, lazy2)
+    eager = frontal.factor(fp, flat_slabs)
+    for a, bb in zip(eager, streamed):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-13, atol=1e-13)
+
+
 def test_lazy_fronts_dispatch_through_factor():
     """frontal.factor() routes a LazyFronts through the streamed driver
     regardless of size, and the API solve built on it hits the residual
