@@ -131,8 +131,7 @@ def measure_peak_fraction():
             "peak_fraction": round(syrk / peak, 3)}
 
 
-def bench_fixture(fixture_dir, mtx, ordf, clustf, rhs, dtype="float32",
-                  iters=3):
+def bench_fixture(fixture_dir, mtx, ordf, clustf, rhs, dtype="float32"):
     """Second-scale row: end-to-end factor+solve on a reference fixture
     (default: lapl_3375x3375, the reference's largest committed problem,
     test_matrices.py:120). Returns a compact dict for the bench JSON."""
@@ -176,24 +175,38 @@ def bench_fixture(fixture_dir, mtx, ordf, clustf, rhs, dtype="float32",
 
     factors, cs = cs_fn(fronts)
     float(cs)
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        _, cs = cs_fn(fronts)
-        float(cs)
-        times.append(time.perf_counter() - t0)
-    t_factor = max(min(times) - floor, 1e-9)
+
+    # the 3375-dof factor is sub-ms on device — floor-subtracted per-call
+    # walls measured anywhere in 52-220 'GFLOP/s' run to run. Time R
+    # factorizations inside ONE fori_loop program instead (floor paid once).
+    from jax import lax
+
+    R = 500
+
+    def _factor_loop(fs):
+        def body(i, carry):
+            eps = jnp.asarray(1e-12, fs[0].dtype) * (i + 1)
+            out = frontal.frontal_factor(fp, tuple(f + eps for f in fs))
+            return carry + jnp.sum(out[0].astype(jnp.float32))
+        return lax.fori_loop(0, R, body, jnp.float32(0))
+
+    lfn = jax.jit(_factor_loop)
+    float(lfn(fronts))
+    t_factor = min(_t(lambda: float(lfn(fronts))) for _ in range(2)) / R
 
     solver.panels = factors
     solver.factored = True
     x = solver.solve(b)
-    t0 = time.perf_counter()
-    x = solver.solve(b)
-    t_solve = max(time.perf_counter() - t0 - floor, 1e-9)
+    tss = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = solver.solve(b)
+        tss.append(time.perf_counter() - t0)
+    t_solve = max(min(tss) - floor, 1e-9)
     residual = solver.residual(b, x)
     return {"n": solver.plan.n,
             "factor_gflops": round(useful / t_factor / 1e9, 1),
-            "factor_wall_s": round(t_factor, 4),
+            "factor_device_s": round(t_factor, 5),
             "solve_wall_s": round(t_solve, 4),
             "residual": float(f"{residual:.3e}"),
             "residual_ok": bool(residual <= 1e-10)}
@@ -429,6 +442,45 @@ def main(argv=None):
     def rpc_floor_fn(x):
         return jnp.sum(x)
 
+    # Device-time factor series (tunnel-proof): R factorizations inside ONE
+    # fori_loop program, so the RPC floor and its +-10 ms jitter are paid
+    # once per chain instead of once per factorization — the per-call wall
+    # below fluctuated 55-68 ms run to run on a ~35 ms device quantity.
+    # Runs BEFORE the donating warmup (which consumes `fronts`); skipped in
+    # streamed/big regimes, where per-level dispatch is part of the real
+    # execution model and the wall is long enough to time directly.
+    t_factor_device = None
+    R_dev = 0
+    if not use_stream and not big and not args.no_extras:
+        from jax import lax
+
+        R_dev = int(np.clip(round(2.0 / max(useful_flops / 5e12, 1e-3)),
+                            10, 200))
+
+        def _factor_loop(fs):
+            def body(i, carry):
+                eps = jnp.asarray(1e-12, fs[0].dtype) * (i + 1)
+                f2 = tuple(fr + eps for fr in fs)   # fresh operand per step
+                out = frontal.frontal_factor(fp, f2, extadd=extadd)
+                return carry + jnp.sum(out[0].astype(jnp.float32))
+            return lax.fori_loop(0, R_dev, body, jnp.float32(0))
+
+        try:
+            lfn = jax.jit(_factor_loop)
+            t0 = time.time()
+            float(lfn(fronts))
+            print(f"# device-series compile+first {time.time()-t0:.1f}s "
+                  f"(R={R_dev})", file=sys.stderr)
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                float(lfn(fronts))
+                ts.append(time.perf_counter() - t0)
+            t_factor_device = min(ts) / R_dev
+        except Exception as e:  # noqa: BLE001 — tunnel compiler flakes
+            print(f"# device-series timing skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     # warm up (compile) — the tunnel compile helper crashes intermittently
     # on multi-GiB programs; retry a few times
     t0 = time.time()
@@ -551,6 +603,18 @@ def main(argv=None):
         "residual": float(f"{residual:.3e}"),
         "residual_ok": bool(residual <= 1e-10),
     }
+    if t_factor_device is not None:
+        # headline GFLOP/s from the amortized device series (measured to
+        # ~1% — see the fori_loop note above); the per-call wall stays as
+        # factor_wall_s and its GFLOP/s as factor_gflops_wall
+        result["factor_device_s"] = round(t_factor_device, 4)
+        result["factor_gflops_wall"] = result["value"]
+        gd = useful_flops / t_factor_device / 1e9
+        result["value"] = round(gd, 1)
+        if base:
+            result["vs_baseline"] = round(gd / base, 2)
+        result["timing"] = (f"device series: {R_dev} factorizations in one "
+                            f"fori_loop program")
     if t_solve is not None:
         result["solve_wall_s"] = round(t_solve, 4)
     if gate_error:
@@ -579,9 +643,12 @@ def main(argv=None):
                 cur = None          # free the timing chain's factor set
                 prod.factorize()
                 x = prod.solve(b, tol=1e-10)
-                t0 = time.perf_counter()
-                x = prod.solve(b, tol=1e-10)
-                tp = max(time.perf_counter() - t0 - floor, 1e-9)
+                tps = []
+                for _ in range(3):   # min-of-3: one sample was +-40% noisy
+                    t0 = time.perf_counter()
+                    x = prod.solve(b, tol=1e-10)
+                    tps.append(time.perf_counter() - t0)
+                tp = max(min(tps) - floor, 1e-9)
                 rres = float(prod.residual(b, x))
                 result["solve_wall_s_default"] = result.pop("solve_wall_s")
                 result["solve_wall_s"] = round(tp, 4)
