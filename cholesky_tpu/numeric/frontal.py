@@ -407,6 +407,48 @@ def _big_level_idx(asm: "FrontAssembler", lvl: int):
     return cache[lvl]
 
 
+def _chunk_level_idx(asm: "FrontAssembler", lvl: int, c0: int, c1: int):
+    """Scatter indices restricted to blocks [c0, c1) of a level, shifted to
+    chunk-local flat positions — lets a batch-chunked level program assemble
+    ONLY its slice [c0:c1, F, W] (the full level slab never materializes).
+    Memoized on the assembler; pattern-only like the base indices."""
+    cache = getattr(asm, "_chunk_idx_cache", None)
+    if cache is None:
+        cache = asm._chunk_idx_cache = {}
+    ck = (lvl, c0, c1)
+    if ck not in cache:
+        _, Fl, Wl = asm.shapes[lvl]
+        per = Fl * Wl
+        lo, hi = c0 * per, c1 * per
+        sel, flat, ones = asm.idx[lvl]
+        m = (flat >= lo) & (flat < hi)
+        mo = (ones >= lo) & (ones < hi)
+        cache[ck] = (np.ascontiguousarray(sel[m]),
+                     np.ascontiguousarray(flat[m] - lo),
+                     np.ascontiguousarray(ones[mo] - lo))
+    return cache[ck]
+
+
+def _assemble_level_chunk(asm: "FrontAssembler", vals_dev, lvl: int,
+                          c0: int, c1: int, dtype) -> jax.Array:
+    """Assemble the [c1-c0, F, W] slice of a level's slab on device from the
+    (already uploaded) value vector."""
+    _, Fl, Wl = asm.shapes[lvl]
+    shape = (c1 - c0, Fl, Wl)
+    if int(np.prod(shape)) >= _INT32_SCATTER_LIMIT:
+        sel, flat, ones = _chunk_level_idx(asm, lvl, c0, c1)
+        fw = Fl * Wl
+        idx = tuple(jnp.asarray(a) for a in (
+            sel.astype(np.int32), (flat // fw).astype(np.int32),
+            (flat % fw).astype(np.int32), (ones // fw).astype(np.int32),
+            (ones % fw).astype(np.int32)))
+        return _assemble_level_big_jit(shape, str(np.dtype(dtype)),
+                                       vals_dev, idx)
+    idx = tuple(jnp.asarray(a)
+                for a in _chunk_level_idx(asm, lvl, c0, c1))
+    return _assemble_level_jit(shape, str(np.dtype(dtype)), vals_dev, idx)
+
+
 class LazyFronts:
     """Sequence view over an UNASSEMBLED front set: each level's slab is
     scattered on device at first access and not retained, so the streamed
@@ -439,6 +481,11 @@ class LazyFronts:
                                            self.vals, idx)
         idx = tuple(jnp.asarray(a) for a in self.asm.idx[lvl])
         return _assemble_level_jit(shape, str(self.dtype), self.vals, idx)
+
+    def chunk(self, lvl: int, c0: int, c1: int) -> jax.Array:
+        """Assemble only blocks [c0, c1) of a level (batch-chunked levels)."""
+        return _assemble_level_chunk(self.asm, self.vals, lvl, c0, c1,
+                                     self.dtype)
 
     def nbytes_of(self, lvl: int) -> int:
         return int(np.prod(self.shapes[lvl])) * self.dtype.itemsize
@@ -1405,11 +1452,129 @@ def _top_fused_jit(fp: "FrontalPlan", start_lvl: int, utag: str, extadd: str,
     return fn
 
 
+# ---------------------------------------------------------------------------
+# Batch-chunked level programs: past ~2M dofs a SINGLE mid-tree level
+# transition no longer fits HBM — at 128^3 (levels=14) the level-6 program
+# peaks at 18.54 GiB on a 16 GiB chip (AOT memory_analysis), with levels
+# 3-5 at 14-16 GiB. The batch axis is the natural cut: blocks within a
+# level are independent, and sibling pairs (2i, 2i+1) merge into parent i,
+# so any even split of a level's blocks [c0, c1) is a closed sub-problem
+# consuming exactly child rows [2*c0, 2*c1) of the accumulated update.
+# Each chunk runs as its own donating program over a _BatchView (the plan's
+# extend-add maps sliced to the chunk's rows), scaling the transition peak
+# down ~1/nc. Chunking changes neither the per-block math nor any
+# accumulation order; results match the unchunked program to within XLA's
+# batch-size-dependent dot tiling (measured <= 6e-9 relative in f32).
+
+
+class _BatchView:
+    """FrontalPlan view over the block slice [c0, c1) of level `lvl`. The
+    level-step call graph touches F / W / levels / plan and the child maps
+    inv_child[lvl+1] / fwd_child[lvl+1] (sliced here to rows [2c0, 2c1));
+    key() separates each chunk's programs in the trace caches."""
+
+    def __init__(self, fp: FrontalPlan, lvl: int, c0: int, c1: int):
+        self._key = (fp.key(), "bslice", lvl, c0, c1)
+        self.plan = fp.plan
+        self.W, self.F = fp.W, fp.F
+        self.levels = fp.levels
+        self.inv_child = list(fp.inv_child)
+        self.fwd_child = list(fp.fwd_child)
+        cl = lvl + 1
+        if cl < fp.levels and fp.inv_child[cl] is not None:
+            self.inv_child[cl] = fp.inv_child[cl][2 * c0:2 * c1]
+            self.fwd_child[cl] = fp.fwd_child[cl][2 * c0:2 * c1]
+
+    def key(self):
+        return self._key
+
+
+# analytic floor -> peak fudge: XLA's scheduler overlaps temp live ranges
+# on top of the unavoidable arguments + outputs + boundary-solve X; measured
+# peak/floor ratios across the 128^3 level programs span 1.2-1.65
+# (memory_analysis), so the decision uses the worst observed ratio.
+_CHUNK_FUDGE = float(_os.environ.get("CHOLESKY_TPU_CHUNK_FUDGE", "1.65"))
+
+
+def _level_floor_bytes(fp: "FrontalPlan", lvl: int, utag: str,
+                       front_itemsize: int, u_itemsize: int,
+                       store_itemsize: int, nc: int) -> int:
+    """Lower bound on one level-chunk program's resident bytes: its piv
+    slab + update input + factor output + emitted update + f32 boundary
+    solve X. XLA adds overlapped temps on top (_CHUNK_FUDGE)."""
+    B = (1 << lvl) // nc
+    W, F = fp.W[lvl], fp.F[lvl]
+    K = F - W
+    total = B * F * W * front_itemsize            # piv slab in
+    total += B * F * W * store_itemsize           # stored factor out
+    if utag != "none" and lvl + 1 < fp.levels:
+        Kc = fp.F[lvl + 1] - fp.W[lvl + 1]
+        Wc = fp.W[lvl + 1]
+        cols = Wc if utag == "xxt" else Kc
+        total += 2 * B * Kc * cols * u_itemsize   # child update in
+    if lvl > 0 and K > 0:
+        total += B * K * K * u_itemsize           # emitted update out
+        total += B * K * W * 4                    # boundary solve X (f32)
+    return total
+
+
+def _level_chunk_counts(fp: "FrontalPlan", front_dtype, store_dtype,
+                        budget: Optional[int] = None) -> dict:
+    """Chunk count per level (1 = unchunked). CHOLESKY_TPU_LEVEL_CHUNKS
+    ("lvl:nc,lvl:nc") overrides; otherwise the analytic floor times
+    _CHUNK_FUDGE against the HBM budget decides. Levels 0 (root) and the
+    fused narrow top are never chunked."""
+    manual = _os.environ.get("CHOLESKY_TPU_LEVEL_CHUNKS")
+    out = {}
+    if manual:
+        for part in manual.split(","):
+            l, nc = part.split(":")
+            out[int(l)] = int(nc)
+        return out
+    if budget is None:
+        budget = _HBM_BUDGET
+    fi = jnp.dtype(front_dtype).itemsize
+    si = jnp.dtype(store_dtype).itemsize if store_dtype else fi
+    utag = "none"
+    for lvl in range(fp.levels - 1, 0, -1):
+        # update dtype mirrors the driver's per-level auto choice
+        ui = jnp.dtype(_update_dtype_for(front_dtype,
+                                         _u_bytes(fp, lvl))).itemsize
+        nc = 1
+        while (nc < (1 << lvl)
+               and _level_floor_bytes(fp, lvl, utag, fi, ui, si, nc)
+               * _CHUNK_FUDGE > budget):
+            nc *= 2
+        if nc > 1:
+            out[lvl] = nc
+        utag = "xxt" if utag == "none" and fp.F[lvl] > fp.W[lvl] else "arr"
+    return out
+
+
+def _take_child_rows(pieces: List, counts: List[int], r0: int, r1: int):
+    """Row slice [r0, r1) of the logical concatenation of `pieces` (child
+    update arrays stacked along axis 0, sizes `counts`). Returns a whole
+    piece without copying when the span matches one exactly; otherwise
+    slices/concatenates on device."""
+    if len(pieces) == 1 and r0 == 0 and r1 == counts[0]:
+        return pieces[0]
+    parts = []
+    off = 0
+    for arr, cnt in zip(pieces, counts):
+        lo, hi = max(r0 - off, 0), min(r1 - off, cnt)
+        if lo < hi:
+            parts.append(arr if (lo == 0 and hi == cnt) else arr[lo:hi])
+        off += cnt
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
 def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
                             extadd: str = "hybrid3", root_mesh=None,
                             donate: bool = True, store_dtype=None,
                             upload: bool = False,
-                            offload: bool = False) -> Tuple[jax.Array, ...]:
+                            offload: bool = False,
+                            chunks: Optional[dict] = None
+                            ) -> Tuple[jax.Array, ...]:
     """Level-streamed factorization (see note above): same math and result
     as frontal_factor, executed as `levels` donating programs. `fronts` are
     CONSUMED when donate=True (like the donating monolithic jit).
@@ -1441,7 +1606,13 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
     factor store plus the near-root f32 working slabs exceed HBM. The
     returned tuple then contains host (NumPy) arrays for the offloaded
     levels (level 0 stays on device); callers may device_put them back if
-    the total fits."""
+    the total fits.
+
+    chunks: {lvl: nc} batch-chunk overrides (see _level_chunk_counts);
+    None = decide from the analytic floor vs the HBM budget. Levels whose
+    single program cannot fit HBM run as nc donating chunk programs over
+    block slices — required past ~2M dofs, where ONE mid-tree transition
+    exceeds the chip."""
     root_mesh = _effective_root_mesh(fp, root_mesh)
     lazy = isinstance(fronts, LazyFronts)
     if upload and not isinstance(fronts, list):
@@ -1454,12 +1625,80 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
             int(np.prod(f.shape)) * jnp.dtype(f.dtype).itemsize
             for f in fronts)
     gm_cap = _effective_gathermm_cap(total_front_bytes)
+    if chunks is None:
+        chunks = _level_chunk_counts(fp, front_dtype, store_dtype)
     levels = fp.levels
     out: List[jax.Array] = [None] * levels
     u_arr = None
+    u_pieces: Optional[List] = None     # child update as batch pieces
+    u_counts: Optional[List[int]] = None
     utag = "none"
+    debug = _os.environ.get("CHOLESKY_TPU_STREAM_DEBUG") == "1"
     fuse_start = _top_fuse_start(fp, jnp.dtype(front_dtype).itemsize)
     for lvl in range(levels - 1, -1, -1):
+        Wl, Fl = fp.W[lvl], fp.F[lvl]
+        nc = chunks.get(lvl, 1) if lvl > 0 and lvl != fuse_start else 1
+        if nc > 1:
+            cb = (1 << lvl) // nc
+            if debug:
+                print(f"# stream lvl{lvl}: {nc} chunks x {cb} blocks",
+                      flush=True)
+            update_dtype = _update_dtype_for(jnp.dtype(front_dtype),
+                                             _u_bytes(fp, lvl))
+            fac_pieces, new_pieces = [], []
+            for c in range(nc):
+                view = _BatchView(fp, lvl, c * cb, (c + 1) * cb)
+                fn = _level_step_jit(view, lvl, utag, extadd, gm_cap,
+                                     update_dtype, None, donate,
+                                     store_dtype=store_dtype)
+                if lazy:
+                    piv_c = fronts.chunk(lvl, c * cb, (c + 1) * cb)
+                elif upload:
+                    piv_c = jnp.asarray(fronts[lvl][c * cb:(c + 1) * cb])
+                else:
+                    piv_c = jnp.asarray(fronts[lvl][c * cb:(c + 1) * cb])
+                if utag == "none":
+                    res = fn(piv_c)
+                else:
+                    u_c = _take_child_rows(u_pieces, u_counts,
+                                           2 * c * cb, 2 * (c + 1) * cb)
+                    # drop fully-consumed pieces: with aligned chunking the
+                    # piece IS the chunk's input and donation frees it; a
+                    # sliced parent piece is freed once its last chunk ran
+                    off = 0
+                    for i, cnt in enumerate(u_counts):
+                        if off + cnt <= 2 * (c + 1) * cb:
+                            u_pieces[i] = None
+                        off += cnt
+                    res = fn(piv_c, u_c)
+                    del u_c
+                del piv_c
+                fac_c, nxt = res
+                new_pieces.append(nxt)
+                if offload:
+                    fac_pieces.append(jax.device_get(fac_c))
+                else:
+                    np.asarray(fac_c[:1, :1, 0])   # completion sync
+                    fac_pieces.append(fac_c)
+                del fac_c, res
+            if upload:
+                fronts[lvl] = None
+            out[lvl] = (np.concatenate(fac_pieces, axis=0) if offload
+                        else jnp.concatenate(fac_pieces, axis=0))
+            del fac_pieces
+            utag = ("xxt" if utag == "none" and Fl > Wl else "arr")
+            u_pieces, u_counts = new_pieces, [cb] * nc
+            if debug:
+                o = out[lvl]
+                print(f"# stream lvl{lvl} done (chunked x{nc}): "
+                      f"out={o.shape}{o.dtype}", flush=True)
+            continue
+        if utag != "none":
+            # reconcile chunk pieces into the single update operand the
+            # unchunked program consumes (no copy when already one piece)
+            u_arr = _take_child_rows(u_pieces, u_counts, 0, sum(u_counts))
+            u_pieces = [u_arr]
+            u_counts = [sum(u_counts)]
         if lvl == fuse_start:
             # the remaining (narrow) levels run as one fused program
             ffn = _top_fused_jit(fp, lvl, utag, extadd, gm_cap, front_dtype,
@@ -1476,7 +1715,6 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
                 out[l] = (jax.device_get(facs[i]) if offload and l > 0
                           else facs[i])
             return tuple(out)
-        Wl, Fl = fp.W[lvl], fp.F[lvl]
         fn = _level_step_jit(fp, lvl, utag, extadd, gm_cap,
                              _update_dtype_for(jnp.dtype(front_dtype),
                                                _u_bytes(fp, lvl)),
@@ -1503,6 +1741,7 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
             u_arr, utag = nxt, "xxt"
         else:
             u_arr, utag = nxt, "arr"
+        u_pieces, u_counts = [u_arr], [1 << lvl]
         if offload:
             # move the stored factor to host immediately (blocks until the
             # level program finishes — this is also the dispatch throttle)

@@ -295,6 +295,82 @@ def test_streamed_factor_offload(monkeypatch):
     assert s2.residual(b, x2) <= 1e-10
 
 
+def test_chunked_levels_match_unchunked():
+    """Batch-chunked level programs (the >2M-dof configuration where ONE
+    level transition exceeds HBM) match the unchunked streamed run across
+    mixed chunk maps — including entry-boundary slicing (unchunked child
+    feeding a chunked parent), aligned piece handoff, and exit-boundary
+    reconciliation (chunked child feeding an unchunked parent)."""
+    n, r, c, v, o, cl, b = generate_problem((12, 12, 12), 6)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    fp = s.fplan
+    asm = frontal.FrontAssembler(fp, s.rows, s.cols)
+    fronts = tuple(asm(s.vals, dtype=np.float64))
+    ref = frontal.frontal_factor_streamed(fp, fronts, donate=False,
+                                          chunks={})
+    for chunks in ({5: 2, 4: 2}, {5: 4, 4: 2, 3: 2}, {5: 8, 3: 4, 2: 2},
+                   {4: 4}):
+        lz = frontal.LazyFronts(asm, s.vals, dtype=np.float64)
+        out = frontal.frontal_factor_streamed(fp, lz, donate=True,
+                                              offload=True, chunks=chunks)
+        for a_, b_ in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                       rtol=1e-12, atol=1e-12)
+
+
+def test_chunk_assembly_matches_slab_slice():
+    """Per-chunk lazy assembly produces exactly the corresponding slice of
+    the full level slab (incl. padded-diagonal ones)."""
+    n, r, c, v, o, cl, b = generate_problem((14, 13), 4)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    fp = s.fplan
+    asm = frontal.FrontAssembler(fp, s.rows, s.cols)
+    lz = frontal.LazyFronts(asm, s.vals, dtype=np.float32)
+    for lvl in range(1, fp.levels):
+        full = np.asarray(lz[lvl])
+        B = 1 << lvl
+        for nc in (2, B):
+            cb = B // nc
+            got = np.concatenate([np.asarray(lz.chunk(lvl, c * cb,
+                                                      (c + 1) * cb))
+                                  for c in range(nc)], axis=0)
+            np.testing.assert_array_equal(full, got)
+
+
+def test_chunk_count_decision():
+    """_level_chunk_counts: a forced-small budget chunks the big mid
+    levels, never the root, and halves the floor per doubling; the default
+    budget leaves toy problems unchunked; the env override wins."""
+    import os
+
+    n, r, c, v, o, cl, b = generate_problem((12, 12, 12), 6)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    fp = s.fplan
+    assert frontal._level_chunk_counts(fp, np.float32, None) == {}
+    forced = frontal._level_chunk_counts(fp, np.float32, None,
+                                         budget=1 << 20)
+    assert forced and 0 not in forced
+    assert all(nc >= 2 and (1 << lvl) % nc == 0
+               for lvl, nc in forced.items())
+    os.environ["CHOLESKY_TPU_LEVEL_CHUNKS"] = "4:2,3:2"
+    try:
+        assert frontal._level_chunk_counts(fp, np.float32, None) == {
+            4: 2, 3: 2}
+    finally:
+        del os.environ["CHOLESKY_TPU_LEVEL_CHUNKS"]
+
+
+def test_chunked_end_to_end_residual(monkeypatch):
+    """Full solve through env-forced chunked streamed factorization (fp32
+    factor + IR) meets the 1e-10 residual contract."""
+    monkeypatch.setenv("CHOLESKY_TPU_STREAM", "1")
+    monkeypatch.setenv("CHOLESKY_TPU_LEVEL_CHUNKS", "3:2,2:2")
+    n, r, c, v, o, cl, b = generate_problem((16, 15), 4)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    x = s.solve(b)
+    assert s.residual(b, x) <= 1e-10
+
+
 def test_streamed_upload_matches_monolithic():
     """upload=True (host arrays shipped level by level) with no storage
     cast produces bit-identical factors to the monolithic program."""
