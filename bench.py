@@ -675,6 +675,17 @@ def main(argv=None):
                     dtype=args.dtype)
             except Exception as e:  # noqa: BLE001
                 result["fixture_3375"] = {"error": type(e).__name__}
+    # Field order = reading order: the honest gates (per-call wall GFLOP/s,
+    # peak_fraction, residual) come right after the headline; the CPU-replay
+    # ratio vs_baseline trails them (it compares against a NumPy schedule
+    # replay — see README — and reads as a straw man without that context).
+    front = ["metric", "value", "unit", "factor_gflops_wall",
+             "factor_wall_s", "factor_device_s", "peak_fraction",
+             "gemm_peak_tflops", "syrk_root_tflops", "residual",
+             "residual_ok", "solve_wall_s", "residual_production",
+             "vs_baseline"]
+    result = {**{k: result[k] for k in front if k in result},
+              **{k: v for k, v in result.items() if k not in front}}
     print(json.dumps(result))
     return 0
 

@@ -1653,9 +1653,11 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
                                      store_dtype=store_dtype)
                 if lazy:
                     piv_c = fronts.chunk(lvl, c * cb, (c + 1) * cb)
-                elif upload:
-                    piv_c = jnp.asarray(fronts[lvl][c * cb:(c + 1) * cb])
                 else:
+                    # upload (host fronts) and eager (device fronts) share
+                    # this: slicing a host array ships only the chunk H2D;
+                    # slicing a device array copies the chunk on device so
+                    # the chunk program can donate it
                     piv_c = jnp.asarray(fronts[lvl][c * cb:(c + 1) * cb])
                 if utag == "none":
                     res = fn(piv_c)

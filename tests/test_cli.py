@@ -46,28 +46,62 @@ def check_solution(matrix_file, b_file, solution_file):
     return np.allclose(ref, sol, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("name", ["lapl_9x9", "lapl_25x25"])
+# ALL FOUR reference fixtures go through the CLI subprocess — the
+# reference's harness contract includes its two largest fixtures through
+# the binary (test_matrices.py:97-142, with -ll:csize 4000 on the largest).
+@pytest.mark.parametrize("name", ["lapl_9x9", "lapl_25x25", "lapl_400x400",
+                                  "lapl_3375x3375"])
 def test_cli_end_to_end(name, tmp_path):
     p = fixture_paths(name)
     sol = str(tmp_path / "solution.txt")
     fac = str(tmp_path / "factored.mtx")
     perm = str(tmp_path / "permuted.mtx")
-    # reference harness flags incl. Legion passthroughs (test_matrices.py:27)
+    # reference harness flags incl. Legion passthroughs (test_matrices.py:27;
+    # the largest fixture also passes -ll:csize 4000, :137)
+    extra = ["-ll:csize", "4000"] if name == "lapl_3375x3375" else []
+    # the permuted-matrix dump is a dense-matrix file write; skip it for the
+    # largest fixture (the reference's harness also only passes -o/-m there)
+    dump = [] if name == "lapl_3375x3375" else ["-p", perm]
     r = run_cli(["-i", p["mat"], "-s", p["separators"], "-c", p["clusters"],
-                 "-b", p["b"], "-o", sol, "-m", fac, "-p", perm,
-                 "-fflow", "0", "-ll:cpu", "3", "-fcuda", "0"])
+                 "-b", p["b"], "-o", sol, "-m", fac, *dump,
+                 "-fflow", "0", "-ll:cpu", "3", "-fcuda", "0", *extra])
     assert r.returncode == 0, r.stderr
     assert "Done factoring" in r.stdout and "Done solve." in r.stdout
     assert check_matrix(p["mat"], p["separators"], fac)
     assert check_solution(p["mat"], p["b"], sol)
-    # permuted matrix dump equals golden permutation
-    from cholesky_tpu.io import ordering as ordio
-    from cholesky_tpu.symbolic.plan import build_plan, permute_matrix_dense
+    if dump:
+        # permuted matrix dump equals golden permutation
+        from cholesky_tpu.io import ordering as ordio
+        from cholesky_tpu.symbolic.plan import build_plan, permute_matrix_dense
 
-    plan = build_plan(ordio.parse_ordering(p["separators"]))
-    a = mmio.read_dense(p["mat"])
-    pm = np.tril(scipy.io.mmread(perm).toarray())
-    np.testing.assert_allclose(pm, permute_matrix_dense(plan, a))
+        plan = build_plan(ordio.parse_ordering(p["separators"]))
+        a = mmio.read_dense(p["mat"])
+        pm = np.tril(scipy.io.mmread(perm).toarray())
+        np.testing.assert_allclose(pm, permute_matrix_dense(plan, a))
+
+
+def test_cli_debug_dump_oracle(tmp_path):
+    """The bisecting oracle END-TO-END (reference verify.py:216-275): run the
+    CLI with -d + --debug-dumps on lapl_400x400 so it writes the op log AND
+    per-op .mtx snapshots, then drive verify.replay.debug_factor over the
+    dumps — every intermediate state must match the NumPy replay, and the
+    final factor must match scipy."""
+    p = fixture_paths("lapl_400x400")
+    dbg = str(tmp_path / "dbg")
+    fac = str(tmp_path / "factored.mtx")
+    r = run_cli(["-i", p["mat"], "-s", p["separators"], "-c", p["clusters"],
+                 "-d", dbg, "--debug-dumps", "-m", fac])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(os.path.join(dbg, "output"))
+    import glob
+
+    dumps = glob.glob(os.path.join(dbg, "*.mtx"))
+    assert dumps, "no per-op dumps written"
+    from cholesky_tpu.verify import replay
+
+    assert replay.debug_factor(p["mat"], p["separators"], fac,
+                               os.path.join(dbg, "output"), dbg,
+                               rtol=1e-10, atol=1e-10)
 
 
 def test_cli_iterations(tmp_path):
