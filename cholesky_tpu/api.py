@@ -101,9 +101,6 @@ class SparseCholesky:
             signs = np.asarray(signs, dtype=np.float64).reshape(-1)
             if signs.shape[0] != plan.n or not np.all(np.abs(signs) == 1.0):
                 raise ValueError("signs must be [n] of +1/-1")
-            if mesh is not None:
-                raise NotImplementedError(
-                    "quasi-definite LDL^T: single chip only")
             if np.all(signs == 1.0):
                 signs = None        # all-positive signature IS Cholesky
             self.signs = signs
@@ -967,8 +964,10 @@ class SparseCholesky:
         BatchedFactors handle (solve / logdet / residual per system);
         this solver's own factor state is untouched. In-core only. With
         a mesh, the SYSTEM axis shards over the devices — each chip owns
-        K/ndev independent factorizations (embarrassingly parallel; the
-        mesh shards the family here, not the tree)."""
+        ⌈K/ndev⌉ independent factorizations (embarrassingly parallel; the
+        mesh shards the family here, not the tree). K that doesn't divide
+        the mesh is padded with copies of the last system and sliced back
+        (≤ ndev−1 redundant factorizations instead of full replication)."""
         self._require_spd("factorize_many")
         vals_many = np.asarray(vals_many, dtype=np.float64)
         if vals_many.ndim != 2 or vals_many.shape[1] != self.vals.shape[0]:
@@ -977,10 +976,19 @@ class SparseCholesky:
                 f"coo_pattern(); got {vals_many.shape}")
         k = vals_many.shape[0]
         ndev = int(self.mesh.devices.size) if self.mesh is not None else 1
-        if k % ndev:
-            ndev = 1                      # replicated fallback (mesh.py)
-        # in-core guard (per chip): K/ndev fronts + factors + temps
-        need = 3 * (k // ndev) * self._factor_bytes()
+        pad = (-k) % ndev
+        if pad:
+            # non-divisible K still SHARDS: pad the family to the next
+            # multiple of the mesh with copies of the last system (≤ ndev−1
+            # redundant factorizations — each chip owns ⌈K/ndev⌉ systems,
+            # vs replication's K-per-chip), then slice the results back
+            vals_padded = np.concatenate(
+                [vals_many, np.repeat(vals_many[-1:], pad, axis=0)], axis=0)
+        else:
+            vals_padded = vals_many
+        kp = k + pad
+        # in-core guard (per chip): ⌈K/ndev⌉ fronts + factors + temps
+        need = 3 * (kp // ndev) * self._factor_bytes()
         budget = self._hbm_budget(0.85)
         if need > budget:
             raise MemoryError(
@@ -991,13 +999,14 @@ class SparseCholesky:
 
         if self.mesh is None and self._device_assembly_ok():
             # upload [K, nnz] once; the K-fold slabs never exist on host
-            fronts = self._assembler()(vals_many, dtype=self.dtype)
+            fronts = self._assembler()(vals_padded, dtype=self.dtype)
         else:
             fronts = frontal.assemble_fronts(
-                self.fplan, self.rows, self.cols, vals_many, dtype=self.dtype)
+                self.fplan, self.rows, self.cols, vals_padded,
+                dtype=self.dtype)
         with _precision_ctx(self.precision):
             factors = frontal.factor_many(self.fplan, fronts, mesh=self.mesh)
-        return BatchedFactors(self, factors, vals_many)
+        return BatchedFactors(self, factors, vals_many, pad=pad)
 
     # ------------------------------------------------------------------
     # Closed-form gradients w.r.t. the matrix values (the COO entries
@@ -1472,11 +1481,15 @@ class BatchedFactors:
     low-precision factors), logdet, residual. All device work is vmapped —
     one program for the whole family."""
 
-    def __init__(self, solver: SparseCholesky, factors, vals_many):
+    def __init__(self, solver: SparseCholesky, factors, vals_many,
+                 pad: int = 0):
         self._s = solver
-        self.factors = factors       # per-level [K, B, F, W]
+        self.factors = factors       # per-level [K+pad, B, F, W]
         self.vals_many = vals_many   # [K, nnz] f64, solver's coo_pattern
         self.k = int(vals_many.shape[0])
+        self.pad = pad               # mesh-divisibility padding (copies of
+        #                              the last system); sliced off every
+        #                              user-facing result
         self._csr = None
 
     def _csr_family(self):
@@ -1512,8 +1525,11 @@ class BatchedFactors:
 
         s = self._s
         bp = np.asarray(b, dtype=s.dtype)[:, s.plan.perm]
+        if self.pad:
+            bp = np.concatenate(
+                [bp, np.repeat(bp[-1:], self.pad, axis=0)], axis=0)
         xp = np.asarray(frontal.solve_many_systems(
-            s.fplan, self.factors, bp, mesh=s.mesh))
+            s.fplan, self.factors, bp, mesh=s.mesh))[:self.k]
         x = np.empty_like(xp)
         x[:, s.plan.perm] = xp
         return x.astype(np.float64)
@@ -1560,8 +1576,8 @@ class BatchedFactors:
         total = np.zeros(self.k)
         for lvl, p in enumerate(self.factors):
             w = int(fp.W[lvl])
-            d = np.asarray(jnp.diagonal(p[:, :, :w, :w], axis1=2, axis2=3)
-                           ).astype(np.float64)
+            d = np.asarray(jnp.diagonal(p[:self.k, :, :w, :w],
+                                        axis1=2, axis2=3)).astype(np.float64)
             total += np.log(d).sum(axis=(1, 2))
         return 2.0 * total
 

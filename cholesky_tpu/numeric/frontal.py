@@ -2229,6 +2229,9 @@ def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
 
     if extadd is None:
         extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "hybrid3")
+    # the UNGATED mesh governs data distribution (offload re-upload
+    # shardings); _effective_root_mesh only gates the collective root front
+    dist_mesh = root_mesh
     root_mesh = _effective_root_mesh(fp, root_mesh)
     lazy = isinstance(fronts, LazyFronts)
     if lazy:
@@ -2274,7 +2277,20 @@ def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
             stored = sum(int(np.prod(f.shape))
                          * jnp.dtype(getattr(f, "dtype", jnp.float32)).itemsize
                          for f in out)
-            if stored <= _F32_STORE_BYTES:
+            if dist_mesh is not None:
+                # per-chip residency is stored/ndev on the sharded levels —
+                # scale the re-upload gate by the mesh and restore the slot
+                # shardings (a bare device_put would collapse the factor
+                # onto one chip and defeat the capacity scaling)
+                from cholesky_tpu.parallel.mesh import panel_sharding
+
+                ndev = int(dist_mesh.devices.size)
+                if stored <= _F32_STORE_BYTES * ndev:
+                    out = tuple(
+                        f if isinstance(f, jax.Array)
+                        else jax.device_put(f, panel_sharding(dist_mesh, lvl))
+                        for lvl, f in enumerate(out))
+            elif stored <= _F32_STORE_BYTES:
                 out = tuple(f if isinstance(f, jax.Array)
                             else jax.device_put(f) for f in out)
         return out

@@ -23,9 +23,12 @@ three sign touch-points:
   solve:   z = L̃⁻¹b;  w = S·z;  x = L̃⁻ᵀw    (one sign scale mid-solve)
   logdet:  log|det A| = 2·Σ log diag(L̃d),  sign(det A) = (−1)^{#negative}
 
-Scope: frontal engine, in-core, monolithic program, single chip. f64
-reaches the 1e-10 residual gate directly; f32 factors pair with the
-host-driven iterative-refinement loop in `api.SparseCholesky.solve`.
+Scope: frontal engine, in-core, monolithic program. Under a device mesh the
+factor and solve programs are pure jit over slot-sharded fronts, so GSPMD
+distributes them exactly like the SPD path (tests/test_parallel.py::
+test_mesh_quasi_definite). f64 reaches the 1e-10 residual gate directly;
+f32 factors pair with the host-driven iterative-refinement loop in
+`api.SparseCholesky.solve`.
 """
 
 from __future__ import annotations

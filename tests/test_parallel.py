@@ -95,10 +95,16 @@ def test_family_shards_over_mesh(mesh):
     np.testing.assert_allclose(x1, xD, rtol=1e-12, atol=1e-12)
     assert np.all(bfD.residual(B, xD) <= 1e-10)
 
-    # K=5 doesn't divide 8 devices: replicated fallback, still correct
+    # K=5 doesn't divide 8 devices: the family PADS to 8 with copies of
+    # the last system and still shards (each chip owns one), rather than
+    # replicating all 5 on every chip
     bf5 = sD.factorize_many(vals[:5])
+    assert bf5.pad == 3
+    assert bf5.factors[0].shape[0] == 8
+    assert len(bf5.factors[0].sharding.device_set) == 8
     x5 = bf5.solve(B[:5])
     assert np.all(bf5.residual(B[:5], x5) <= 1e-10)
+    assert bf5.logdet().shape == (5,)
 
 
 def test_mesh_fp32_production_solve(mesh):
@@ -131,6 +137,148 @@ def test_mesh_fp32_streamed_factorization(mesh):
         assert s.residual(b, x) <= 1e-10
     finally:
         del os.environ["CHOLESKY_TPU_STREAM"]
+
+
+def _env(**kv):
+    """Context manager setting env knobs and restoring them."""
+    import contextlib
+    import os
+
+    @contextlib.contextmanager
+    def ctx():
+        old = {k: os.environ.get(k) for k in kv}
+        os.environ.update({k: str(v) for k, v in kv.items()})
+        try:
+            yield
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+    return ctx()
+
+
+def test_mesh_bf16_store(mesh):
+    """mesh x bf16 factor store: the streamed path stores each level's
+    factor bfloat16 under slot sharding; fp32 pivot inverses + IR recover
+    the 1e-10 contract. This is the capacity regime that halves per-chip
+    factor residency ON TOP of the 1/ndev slot sharding."""
+    with _env(CHOLESKY_TPU_STREAM="1", CHOLESKY_TPU_STORE_DTYPE="bfloat16"):
+        n, r, c, v, o, cl, b = generate_problem((24, 24), 5)
+        s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32,
+                                    mesh=mesh)
+        s.factorize()
+        import jax.numpy as jnp
+
+        assert s.panels[4].dtype == jnp.bfloat16
+        assert len(s.panels[4].sharding.device_set) == 8
+        x = s.solve(b, tol=1e-10)
+        assert s.residual(b, x) <= 1e-10
+
+
+def test_mesh_chunked_levels(mesh):
+    """mesh x batch-chunked level programs: a level too big for one
+    transition runs as nc donating chunk programs over block slices, each
+    slice still slot-sharded over the mesh. Forced via
+    CHOLESKY_TPU_LEVEL_CHUNKS on a small problem; matches the unchunked
+    mesh result exactly."""
+    n, r, c, v, o, cl, b = generate_problem((26, 22), 6)   # leaf level: 32 blocks
+    with _env(CHOLESKY_TPU_STREAM="1", CHOLESKY_TPU_LEVEL_CHUNKS="5:2,4:2"):
+        sC = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32,
+                                     mesh=mesh)
+        sC.factorize()
+        xC = sC.solve(b, tol=1e-10)
+        assert sC.residual(b, xC) <= 1e-10
+    s1 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    np.testing.assert_allclose(
+        np.asarray(sC.panels[0]), np.asarray(s1.factorize()[0]),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_mesh_offload(mesh):
+    """mesh x host offload: each completed level's stored factor moves to
+    host during factorization, then re-uploads WITH its slot sharding
+    restored (a bare device_put would collapse onto one chip). Residual
+    contract holds through the round trip."""
+    import jax as _jax
+
+    with _env(CHOLESKY_TPU_STREAM="1", CHOLESKY_TPU_OFFLOAD="1"):
+        n, r, c, v, o, cl, b = generate_problem((24, 24), 5)
+        s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32,
+                                    mesh=mesh)
+        s.factorize()
+        # re-uploaded wide level regained the 8-device slot sharding
+        assert isinstance(s.panels[4], _jax.Array)
+        assert len(s.panels[4].sharding.device_set) == 8
+        x = s.solve(b, tol=1e-10)
+        assert s.residual(b, x) <= 1e-10
+
+
+def test_mesh_capacity_composition(mesh):
+    """All capacity regimes at once under the mesh: streamed + chunked +
+    bf16 store + offload — the full big-problem configuration on 8 devices,
+    still meeting 1e-10."""
+    with _env(CHOLESKY_TPU_STREAM="1", CHOLESKY_TPU_LEVEL_CHUNKS="5:2",
+              CHOLESKY_TPU_STORE_DTYPE="bfloat16", CHOLESKY_TPU_OFFLOAD="1"):
+        n, r, c, v, o, cl, b = generate_problem((26, 22), 6)
+        s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32,
+                                    mesh=mesh)
+        s.factorize()
+        x = s.solve(b, tol=1e-10)
+        assert s.residual(b, x) <= 1e-10
+
+
+def test_mesh_quasi_definite(mesh):
+    """LDLᵀ under the mesh (VERDICT r2 #2: previously raised
+    NotImplementedError): the signed factor/solve programs are pure jit
+    over slot-sharded fronts, so GSPMD distributes them like the SPD path.
+    f64 direct to 1e-10; identical to the single-chip factor."""
+    n, r, c, v, o, cl, b = generate_problem((16, 16), 4)
+    rng = np.random.default_rng(3)
+    s = np.where(rng.random(n) < 0.4, -1.0, 1.0)
+    # make it quasi-definite with this signature: flip diagonal signs and
+    # add dominance margin
+    diag = r == c
+    vq = v.copy()
+    vq[diag] = s[r[diag]] * (np.abs(v[diag]) + 1.0)
+
+    s1 = SparseCholesky.from_coo(n, r, c, vq, o, cl, signs=s)
+    sD = SparseCholesky.from_coo(n, r, c, vq, o, cl, signs=s, mesh=mesh)
+    sD.factorize()
+    assert len(sD.panels[3].sharding.device_set) == 8
+    xD = sD.solve(b)
+    assert sD.residual(b, xD) <= 1e-10
+    np.testing.assert_allclose(xD, s1.solve(b), rtol=1e-12, atol=1e-12)
+    # slogdet agrees across the two placements
+    (sg1, ld1), (sgD, ldD) = s1.slogdet(), sD.slogdet()
+    assert sg1 == sgD
+    np.testing.assert_allclose(ld1, ldD, rtol=1e-12)
+
+
+def test_mesh_per_chip_memory_scaling(mesh):
+    """AOT memory_analysis (per-device under SPMD): the widest level's
+    donating program holds ~1/8 the bytes per chip when its operands are
+    slot-sharded over the 8-device mesh — the Realm memory-capacity-scaling
+    property (SURVEY §5) demonstrated without TPU hardware. Threshold 0.2
+    leaves headroom over the exact 0.125 for replicated edges."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import memcheck_mesh as mm
+    from cholesky_tpu.numeric import frontal
+    from cholesky_tpu.symbolic.plan import build_plan
+
+    n, r, c, v, o, cl, b = generate_problem((24, 24), 5)
+    plan = build_plan(o, cl)
+    fp = frontal.build_frontal_plan(plan, r, c)
+    lvl = fp.levels - 1                       # 16 blocks on 8 devices
+    one = mm.analyze(fp, lvl, None, 8 << 30)
+    eight = mm.analyze(fp, lvl, mesh, 8 << 30)
+    peak1 = one["args"] + one["temp"] + max(0, one["out"] - one["alias"])
+    peak8 = (eight["args"] + eight["temp"]
+             + max(0, eight["out"] - eight["alias"]))
+    assert peak8 <= 0.2 * peak1, (peak8, peak1)
 
 
 def test_mesh_family_fp32_refined(mesh):
