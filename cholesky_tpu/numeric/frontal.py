@@ -1095,16 +1095,49 @@ def _gathermm_bytes(fp: FrontalPlan, U, child_lvl: int) -> int:
 ROOT_DIST_MIN = 2048   # min root-front size for the collective factorization
 
 
+class _RootSpec(tuple):
+    """Hashable (mesh, scheme, block) resolved at dispatch — it rides the
+    trace-cache keys, so flipping CHOLESKY_TPU_ROOT_SCHEME/_ROOT_BLOCK
+    between calls gets a fresh program instead of a stale cached one."""
+
+    __slots__ = ()
+
+    def __new__(cls, mesh, scheme: str, block: int):
+        return super().__new__(cls, (mesh, scheme, block))
+
+    @property
+    def mesh(self):
+        return self[0]
+
+    @property
+    def scheme(self):
+        return self[1]
+
+    @property
+    def block(self):
+        return self[2]
+
+
 def _effective_root_mesh(fp: "FrontalPlan", root_mesh):
     """Resolve the collective-root decision ONCE at dispatch: the mesh is
     forwarded to the level programs only when the root front is wide enough
-    to amortize the per-step [F, block] collectives (CHOLESKY_TPU_ROOT_DIST_MIN
-    overrides the default). _factor_level trusts a non-None root_mesh."""
+    to amortize the per-step collectives (CHOLESKY_TPU_ROOT_DIST_MIN
+    overrides the default), wrapped as a _RootSpec carrying the 1-D/2-D
+    scheme and block-size routing (dist_cholesky._pick_scheme).
+    _factor_level trusts a non-None root_mesh."""
     if root_mesh is None:
         return None
+    if isinstance(root_mesh, _RootSpec):     # already resolved
+        return root_mesh
     dist_min = int(_os.environ.get("CHOLESKY_TPU_ROOT_DIST_MIN",
                                    ROOT_DIST_MIN))
-    return root_mesh if fp.W[0] >= dist_min else None
+    if fp.W[0] < dist_min:
+        return None
+    from cholesky_tpu.parallel.dist_cholesky import _pick_scheme
+
+    block = int(_os.environ.get("CHOLESKY_TPU_ROOT_BLOCK", "256"))
+    ndev = int(root_mesh.devices.size)
+    return _RootSpec(root_mesh, _pick_scheme(fp.W[0], ndev, block), block)
 
 
 # past this many bytes per accumulated child-update array [B, K, K], the
@@ -1205,12 +1238,14 @@ def _factor_level(fp: FrontalPlan, lvl: int, piv, U, extadd: str,
                                                 defer_T=True)
         if lvl == 0 and root_mesh is not None and B == 1:
             # collective root-front factorization over the ICI mesh
-            # (root_mesh is pre-gated by _effective_root_mesh at dispatch)
-            from cholesky_tpu.parallel.dist_cholesky import (
-                distributed_cholesky)
+            # (root_mesh is a _RootSpec pre-resolved by _effective_root_mesh:
+            # 1-D column-cyclic vs 2-D block-cyclic routed by F and ndev)
+            from cholesky_tpu.parallel import dist_cholesky as _dc
 
-            return distributed_cholesky(slab[0, :Wl, :Wl], root_mesh)[None], \
-                None
+            fn = (_dc.distributed_cholesky_2d if root_mesh.scheme == "2d"
+                  else _dc.distributed_cholesky)
+            return fn(slab[0, :Wl, :Wl], root_mesh.mesh,
+                      block=root_mesh.block)[None], None
         if _use_lanes(B, Wl, piv.dtype, Fl):
             from cholesky_tpu.numeric.pallas_kernels import factor_slab_lanes
 
@@ -1265,10 +1300,14 @@ def _factor_level(fp: FrontalPlan, lvl: int, piv, U, extadd: str,
             full = full - expand(fp, U, lvl + 1).astype(full.dtype)
     if lvl == 0 and root_mesh is not None and B == 1:
         # collective root-front factorization over the ICI mesh
-        # (root_mesh is pre-gated by _effective_root_mesh at dispatch)
-        from cholesky_tpu.parallel.dist_cholesky import distributed_cholesky
+        # (root_mesh is a _RootSpec pre-resolved by _effective_root_mesh:
+        # 1-D column-cyclic vs 2-D block-cyclic routed by F and ndev)
+        from cholesky_tpu.parallel import dist_cholesky as _dc
 
-        Ld = distributed_cholesky(full[0, :Wl, :Wl], root_mesh)[None]
+        _fn = (_dc.distributed_cholesky_2d if root_mesh.scheme == "2d"
+               else _dc.distributed_cholesky)
+        Ld = _fn(full[0, :Wl, :Wl], root_mesh.mesh,
+                 block=root_mesh.block)[None]
     elif _use_lanes(B, Wl, piv.dtype, Fl):
         from cholesky_tpu.numeric.pallas_kernels import factor_slab_lanes
 
@@ -2231,7 +2270,8 @@ def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
         extadd = os.environ.get("CHOLESKY_TPU_EXTADD", "hybrid3")
     # the UNGATED mesh governs data distribution (offload re-upload
     # shardings); _effective_root_mesh only gates the collective root front
-    dist_mesh = root_mesh
+    dist_mesh = root_mesh.mesh if isinstance(root_mesh, _RootSpec) \
+        else root_mesh
     root_mesh = _effective_root_mesh(fp, root_mesh)
     lazy = isinstance(fronts, LazyFronts)
     if lazy:

