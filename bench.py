@@ -523,12 +523,15 @@ def main(argv=None):
     # --- correctness gate BEFORE the timing loop (in donate mode the timing
     # chain consumes the factors): full factor+solve with IR to 1e-10 ---
     t_solve = None
+    t_solve_device = None
+    t_pair = None
+    R_solve = 0
     try:
         solver.panels = factors0
         solver.factored = True
         for gate_attempt in range(3):
             try:
-                x = solver.solve(b, tol=1e-11)
+                x = solver.solve(b, tol=1e-10)
                 break
             except Exception as ge:  # noqa: BLE001 — tunnel compiler flakes
                 if gate_attempt == 2:
@@ -536,27 +539,117 @@ def main(argv=None):
                 print(f"# gate attempt {gate_attempt} failed "
                       f"({type(ge).__name__}); retrying", file=sys.stderr)
                 time.sleep(15)
-        # tol 1e-11 relative: one order of margin under the 1e-10 gate
-        # without paying refinement iterations for digits the gate never
-        # checks (the df loop floor is ~3e-14; default tol 1e-12 costs ~3
-        # extra iterations). First call above compiled the solve programs.
+        # tol = 1e-10, the framework's residual contract (BASELINE.md;
+        # the device loop targets tol/3 and each sweep overshoots by ~2.5
+        # digits, so the achieved residual lands well under the gate).
+        # First call above compiled the solve programs.
         t0 = time.perf_counter()
-        x = solver.solve(b, tol=1e-11)
+        x = solver.solve(b, tol=1e-10)
         t_solve = max(time.perf_counter() - t0 - floor, 1e-9)
         residual = solver.residual(b, x)
         gate_error = None
+
+        # Device-time solve series (the factor series' twin): R full
+        # refined solves inside ONE fori_loop program — per-solve device
+        # time without the per-call dispatch floor. Skipped in regimes
+        # where the extras are off or memory is the story.
+        if not use_stream and not big and not args.no_extras:
+            from jax import lax
+
+            from cholesky_tpu.numeric import refine as refmod
+
+            ell_pad = solver._ell_padded()
+            if ell_pad is not None:
+                inv_s = (tuple(solver._inv_pivots())
+                         if solver._want_inv_pivots() else None)
+                banded = inv_s is not None
+                if banded:
+                    idx_e, a_hi_e, a_lo_e = ell_pad
+                    n_, _, inv_map_, pad_of_, _ = frontal._banded_maps(fp)
+                    b_ext = np.concatenate(
+                        [b[plan.perm].astype(np.float64), [0.0]])
+                    b_pad = b_ext[np.concatenate([inv_map_, [plan.n]])]
+                    bh, bl = refmod.split_f64(b_pad)
+                else:
+                    idx_e, a_hi_e, a_lo_e = [
+                        jnp.asarray(t) for t in solver._ell_perm()]
+                    bh, bl = refmod.split_f64(
+                        b[plan.perm].astype(np.float64))
+                bs_dev = jnp.asarray(np.stack([bh, bl]))
+                bnorm_g = float(np.linalg.norm(b))
+                tol_abs = np.float32(1e-10 / 3.0 * bnorm_g)
+                R_solve = 30
+
+                def _solve_series(facs, bs):
+                    def body(i, carry):
+                        b2 = bs + jnp.asarray(1e-12, bs.dtype) * (i + 1)
+                        out = refmod._run.__wrapped__(
+                            fp.key(), facs, inv_s, idx_e, a_hi_e, a_lo_e,
+                            b2, jnp.int32(40), tol_abs, False, banded)
+                        return carry + jnp.sum(out[0])
+                    return lax.fori_loop(0, R_solve, body, jnp.float32(0))
+
+                try:
+                    sfn = jax.jit(_solve_series)
+                    t0 = time.time()
+                    float(sfn(tuple(factors0), bs_dev))
+                    print(f"# solve series compile+first "
+                          f"{time.time()-t0:.1f}s (R={R_solve})",
+                          file=sys.stderr)
+                    ts = []
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        float(sfn(tuple(factors0), bs_dev))
+                        ts.append(time.perf_counter() - t0)
+                    t_solve_device = min(ts) / R_solve
+                except Exception as e:  # noqa: BLE001 — tunnel flakes
+                    print(f"# solve series skipped: {type(e).__name__}: "
+                          f"{e}", file=sys.stderr)
+
+                # The production pair as ONE program: factor + pivot
+                # inversion + refined solve in a single dispatch
+                # (fronts in, x out) — the whole end-to-end latency a
+                # caller pays per (values, rhs) pair.
+                if not donate and fronts is not None:
+                    def _pair_fn(fs, bs):
+                        facs = frontal.frontal_factor(fp, fs,
+                                                      extadd=extadd)
+                        inv_p = (frontal.invert_pivots(fp, facs)
+                                 if banded else None)
+                        out = refmod._run.__wrapped__(
+                            fp.key(), tuple(facs), inv_p, idx_e, a_hi_e,
+                            a_lo_e, bs, jnp.int32(40), tol_abs, False,
+                            banded)
+                        return out
+
+                    try:
+                        pfn = jax.jit(_pair_fn)
+                        t0 = time.time()
+                        jax.block_until_ready(pfn(fronts, bs_dev))
+                        print(f"# pair program compile+first "
+                              f"{time.time()-t0:.1f}s", file=sys.stderr)
+                        ts = []
+                        for _ in range(3):
+                            t0 = time.perf_counter()
+                            jax.block_until_ready(pfn(fronts, bs_dev))
+                            ts.append(time.perf_counter() - t0)
+                        t_pair = max(min(ts) - floor, 1e-9)
+                    except Exception as e:  # noqa: BLE001 — tunnel flakes
+                        print(f"# pair program skipped: "
+                              f"{type(e).__name__}: {e}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — tunnel compiler flakes at scale
         residual = float("nan")
         gate_error = f"{type(e).__name__}"
         print(f"# residual gate failed: {e}", file=sys.stderr)
     solver.panels = None           # about to be donated away
     # free the gate's device caches before the timing chain: the pivot
-    # inverses (~2 GiB at 1M dofs) + ELL planes would otherwise sit in HBM
-    # under the factorization's transition temps
+    # inverses (~2 GiB at 1M dofs) + ELL planes would otherwise sit in
+    # HBM under the factorization's transition temps
     solver._inv_cache = None
     solver._inv_cache_key = None
-    if hasattr(solver, "_ell_cache"):
-        del solver._ell_cache
+    for _attr in ("_ell_cache", "_ell_pad_cache"):
+        if hasattr(solver, _attr):
+            delattr(solver, _attr)
 
     # Timing is one synced call per measurement, min over iters, floor
     # subtracted. A chain of async donating dispatches synced once was

@@ -360,8 +360,8 @@ class SparseCholesky:
         self.panels = None
         self.factored = False
         self._csr = None
-        for attr in ("_ell_cache", "_perm_coo_cache", "_inv_cache",
-                     "_inv_cache_key"):
+        for attr in ("_ell_cache", "_ell_pad_cache", "_perm_coo_cache",
+                     "_inv_cache", "_inv_cache_key"):
             if hasattr(self, attr):
                 delattr(self, attr)
 
@@ -553,11 +553,12 @@ class SparseCholesky:
                 # borderline exit would trip the host safety-net loop below
                 # into a full extra solve (~10x the cost of one more device
                 # iteration)
+                use_inv = self._want_inv_pivots()
                 x_perm, _, rn_rel = refine.solve_refined_df(
                     self.fplan, self.panels, b[self.plan.perm], ell,
                     tol=tol / 3.0, max_iter=max_iter,
-                    inv_pivots=(self._inv_pivots()
-                                if self._want_inv_pivots() else None))
+                    inv_pivots=self._inv_pivots() if use_inv else None,
+                    ell_pad=self._ell_padded(ell) if use_inv else None)
                 x = np.empty(self.plan.n)
                 x[self.plan.perm] = x_perm
                 if rn_rel <= tol:
@@ -724,6 +725,27 @@ class SparseCholesky:
                 ell = tuple(jnp.asarray(a) for a in ell)
             self._ell_cache = ell
         return self._ell_cache
+
+    def _ell_padded(self, ell=None):
+        """ELL planes relabeled into frontal's banded padded basis
+        (refine.pad_ell) for the device refinement loop — shipped to device
+        once and cached with the other pattern caches. Built from the host
+        COO (the permuted-basis device planes in _ell_cache are not pulled
+        back)."""
+        if not hasattr(self, "_ell_pad_cache"):
+            from cholesky_tpu.numeric import refine
+
+            pr, pc, pv = self._perm_coo()
+            host = refine.build_ell(self.plan.n, pr, pc, pv)
+            if host is None:
+                self._ell_pad_cache = None
+            else:
+                import jax.numpy as jnp
+
+                self._ell_pad_cache = tuple(
+                    jnp.asarray(a)
+                    for a in refine.pad_ell(self.fplan, host))
+        return self._ell_pad_cache
 
     def _perm_coo(self):
         """Symmetrized COO in permuted coordinates (for device matvec)."""

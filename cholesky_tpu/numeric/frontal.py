@@ -1825,6 +1825,110 @@ def _use_lanes(B: int, W: int, dtype, F: int = None) -> bool:
     return lanes_eligible(B, W, dtype, F)
 
 
+_BANDED_CACHE = {}
+
+
+def _banded_maps(fp: FrontalPlan):
+    """Level-major padded relabeling of the permuted dofs for the solve
+    chain. Each (level, slot) front gets a CONTIGUOUS block of W[lvl] slots
+    (real pivot dofs first, then dead pad slots), bands ordered leaves →
+    root, so a level's pivot values are a static slice of the padded work
+    vector instead of a [B, W] gather + scatter pair. The level chain is
+    latency-bound on indexed ops (~15 ns/element for gather/scatter vs
+    ~free for slices, measured — tools/prof_scatter.py), and pivot indexing
+    is 2 of the 3 indexed ops per level step; this removes both. Returns
+    (n_pad, offs, inv_map [n_pad] padded→permuted with sentinel n,
+    pad_of [n+1] permuted→padded, bnd_pad per-level [B, F−W] int32
+    boundary ids in the padded basis, sentinel n_pad)."""
+    key = fp.key()
+    hit = _BANDED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    n = fp.plan.n
+    levels = fp.levels
+    offs = [0] * levels
+    off = 0
+    for lvl in range(levels - 1, -1, -1):
+        offs[lvl] = off
+        off += fp.front_rows[lvl].shape[0] * fp.W[lvl]
+    n_pad = off
+    pad_of = np.full(n + 1, n_pad, dtype=np.int64)
+    inv_map = np.full(n_pad, n, dtype=np.int64)
+    for lvl in range(levels):
+        frp = fp.front_rows[lvl][:, :fp.W[lvl]]
+        pos = offs[lvl] + np.arange(frp.size).reshape(frp.shape)
+        real = frp < n
+        pad_of[frp[real]] = pos[real]
+        inv_map[pos[real]] = frp[real]
+    # cache HOST arrays only: jnp.asarray inside a trace yields tracers,
+    # and caching those across calls leaks them (UnexpectedTracerError)
+    bnd_pad = [pad_of[fp.front_rows[lvl][:, fp.W[lvl]:]].astype(np.int32)
+               for lvl in range(levels)]
+    maps = (n_pad, offs, inv_map, np.ascontiguousarray(pad_of[:n]), bnd_pad)
+    _BANDED_CACHE[key] = maps
+    return maps
+
+
+def _solve_banded_core(fp: FrontalPlan, factors, inv_pivots, g):
+    """frontal_solve's inner loops in the level-major padded basis (see
+    _banded_maps): per level the forward step is slice + 2 einsums +
+    boundary scatter-add and the backward step is boundary gather +
+    2 einsums + static update — only ONE indexed op each where the
+    permuted-basis loop pays three (each kernel on this backend costs a
+    ~140 us dependent-chain floor and scatters ~14 ns/element on top —
+    tools/prof_scatter.py). `g` is the PADDED rhs [n_pad + 1] with the
+    sentinel slot 0; returns x padded [n_pad + 1], sentinel 0.
+    Bitwise-identical arithmetic to the permuted-basis inv_pivots loop
+    (same einsums, same operands), so refinement convergence is
+    unchanged."""
+    levels = fp.levels
+    n_pad, offs, _, _, bnd_pad_h = _banded_maps(fp)
+    bnd_pad = [jnp.asarray(bp) for bp in bnd_pad_h]
+    # forward scatter-add garbage landing in the sentinel slot is never
+    # read: band slices stop at n_pad, and the backward pass gathers the
+    # sentinel only for pad boundary rows whose X rows are zero
+    ys = [None] * levels
+    for lvl in range(levels - 1, -1, -1):
+        Wl, Fl = fp.W[lvl], fp.F[lvl]
+        B = fp.front_rows[lvl].shape[0]
+        band = lax.slice(g, (offs[lvl],),
+                         (offs[lvl] + B * Wl,)).reshape(B, Wl)
+        y = jnp.einsum("bij,bj->bi", inv_pivots[lvl], band,
+                       preferred_element_type=band.dtype)
+        ys[lvl] = y
+        if Fl > Wl:
+            X = factors[lvl][:, Wl:, :].astype(y.dtype)
+            contrib = jnp.einsum("bij,bj->bi", X, y,
+                                 preferred_element_type=y.dtype)
+            g = g.at[bnd_pad[lvl]].add(-contrib, mode="drop")
+    xg = jnp.zeros(g.shape[0], g.dtype)
+    for lvl in range(levels):
+        Wl, Fl = fp.W[lvl], fp.F[lvl]
+        rhs = ys[lvl]
+        if Fl > Wl:
+            X = factors[lvl][:, Wl:, :].astype(rhs.dtype)
+            z = xg[bnd_pad[lvl]]                    # ancestor solutions
+            rhs = rhs - jnp.einsum("bij,bi->bj", X, z,
+                                   preferred_element_type=z.dtype)
+        x = jnp.einsum("bji,bj->bi", inv_pivots[lvl], rhs,
+                       preferred_element_type=rhs.dtype)
+        xg = lax.dynamic_update_slice(xg, x.reshape(-1), (offs[lvl],))
+    return xg
+
+
+def _solve_banded(fp: FrontalPlan, factors, inv_pivots, b_perm):
+    """Permuted-basis wrapper around _solve_banded_core: one [n_pad] entry
+    gather + one [n] exit gather (~1 ms each at 125k on the live backend —
+    the device-resident refinement loop avoids both by running entirely in
+    the padded basis, refine._run)."""
+    n_pad, _, inv_map_h, pad_of_h, _ = _banded_maps(fp)
+    b_ext = jnp.concatenate([b_perm, jnp.zeros((1,), b_perm.dtype)])
+    g = jnp.concatenate([b_ext[jnp.asarray(inv_map_h)],
+                         jnp.zeros((1,), b_perm.dtype)])       # [n_pad + 1]
+    xg = _solve_banded_core(fp, factors, inv_pivots, g)
+    return xg[jnp.asarray(pad_of_h)]
+
+
 def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
                   b_perm: jax.Array,
                   inv_pivots: Optional[Sequence[jax.Array]] = None
@@ -1835,12 +1939,23 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
     inv_pivots: optional per-level explicit pivot inverses (invert_pivots).
     Vector-RHS triangular_solve is latency-bound on this backend (12.8 ms
     for the 50^3 leaf level alone); applying a precomputed inverse is one
-    batched matvec (~free). Used by the iterative-refinement loop, where the
-    O(kappa*eps) inverse-application error washes out."""
+    batched matvec (~free), and the level chain then runs in the banded
+    padded basis (_solve_banded) to cut the indexed ops per step 3 → 1.
+    Used by the iterative-refinement loop, where the O(kappa*eps)
+    inverse-application error washes out.
+
+    (A fused per-level operator M = [L_d^{-1}; X·L_d^{-1}] — one einsum per
+    level step instead of two — was implemented and measured SLOWER on the
+    live backend: 24.2 vs 20.1 ms per solve at 50^3/8-level, and the f32
+    product X·L_d^{-1} costs refinement 7 sweeps instead of 3. Deleted;
+    see docs/performance.md.)"""
     plan = fp.plan
     n = plan.n
     levels = fp.levels
     bg = jnp.concatenate([b_perm, jnp.zeros((1,), b_perm.dtype)])
+
+    if inv_pivots is not None:
+        return _solve_banded(fp, factors, inv_pivots, b_perm)
 
     piv_idx = [jnp.asarray(fp.front_rows[l][:, :fp.W[l]]) for l in range(levels)]
     bnd_idx = [jnp.asarray(fp.front_rows[l][:, fp.W[l]:]) for l in range(levels)]

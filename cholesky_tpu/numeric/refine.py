@@ -124,14 +124,47 @@ def _df_add(a_hi, a_lo, b_hi, b_lo):
     return hi, lo
 
 
+def pad_ell(fp, ell):
+    """Relabel ELL planes of the symmetrized PERMUTED matrix into frontal's
+    banded padded basis (frontal._banded_maps): rows reordered to padded
+    positions (pad rows all-sentinel/zero), column ids relabeled, one extra
+    all-sentinel row n_pad so the refinement loop's state vectors carry
+    their zero slot inline. One-time per factorization — cache the result
+    (api caches it next to the permuted ELL)."""
+    from cholesky_tpu.numeric import frontal
+
+    idx, a_hi, a_lo = ell
+    n, K = idx.shape
+    n_pad, _, inv_map, pad_of, _ = frontal._banded_maps(fp)
+    pad_ext = np.concatenate([pad_of, [n_pad]]).astype(np.int32)  # sent n
+    idx_p = np.full((n_pad + 1, K), n_pad, dtype=np.int32)
+    a_hi_p = np.zeros((n_pad + 1, K), dtype=np.float32)
+    a_lo_p = np.zeros((n_pad + 1, K), dtype=np.float32)
+    real = inv_map < n                                 # [n_pad]
+    src = inv_map[real]
+    rows = np.nonzero(real)[0]
+    idx_p[rows] = pad_ext[idx[src]]
+    a_hi_p[rows] = a_hi[src]
+    a_lo_p[rows] = a_lo[src]
+    return idx_p, a_hi_p, a_lo_p
+
+
 def solve_refined_df(fp, factors: Sequence, b64: np.ndarray, ell,
                      tol: float = 1e-12, max_iter: int = 40,
-                     inv_pivots=None, trace_hist: bool = False):
+                     inv_pivots=None, trace_hist: bool = False,
+                     ell_pad=None):
     """Device-resident IR: f32 triangular solves + double-float residuals in
     one while_loop. `b64` is the PERMUTED f64 RHS; `ell` from build_ell on
     the symmetrized PERMUTED matrix; `inv_pivots` optional precomputed pivot
     inverses (frontal.invert_pivots) replacing the latency-bound vector
     triangular solves with batched matvecs.
+
+    With inv_pivots the WHOLE loop — solves, residual matvec, state — runs
+    in frontal's banded padded basis: pivot values are static slices of the
+    work vector and the per-solve entry/exit relabel gathers (~1 ms each at
+    125k dofs) vanish; the only remaining indexed ops are the boundary
+    extend-add and the ELL gather. `ell_pad` optionally supplies the
+    pad_ell() planes (api caches them); computed here if absent.
 
     Returns (x_perm64, iters, rn_rel): the f64 solution in permuted order,
     the iteration count, and the loop's own (double-float) estimate of the
@@ -139,10 +172,24 @@ def solve_refined_df(fp, factors: Sequence, b64: np.ndarray, ell,
     device->host transfer — per-array readbacks each pay the tunnel RPC
     floor (~25 ms). With trace_hist=True a 4th element is appended: the
     per-iteration residual-norm history (diagnostics; extra transfer)."""
-    idx, a_hi, a_lo = ell
-    b_hi, b_lo = split_f64(np.asarray(b64, np.float64))
-    bnorm = float(np.linalg.norm(np.asarray(b64, np.float64)))
+    from cholesky_tpu.numeric import frontal
+
+    b64 = np.asarray(b64, np.float64)
+    bnorm = float(np.linalg.norm(b64))
     inv = tuple(inv_pivots) if inv_pivots is not None else None
+    banded = inv is not None
+    if banded:
+        if ell_pad is None:
+            ell_pad = pad_ell(fp, ell)
+        idx, a_hi, a_lo = ell_pad
+        n = b64.shape[0]
+        _, _, inv_map, pad_of, _ = frontal._banded_maps(fp)
+        b_ext = np.concatenate([b64, [0.0]])
+        b_pad = b_ext[np.concatenate([inv_map, [n]])]  # [n_pad + 1], sent 0
+        b_hi, b_lo = split_f64(b_pad)
+    else:
+        idx, a_hi, a_lo = ell
+        b_hi, b_lo = split_f64(b64)
     if trace_hist:
         # the history buffer is a fixed _HIST_CAP entries; clamp so the
         # while_loop can never scatter out of bounds (silently dropped
@@ -152,11 +199,13 @@ def solve_refined_df(fp, factors: Sequence, b64: np.ndarray, ell,
     out = _run(fp.key(), tuple(factors), inv, jnp.asarray(idx),
                jnp.asarray(a_hi), jnp.asarray(a_lo), bs,
                jnp.int32(max_iter), np.float32(tol * bnorm),
-               bool(trace_hist))
+               bool(trace_hist), banded)
     if trace_hist:
         out, hist = out
     arr = np.asarray(out, np.float64)                 # ONE readback
     x = arr[0, :-1] + arr[1, :-1]
+    if banded:
+        x = x[pad_of]                                 # padded -> permuted
     iters = int(arr[1, -1])
     rn_rel = float(arr[0, -1]) / bnorm if bnorm else 0.0
     if trace_hist:
@@ -171,23 +220,34 @@ def _residual_df(idx, a_hi, a_lo, b_hi, b_lo, x_hi, x_lo):
     return _df_add(b_hi, b_lo, -y_hi, -y_lo)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 9))
+@functools.partial(jax.jit, static_argnums=(0, 9, 10))
 def _run(key, factors, inv_pivots, idx, a_hi, a_lo, bs, max_iter,
-         tol_abs, trace_hist=False):
+         tol_abs, trace_hist=False, banded=False):
     """max_iter is a TRACED operand (while_loop bound), not static — one
     compiled program serves every iteration budget (large-program compiles
     through the tunnel are minutes-long and intermittently crash the
-    compile helper, so program-count hygiene matters)."""
+    compile helper, so program-count hygiene matters). With banded=True
+    every operand is in frontal's padded basis ([n_pad + 1] vectors whose
+    sentinel slot stays 0 by construction, pad_ell planes) and the loop
+    body contains no relabel gathers or concats at all."""
     from cholesky_tpu.numeric import frontal
 
     fp = frontal._FPLAN_CACHE[key]
     b_hi, b_lo = bs[0], bs[1]
 
     def solve(rhs):
+        if banded:
+            return frontal._solve_banded_core(fp, factors, inv_pivots, rhs)
         return frontal.frontal_solve(fp, factors, rhs,
                                      inv_pivots=inv_pivots)
 
     def resid(x_hi, x_lo):
+        if banded:
+            # state vectors carry their zero sentinel slot inline and the
+            # padded ELL has an all-sentinel last row, so r keeps the
+            # sentinel-0 invariant with no concatenation
+            y_hi, y_lo = df_matvec(idx, a_hi, a_lo, x_hi, x_lo)
+            return _df_add(b_hi, b_lo, -y_hi, -y_lo)
         return _residual_df(idx, a_hi, a_lo, b_hi, b_lo, x_hi, x_lo)
 
     def rnorm_of(r_hi):
