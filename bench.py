@@ -563,6 +563,9 @@ def main(argv=None):
                 inv_s = (tuple(solver._inv_pivots())
                          if solver._want_inv_pivots() else None)
                 banded = inv_s is not None
+                from cholesky_tpu.numeric import pallas_solve as _ps
+                inner_s = ("frames" if banded and _ps.wanted(fp, factors0)
+                           else ("banded" if banded else "plain"))
                 if banded:
                     idx_e, a_hi_e, a_lo_e = ell_pad
                     n_, _, inv_map_, pad_of_, _ = frontal._banded_maps(fp)
@@ -585,7 +588,7 @@ def main(argv=None):
                         b2 = bs + jnp.asarray(1e-12, bs.dtype) * (i + 1)
                         out = refmod._run.__wrapped__(
                             fp.key(), facs, inv_s, idx_e, a_hi_e, a_lo_e,
-                            b2, jnp.int32(40), tol_abs, False, banded)
+                            b2, jnp.int32(40), tol_abs, False, inner_s)
                         return carry + jnp.sum(out[0])
                     return lax.fori_loop(0, R_solve, body, jnp.float32(0))
 
@@ -619,7 +622,7 @@ def main(argv=None):
                         out = refmod._run.__wrapped__(
                             fp.key(), tuple(facs), inv_p, idx_e, a_hi_e,
                             a_lo_e, bs, jnp.int32(40), tol_abs, False,
-                            banded)
+                            inner_s)
                         return out
 
                     try:

@@ -178,6 +178,13 @@ def solve_refined_df(fp, factors: Sequence, b64: np.ndarray, ell,
     bnorm = float(np.linalg.norm(b64))
     inv = tuple(inv_pivots) if inv_pivots is not None else None
     banded = inv is not None
+    inner = "plain"
+    if banded:
+        inner = "banded"
+        from cholesky_tpu.numeric import pallas_solve
+
+        if pallas_solve.wanted(fp, factors):
+            inner = "frames"
     if banded:
         if ell_pad is None:
             ell_pad = pad_ell(fp, ell)
@@ -199,7 +206,7 @@ def solve_refined_df(fp, factors: Sequence, b64: np.ndarray, ell,
     out = _run(fp.key(), tuple(factors), inv, jnp.asarray(idx),
                jnp.asarray(a_hi), jnp.asarray(a_lo), bs,
                jnp.int32(max_iter), np.float32(tol * bnorm),
-               bool(trace_hist), banded)
+               bool(trace_hist), inner)
     if trace_hist:
         out, hist = out
     arr = np.asarray(out, np.float64)                 # ONE readback
@@ -222,21 +229,29 @@ def _residual_df(idx, a_hi, a_lo, b_hi, b_lo, x_hi, x_lo):
 
 @functools.partial(jax.jit, static_argnums=(0, 9, 10))
 def _run(key, factors, inv_pivots, idx, a_hi, a_lo, bs, max_iter,
-         tol_abs, trace_hist=False, banded=False):
+         tol_abs, trace_hist=False, inner="plain"):
     """max_iter is a TRACED operand (while_loop bound), not static — one
     compiled program serves every iteration budget (large-program compiles
     through the tunnel are minutes-long and intermittently crash the
-    compile helper, so program-count hygiene matters). With banded=True
-    every operand is in frontal's padded basis ([n_pad + 1] vectors whose
-    sentinel slot stays 0 by construction, pad_ell planes) and the loop
-    body contains no relabel gathers or concats at all."""
+    compile helper, so program-count hygiene matters). inner selects the
+    triangular-solve engine: "plain" = permuted-basis frontal_solve;
+    "banded"/"frames" = frontal's padded basis (every operand is an
+    [n_pad + 1] vector whose sentinel slot stays 0 by construction,
+    pad_ell planes; no relabel gathers or concats in the loop body),
+    solved by the XLA banded chain or the Pallas frame-propagation
+    kernels (pallas_solve) respectively."""
     from cholesky_tpu.numeric import frontal
 
     fp = frontal._FPLAN_CACHE[key]
+    banded = inner in ("banded", "frames")
     b_hi, b_lo = bs[0], bs[1]
 
     def solve(rhs):
-        if banded:
+        if inner == "frames":
+            from cholesky_tpu.numeric import pallas_solve
+
+            return pallas_solve.solve_frames(fp, factors, inv_pivots, rhs)
+        if inner == "banded":
             return frontal._solve_banded_core(fp, factors, inv_pivots, rhs)
         return frontal.frontal_solve(fp, factors, rhs,
                                      inv_pivots=inv_pivots)

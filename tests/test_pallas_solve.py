@@ -1,0 +1,89 @@
+"""Frame-propagation Pallas solve (numeric/pallas_solve.py) vs the XLA
+banded chain it replaces, in pallas interpret mode (the kernels run in a
+reference interpreter on CPU; on-chip parity was additionally verified
+against an f64 frame-recursion oracle per level — see the module
+docstring). Mirrors the reference's solve-correctness contract
+(verify.py:290-302) on the inner engine that backs it."""
+
+import numpy as np
+import pytest
+
+import cholesky_tpu
+
+cholesky_tpu.force_cpu()
+
+import jax                                                    # noqa: E402
+import jax.numpy as jnp                                       # noqa: E402
+
+from cholesky_tpu import SparseCholesky                       # noqa: E402
+from cholesky_tpu.numeric import frontal, pallas_solve, refine  # noqa: E402
+from cholesky_tpu.utils.laplacian import generate_problem     # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    pallas_solve._INTERPRET = True
+    yield
+    pallas_solve._INTERPRET = False
+
+
+def _setup(dims, levels):
+    n, r, c, v, o, cl, b = generate_problem(dims, levels)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    s.factorize()
+    return s, b
+
+
+@pytest.mark.parametrize("dims,levels", [((12, 12, 12), 6), ((25, 25), 5),
+                                         ((9, 9), 3)])
+def test_frames_matches_banded(dims, levels):
+    s, b = _setup(dims, levels)
+    fp = s.fplan
+    inv = s._inv_pivots()
+    n_pad, offs, inv_map, pad_of, _ = frontal._banded_maps(fp)
+    bp = np.asarray(b[s.plan.perm], np.float32)
+    b_ext = np.concatenate([bp, [0.0]]).astype(np.float32)
+    g = jnp.asarray(np.concatenate([b_ext[inv_map], [0.0]])
+                    .astype(np.float32))
+    assert pallas_solve.usable(fp, s.panels)
+    x_b = np.asarray(frontal._solve_banded_core(fp, s.panels, inv, g))
+    x_f = np.asarray(pallas_solve.solve_frames(fp, s.panels, inv, g))
+    rel = np.linalg.norm(x_f - x_b) / np.linalg.norm(x_b)
+    assert rel < 1e-5, rel
+    # sentinel-slot invariant: never polluted
+    assert x_f[-1] == 0.0
+
+
+def test_refined_solve_through_frames():
+    """The full device-resident refinement loop with the frames inner
+    engine reaches the 1e-10 contract with the usual sweep count."""
+    s, b = _setup((12, 12, 12), 6)
+    ell = s._ell_perm()
+    host_ell = tuple(np.asarray(a) for a in ell)
+    x, iters, rn = refine.solve_refined_df(
+        s.fplan, s.panels, b[s.plan.perm], host_ell, tol=1e-10 / 3,
+        inv_pivots=s._inv_pivots())
+    xs = np.empty(s.plan.n)
+    xs[s.plan.perm] = x
+    assert s.residual(b, xs) <= 1e-10
+    assert iters <= 6
+
+
+def test_env_override(monkeypatch):
+    s, _ = _setup((9, 9), 3)
+    monkeypatch.setenv("CHOLESKY_TPU_FRAMES_SOLVE", "0")
+    assert not pallas_solve.wanted(s.fplan, s.panels)
+    monkeypatch.setenv("CHOLESKY_TPU_FRAMES_SOLVE", "1")
+    assert pallas_solve.wanted(s.fplan, s.panels)
+
+
+def test_frame_maps_sentinels():
+    """Assembly/selection sentinels must address zero pad columns."""
+    s, _ = _setup((25, 25), 5)
+    fp = s.fplan
+    M, Mb, asm_idx, sel_idx = pallas_solve.frame_maps(fp)
+    for lvl in range(1, fp.levels):
+        bndK = fp.F[lvl] - fp.W[lvl]
+        assert asm_idx[lvl].max() <= bndK < M[lvl]
+        if bndK:
+            assert sel_idx[lvl].max() <= fp.F[lvl - 1] < Mb[lvl - 1]
