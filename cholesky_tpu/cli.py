@@ -28,7 +28,8 @@ def parse_args(argv):
         "matrix_file": "", "separator_file": "", "clusters_file": "",
         "b_file": "", "solution_file": "", "factor_file": "",
         "permuted_matrix_file": "", "debug_path": "", "debug": False,
-        "iterations": 1, "dtype": "float64", "devices": 0, "bench": False,
+        "iterations": 1, "dtype": "float64", "devices": 0, "slices": 0,
+        "bench": False,
         "profile": False, "debug_dumps": False,
         "save_factor": "", "load_factor": "", "inv_diag_file": "",
         "signs_file": "",
@@ -58,6 +59,8 @@ def parse_args(argv):
             opts["dtype"] = argv[i + 1]; i += 2
         elif a == "--devices":
             opts["devices"] = int(argv[i + 1]); i += 2
+        elif a == "--slices":
+            opts["slices"] = int(argv[i + 1]); i += 2
         elif a == "--profile":
             opts["profile"] = True; i += 1
         elif a == "--debug-dumps":
@@ -105,7 +108,8 @@ def main(argv=None) -> int:
         print("usage: python -m cholesky_tpu.cli -i matrix.mtx [-s ord.txt] "
               "[-c clust.txt] [-b B.mtx] [-o solution.txt] [-m factor.mtx] "
               "[-p permuted.mtx] [-d debug_dir] [--iterations N] "
-              "[--dtype float64|float32] [--devices N] [--profile] "
+              "[--dtype float64|float32] [--devices N] [--slices S] "
+              "[--profile] "
               "[--save-factor ckpt.npz] [--load-factor ckpt.npz] "
               "[--inv-diag out.txt] [--signs signs.txt]\n"
               "Without -s, a nested-dissection ordering is computed from the "
@@ -125,7 +129,14 @@ def main(argv=None) -> int:
         print(f"signature: {int((signs > 0).sum())} positive, "
               f"{int((signs < 0).sum())} negative (quasi-definite LDL^T)")
     mesh = None
-    if opts["devices"] > 1:
+    if opts["slices"] > 1:
+        # multi-slice (DCN-aware) placement: --slices S [--devices S*C]
+        from cholesky_tpu.parallel.mesh import make_multislice_mesh
+
+        per = (opts["devices"] // opts["slices"]) if opts["devices"] > 1 \
+            else None
+        mesh = make_multislice_mesh(opts["slices"], per)
+    elif opts["devices"] > 1:
         from cholesky_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(opts["devices"])

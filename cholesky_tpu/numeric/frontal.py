@@ -1137,7 +1137,8 @@ def _effective_root_mesh(fp: "FrontalPlan", root_mesh):
 
     block = int(_os.environ.get("CHOLESKY_TPU_ROOT_BLOCK", "256"))
     ndev = int(root_mesh.devices.size)
-    return _RootSpec(root_mesh, _pick_scheme(fp.W[0], ndev, block), block)
+    return _RootSpec(root_mesh, _pick_scheme(fp.W[0], ndev, block, root_mesh),
+                     block)
 
 
 # past this many bytes per accumulated child-update array [B, K, K], the

@@ -48,8 +48,16 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cholesky_tpu.parallel.mesh import TREE_AXIS
+from cholesky_tpu.parallel.mesh import DCN_AXIS, TREE_AXIS
 from cholesky_tpu.utils import round_up as _round_up
+
+
+def _is_multislice(mesh: Mesh) -> bool:
+    """A 2-axis (DCN_AXIS, TREE_AXIS) mesh from make_multislice_mesh with a
+    real slice axis AND ≥2 chips per slice (1-chip slices have no ICI to
+    prefer, so they route like a flat mesh)."""
+    return (mesh.axis_names == (DCN_AXIS, TREE_AXIS)
+            and mesh.devices.shape[0] >= 2 and mesh.devices.shape[1] >= 2)
 
 
 def _cyclic_perm(Fp: int, ndev: int, block: int) -> np.ndarray:
@@ -72,7 +80,7 @@ def _grid_for(ndev: int) -> tuple:
     return max(pr, ndev // pr), min(pr, ndev // pr)
 
 
-def _pick_scheme(F: int, ndev: int, block: int) -> str:
+def _pick_scheme(F: int, ndev: int, block: int, mesh: Mesh = None) -> str:
     """Route the collective root front: the 1-D column-cyclic scheme moves
     ~2·F²·4 bytes per chip over the whole factorization (one [F, block]
     panel all-reduce per step); the 2-D (pr, pc) grid moves
@@ -80,12 +88,19 @@ def _pick_scheme(F: int, ndev: int, block: int) -> str:
     1/pr + 1/pc < 1, i.e. ndev ≥ 6 non-prime grids, and the panel is tall
     enough that the extra latency of two group collectives per step
     amortizes (F/ndev ≥ 4 blocks per chip per direction).
-    CHOLESKY_TPU_ROOT_SCHEME=1d/2d overrides."""
+
+    A multi-slice mesh forces 2-D regardless: the 1-D panel all-reduce
+    crosses the DCN every step (F·block·4 bytes at DCN bandwidth), while
+    the 2-D grid mapped (rg=tree, cg=slice) confines the tall row-broadcast
+    to ICI and sends only the (F/chips_per_slice)·block column piece over
+    DCN. CHOLESKY_TPU_ROOT_SCHEME=1d/2d overrides."""
     import os
 
     forced = os.environ.get("CHOLESKY_TPU_ROOT_SCHEME")
     if forced in ("1d", "2d"):
         return forced
+    if mesh is not None and _is_multislice(mesh):
+        return "2d"
     pr, pc = _grid_for(ndev)
     if pc < 2:                      # prime/tiny meshes: no useful grid
         return "1d"
@@ -105,7 +120,15 @@ def distributed_cholesky(a: jax.Array, mesh: Mesh, block: int = 256) -> jax.Arra
     program (the frontal engine's root-front path).
 
     Accepts f32/f64 input; a bf16 input (bf16-stored factor slabs feeding a
-    distributed root) is computed in f32 and returned bf16."""
+    distributed root) is computed in f32 and returned bf16.
+
+    On a multi-axis mesh the column-cyclic ownership runs over the
+    FLATTENED device order (psum over all axes) — every panel all-reduce
+    then crosses the slowest axis, so multi-slice meshes route to the
+    2-D scheme instead (_pick_scheme); this path remains for forced
+    CHOLESKY_TPU_ROOT_SCHEME=1d."""
+    axes = mesh.axis_names                  # ("tree",) or ("slice", "tree")
+    axes_spec = axes if len(axes) > 1 else axes[0]
     ndev = int(mesh.devices.size)
     F = a.shape[0]
     in_dtype = a.dtype
@@ -129,13 +152,16 @@ def distributed_cholesky(a: jax.Array, mesh: Mesh, block: int = 256) -> jax.Arra
     a = a[:, jnp.asarray(from_slot)]
 
     a = jax.lax.with_sharding_constraint(
-        a, NamedSharding(mesh, P(None, TREE_AXIS)))
+        a, NamedSharding(mesh, P(None, axes_spec)))
 
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=P(None, TREE_AXIS),
-        out_specs=P(None, TREE_AXIS))
+        jax.shard_map, mesh=mesh, in_specs=P(None, axes_spec),
+        out_specs=P(None, axes_spec))
     def _chol(local):                      # local: [Fp, cols_per_dev]
-        d = lax.axis_index(TREE_AXIS).astype(jnp.int32)
+        d = jnp.int32(0)                   # flattened device index
+        for name in axes:
+            d = d * jnp.int32(mesh.shape[name]) + \
+                lax.axis_index(name).astype(jnp.int32)
         rows = lax.broadcasted_iota(jnp.int32, (Fp, 1), 0)
         # global column index of each of my storage slots (block-cyclic):
         # slot j*block + t  ->  column (j*ndev + d)*block + t
@@ -151,7 +177,7 @@ def distributed_cholesky(a: jax.Array, mesh: Mesh, block: int = 256) -> jax.Arra
             my_panel = lax.dynamic_slice(local, (zero, loc_off), (Fp, block))
             panel = lax.psum(
                 jnp.where(owner, my_panel, jnp.zeros_like(my_panel)),
-                TREE_AXIS)                  # [Fp, block], pre-update col k
+                axes)                       # [Fp, block], pre-update col k
             # 2) redundant small factorization of the diagonal block
             dblk = lax.dynamic_slice(panel, (kb, zero), (block, block))
             ld = lax.linalg.cholesky(dblk, symmetrize_input=False)
@@ -216,10 +242,30 @@ def distributed_cholesky_2d(a: jax.Array, mesh: Mesh,
     cyclic layout to within one block row/column.
 
     jit-composable like the 1-D scheme (sharding constraints only). The
-    routing between the two lives in collective_cholesky."""
+    routing between the two lives in collective_cholesky.
+
+    On a multi-slice mesh (make_multislice_mesh) the grid maps onto the
+    topology instead of a blind near-square reshape: rg = the intra-slice
+    chip axis (so the tall (F/pc)·block column broadcast of step 4 and the
+    heavy row-group traffic ride ICI), cg = the slice axis (so the DCN
+    carries only step 3's (F/pr)·block row piece — 1/chips_per_slice of
+    the matrix per chip over the whole factorization, plus the tiny
+    diagonal tiles). With 4 slices × 8 chips at F=16384, block=256: DCN
+    per chip ≈ 2·F²·4/8 = 256 MiB spread over 64 steps vs 2 GiB if the
+    1-D all-reduce crossed slices every step."""
     ndev = int(mesh.devices.size)
-    pr, pc = _grid_for(ndev)
-    mesh2 = Mesh(mesh.devices.reshape(pr, pc), ("rg", "cg"))
+    if _is_multislice(mesh):
+        # rows = chips within a slice (ICI), cols = slices (DCN). The grid
+        # mesh keeps the multislice mesh's device ARRAY (so it composes
+        # with operands already placed on that mesh inside one jit) and
+        # only renames the axes: leading slice axis -> "cg", trailing
+        # intra-slice axis -> "rg".
+        n_slices, per_slice = mesh.devices.shape
+        pr, pc = per_slice, n_slices
+        mesh2 = Mesh(mesh.devices, ("cg", "rg"))
+    else:
+        pr, pc = _grid_for(ndev)
+        mesh2 = Mesh(mesh.devices.reshape(pr, pc), ("rg", "cg"))
     F = a.shape[0]
     in_dtype = a.dtype
     if a.dtype == jnp.bfloat16:
@@ -321,6 +367,6 @@ def collective_cholesky(a: jax.Array, mesh: Mesh,
     if block is None:
         block = int(os.environ.get("CHOLESKY_TPU_ROOT_BLOCK", "256"))
     ndev = int(mesh.devices.size)
-    if _pick_scheme(int(a.shape[0]), ndev, block) == "2d":
+    if _pick_scheme(int(a.shape[0]), ndev, block, mesh) == "2d":
         return distributed_cholesky_2d(a, mesh, block=block)
     return distributed_cholesky(a, mesh, block=block)

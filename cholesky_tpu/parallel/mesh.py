@@ -27,6 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 TREE_AXIS = "tree"
+DCN_AXIS = "slice"
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -37,13 +38,55 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), (TREE_AXIS,))
 
 
+def make_multislice_mesh(n_slices: int, chips_per_slice: Optional[int] = None,
+                         devices=None) -> Mesh:
+    """2-axis mesh (DCN_AXIS, TREE_AXIS) for a multi-slice machine: the
+    leading axis enumerates ICI-connected slices joined by the (slower,
+    lower-bandwidth) data-center network; the trailing axis the chips inside
+    one slice. Device order must list each slice's chips contiguously — the
+    default `jax.devices()` order does on real multi-slice TPU jobs
+    (devices sort by (slice_index, chip coords)).
+
+    The slot (separator) axis of every level panel shards over the
+    COMBINED (slice, tree) axes (panel_sharding below), so a level's
+    contiguous slot blocks land per-chip with whole slices owning
+    contiguous subtree ranges. That layout is what keeps tree traffic off
+    the DCN: the extend-add from level L+1 to L pairs children (2k, 2k+1)
+    into parent k, and contiguous ownership keeps both children of a
+    parent on the SAME slice except for parents straddling a slice
+    boundary — at most (n_slices − 1) boundary fronts per transition cross
+    the DCN, while the other ~2^L − n_slices pairs ride ICI or stay
+    chip-local. The root front maps its process grid so only the thin
+    column-broadcast crosses slices (dist_cholesky.distributed_cholesky_2d).
+    This replaces the reference's Realm/GASNet multi-node data movement
+    (SURVEY §5: Legion regions move over GASNet when so configured) with an
+    explicitly topology-aware sharding."""
+    if devices is None:
+        devices = jax.devices()
+    if chips_per_slice is None:
+        if len(devices) % n_slices:
+            raise ValueError(f"{len(devices)} devices not divisible by "
+                             f"{n_slices} slices")
+        chips_per_slice = len(devices) // n_slices
+    devices = devices[:n_slices * chips_per_slice]
+    return Mesh(np.array(devices).reshape(n_slices, chips_per_slice),
+                (DCN_AXIS, TREE_AXIS))
+
+
+def slot_axes(mesh: Mesh):
+    """The mesh axis name(s) the slot/system axis shards over: TREE_AXIS on
+    a 1-D mesh, the (slice, tree) tuple on a multi-slice mesh — slot blocks
+    then distribute slice-major, keeping sibling subtrees intra-slice."""
+    return mesh.axis_names if len(mesh.axis_names) > 1 else TREE_AXIS
+
+
 def panel_sharding(mesh: Mesh, level: int) -> NamedSharding:
     """Sharding for a level's [2^L, H, W] panel array: slot-sharded when the
     level is wide enough, replicated otherwise."""
     ndev = int(mesh.devices.size)
     nslots = 1 << level
     if nslots >= ndev and nslots % ndev == 0:
-        return NamedSharding(mesh, P(TREE_AXIS, None, None))
+        return NamedSharding(mesh, P(slot_axes(mesh), None, None))
     return NamedSharding(mesh, P(None, None, None))
 
 
@@ -51,7 +94,7 @@ def rhs_sharding(mesh: Mesh, level: int) -> NamedSharding:
     ndev = int(mesh.devices.size)
     nslots = 1 << level
     if nslots >= ndev and nslots % ndev == 0:
-        return NamedSharding(mesh, P(TREE_AXIS, None))
+        return NamedSharding(mesh, P(slot_axes(mesh), None))
     return NamedSharding(mesh, P(None, None))
 
 
@@ -64,7 +107,7 @@ def family_sharding(mesh: Mesh, k: int, ndim: int = 4) -> NamedSharding:
     ndev = int(mesh.devices.size)
     spec = [None] * ndim
     if k >= ndev and k % ndev == 0:
-        spec[0] = TREE_AXIS
+        spec[0] = slot_axes(mesh)
     return NamedSharding(mesh, P(*spec))
 
 
