@@ -126,7 +126,18 @@ def distributed_cholesky(a: jax.Array, mesh: Mesh, block: int = 256) -> jax.Arra
     FLATTENED device order (psum over all axes) — every panel all-reduce
     then crosses the slowest axis, so multi-slice meshes route to the
     2-D scheme instead (_pick_scheme); this path remains for forced
-    CHOLESKY_TPU_ROOT_SCHEME=1d."""
+    CHOLESKY_TPU_ROOT_SCHEME=1d.
+
+    Depth-1 lookahead: the step-k panel arrives through the loop carry.
+    After factoring it, the owner of block k+1 applies ONLY step k's
+    update to its next [Fp, block] column slab (one small matmul) and the
+    all-reduce for panel k+1 is issued BEFORE the O(Fp·block·Fp/ndev)
+    trailing update of the local columns — the collective has no data
+    dependence on the big matmul, so XLA's async collectives overlap the
+    ICI transfer with the step's dominant compute instead of serializing
+    after it (the classic broadcast/update overlap that right-looking
+    distributed Cholesky needs past ~8-16 chips; cost: one duplicated
+    [Fp, block]×[block, block] update of the lookahead column)."""
     axes = mesh.axis_names                  # ("tree",) or ("slice", "tree")
     axes_spec = axes if len(axes) > 1 else axes[0]
     ndev = int(mesh.devices.size)
@@ -168,17 +179,13 @@ def distributed_cholesky(a: jax.Array, mesh: Mesh, block: int = 256) -> jax.Arra
         jloc = lax.broadcasted_iota(jnp.int32, (1, cols_per_dev), 1)
         cols_glob = ((jloc // block) * ndev + d) * block + (jloc % block)
 
-        def step(k, local):
-            kb = (k * block).astype(jnp.int32)
+        def step(k, carry):
+            local, panel = carry            # panel: pre-update col k, via
+            kb = (k * block).astype(jnp.int32)   # the lookahead carry
             owner = (k % ndev) == d
             loc_off = ((k // ndev) * block).astype(jnp.int32)
             zero = jnp.int32(0)
-            # 1) broadcast the current block column: owner contributes
-            my_panel = lax.dynamic_slice(local, (zero, loc_off), (Fp, block))
-            panel = lax.psum(
-                jnp.where(owner, my_panel, jnp.zeros_like(my_panel)),
-                axes)                       # [Fp, block], pre-update col k
-            # 2) redundant small factorization of the diagonal block
+            # 1) redundant small factorization of the diagonal block
             dblk = lax.dynamic_slice(panel, (kb, zero), (block, block))
             ld = lax.linalg.cholesky(dblk, symmetrize_input=False)
             below = jnp.where(rows >= kb + block, panel, 0.0)
@@ -189,18 +196,39 @@ def distributed_cholesky(a: jax.Array, mesh: Mesh, block: int = 256) -> jax.Arra
                 lax.dynamic_update_slice(jnp.zeros_like(panel), ld,
                                          (kb, zero)),
                 0.0)
-            # 3) owner stores the factored panel into its local columns
+            # 2) owner stores the factored panel into its local columns
             stored = lax.dynamic_update_slice(local, lpanel, (zero, loc_off))
             local = jnp.where(owner, stored, local)
+            # 3) LOOKAHEAD: apply step k's update to the NEXT block column
+            #    only (one [Fp, block] matmul) and issue its all-reduce now,
+            #    before the trailing update it does not depend on — XLA
+            #    overlaps the collective with step 4's big matmul.
+            k1 = jnp.minimum(k + 1, jnp.int32(nb - 1))
+            owner1 = (k1 % ndev) == d
+            loc_off1 = ((k1 // ndev) * block).astype(jnp.int32)
+            slab1 = lax.dynamic_slice(local, (zero, loc_off1), (Fp, block))
+            xj1 = lax.dynamic_slice(x, (k1 * block, zero), (block, block))
+            slab1 = slab1 - jnp.dot(x, xj1.T,
+                                    preferred_element_type=x.dtype)
+            panel_next = lax.psum(
+                jnp.where(owner1, slab1, jnp.zeros_like(slab1)), axes)
             # 4) trailing update of MY columns: local[:, c] -= X · X[g(c), :]ᵀ
-            #    where g(c) is slot c's global column (block-cyclic gather)
+            #    where g(c) is slot c's global column (block-cyclic gather);
+            #    includes the lookahead column exactly once (panel_next took
+            #    its own copy above)
             xj = x[cols_glob[0]]                        # [cols_per_dev, block]
             active = cols_glob >= kb + block            # cols right of panel
             upd = jnp.dot(x, xj.T, preferred_element_type=x.dtype)
             local = local - jnp.where(active, upd, 0.0)
-            return local
+            return local, panel_next
 
-        local = lax.fori_loop(jnp.int32(0), jnp.int32(nb), step, local)
+        # prologue: broadcast block column 0 (owner is device 0, slot 0)
+        my0 = lax.dynamic_slice(local, (jnp.int32(0), jnp.int32(0)),
+                                (Fp, block))
+        panel0 = lax.psum(
+            jnp.where(d == 0, my0, jnp.zeros_like(my0)), axes)
+        local, _ = lax.fori_loop(jnp.int32(0), jnp.int32(nb), step,
+                                 (local, panel0))
         # zero strict upper triangle of my columns
         return jnp.where(rows >= cols_glob, local, 0.0)
 
