@@ -338,18 +338,18 @@ def distributed_cholesky_2d(a: jax.Array, mesh: Mesh,
         src_row = (jglob_row // pr) * block + mrow % block
         mine = (jglob_row % pr)                          # owner row group
 
-        def step(k, local):
+        def step(k, carry):
+            # 1) the diagonal tile arrives through the lookahead carry: its
+            #    two-axis psum (the DCN-crossing collective on a multislice
+            #    mesh) was issued in step k-1 BEFORE the trailing matmul, so
+            #    its latency hides behind that step's dominant compute
+            local, dblk = carry
             kr = (k % pr).astype(jnp.int32)
             kc = (k % pc).astype(jnp.int32)
             rk = ((k // pr) * block).astype(jnp.int32)
             ck = ((k // pc) * block).astype(jnp.int32)
             zero = jnp.int32(0)
             colk = lax.dynamic_slice(local, (zero, ck), (Fr, block))
-            # 1) diagonal tile to everyone (owner contributes)
-            dtile = lax.dynamic_slice(colk, (rk, zero), (block, block))
-            own = (dr == kr) & (dc == kc)
-            dblk = lax.psum(jnp.where(own, dtile, jnp.zeros_like(dtile)),
-                            ("rg", "cg"))
             ld = lax.linalg.cholesky(dblk, symmetrize_input=False)
             # 2) panel solve (real only on dc == kc; masked elsewhere)
             below = jnp.where(grow >= (k + 1) * block, colk, 0.0)
@@ -372,12 +372,37 @@ def distributed_cholesky_2d(a: jax.Array, mesh: Mesh,
                 Pk, jnp.broadcast_to(src_row, (Fc, block)), axis=0)
             contrib = jnp.where((mine == dr) & (jglob_row > k), gath, 0.0)
             Yk = lax.psum(contrib, "rg")                 # [Fc, block]
-            # 5) trailing update of my tiles (one MXU matmul)
             Ykm = jnp.where(jglob_row > k, Yk, 0.0)
+            # 5) LOOKAHEAD: pre-update the NEXT diagonal tile (two small
+            #    [block, block] matmul slices of the trailing update) and
+            #    issue its two-axis psum before the big matmul it does not
+            #    depend on
+            k1 = jnp.minimum(k + 1, jnp.int32(nb - 1))
+            kr1 = (k1 % pr).astype(jnp.int32)
+            kc1 = (k1 % pc).astype(jnp.int32)
+            rk1 = ((k1 // pr) * block).astype(jnp.int32)
+            ck1 = ((k1 // pc) * block).astype(jnp.int32)
+            tile = lax.dynamic_slice(local, (rk1, ck1), (block, block))
+            pr1 = lax.dynamic_slice(Pk, (rk1, zero), (block, block))
+            yc1 = lax.dynamic_slice(Ykm, (ck1, zero), (block, block))
+            tile = tile - jnp.dot(pr1, yc1.T,
+                                  preferred_element_type=pr1.dtype)
+            own1 = (dr == kr1) & (dc == kc1)
+            dblk_next = lax.psum(
+                jnp.where(own1, tile, jnp.zeros_like(tile)), ("rg", "cg"))
+            # 6) trailing update of my tiles (one MXU matmul; includes the
+            #    lookahead tile exactly once — dblk_next took its own copy)
             upd = jnp.dot(Pk, Ykm.T, preferred_element_type=Pk.dtype)
-            return local - upd
+            return local - upd, dblk_next
 
-        local = lax.fori_loop(jnp.int32(0), jnp.int32(nb), step, local)
+        # prologue: broadcast diagonal tile 0 (owner is grid device (0, 0))
+        t0 = lax.dynamic_slice(local, (jnp.int32(0), jnp.int32(0)),
+                               (block, block))
+        dblk0 = lax.psum(
+            jnp.where((dr == 0) & (dc == 0), t0, jnp.zeros_like(t0)),
+            ("rg", "cg"))
+        local, _ = lax.fori_loop(jnp.int32(0), jnp.int32(nb), step,
+                                 (local, dblk0))
         return jnp.where(grow >= gcol, local, 0.0)
 
     out = _chol(a)
