@@ -395,6 +395,8 @@ def wanted(fp, factors) -> bool:
     flag = os.environ.get("CHOLESKY_TPU_FRAMES_SOLVE")
     if flag == "0":
         return False
+    if fp.key() in _RUNTIME_FAILED:
+        return False
     if flag == "1":
         return True
     return usable(fp, factors)
@@ -422,9 +424,24 @@ def usable(fp, factors) -> bool:
     for lvl in range(1, fp.levels):
         W, F = fp.W[lvl], fp.F[lvl]
         Fb = F - W
-        # double-buffered per-front blocks + the chunked one-hot temps
+        # double-buffered per-front blocks + the chunked one-hot temps.
+        # Mosaic's real stack allocation runs well past this operand
+        # estimate (measured 103.8 MB scoped demand at B=2, W=1256,
+        # F=2504 where the estimate said ~41 MB — the in-kernel one-hot
+        # matmul temps and sublane padding are not operand-shaped), so
+        # demand 2.5x headroom; a level past this routes the whole solve
+        # to the XLA banded chain, and refine() additionally falls back
+        # at runtime if Mosaic still refuses (_RUNTIME_FAILED below).
         per_front = (W * W + Fb * W + M[lvl] + Mb[lvl] + 2 * W
                      + _round128(F) + Mb[lvl - 1]) * 4
-        if 2 * per_front + 8 * _OH_CHUNK_ELEMS > _VMEM_LIMIT - (4 << 20):
+        if 2.5 * (2 * per_front + 8 * _OH_CHUNK_ELEMS) > \
+                _VMEM_LIMIT - (4 << 20):
             return False
     return True
+
+
+# FrontalPlan keys whose frames program failed at run/compile time (e.g. a
+# Mosaic scoped-VMEM overflow the usable() estimate missed): refine()
+# records them here after falling back to the banded chain so later solves
+# skip the doomed compile.
+_RUNTIME_FAILED: set = set()

@@ -203,10 +203,26 @@ def solve_refined_df(fp, factors: Sequence, b64: np.ndarray, ell,
         # under jit)
         max_iter = min(int(max_iter), _HIST_CAP - 1)
     bs = jnp.asarray(np.stack([b_hi, b_lo]))          # ONE upload
-    out = _run(fp.key(), tuple(factors), inv, jnp.asarray(idx),
-               jnp.asarray(a_hi), jnp.asarray(a_lo), bs,
-               jnp.int32(max_iter), np.float32(tol * bnorm),
-               bool(trace_hist), inner)
+    try:
+        out = _run(fp.key(), tuple(factors), inv, jnp.asarray(idx),
+                   jnp.asarray(a_hi), jnp.asarray(a_lo), bs,
+                   jnp.int32(max_iter), np.float32(tol * bnorm),
+                   bool(trace_hist), inner)
+    except Exception:
+        # the frames program can be refused by Mosaic at compile/run time
+        # (scoped-VMEM overflow usable()'s estimate missed); the banded
+        # chain solves the identical padded-basis problem, so fall back
+        # and pin this plan off the frames path for later solves
+        if inner != "frames":
+            raise
+        from cholesky_tpu.numeric import pallas_solve
+
+        pallas_solve._RUNTIME_FAILED.add(fp.key())
+        inner = "banded"
+        out = _run(fp.key(), tuple(factors), inv, jnp.asarray(idx),
+                   jnp.asarray(a_hi), jnp.asarray(a_lo), bs,
+                   jnp.int32(max_iter), np.float32(tol * bnorm),
+                   bool(trace_hist), inner)
     if trace_hist:
         out, hist = out
     arr = np.asarray(out, np.float64)                 # ONE readback

@@ -87,3 +87,32 @@ def test_frame_maps_sentinels():
         assert asm_idx[lvl].max() <= bndK < M[lvl]
         if bndK:
             assert sel_idx[lvl].max() <= fp.F[lvl - 1] < Mb[lvl - 1]
+
+
+def test_runtime_fallback_to_banded(monkeypatch):
+    """If Mosaic refuses the frames program at compile/run time (e.g. the
+    scoped-VMEM overflow usable()'s estimate can miss), refine() must fall
+    back to the banded chain, still meet the caller's tolerance, and pin
+    the plan off the frames path for later solves."""
+    s, b = _setup((12, 12), 4)
+    monkeypatch.setenv("CHOLESKY_TPU_FRAMES_SOLVE", "1")
+
+    def boom(fp, factors, inv_pivots, rhs):
+        raise RuntimeError("scoped vmem overflow (simulated)")
+
+    monkeypatch.setattr(pallas_solve, "solve_frames", boom)
+    pallas_solve._RUNTIME_FAILED.discard(s.fplan.key())
+    try:
+        ell = s._ell_perm()
+        host_ell = tuple(np.asarray(a) for a in ell)
+        x, iters, rn = refine.solve_refined_df(
+            s.fplan, s.panels, b[s.plan.perm], host_ell, tol=1e-10 / 3,
+            inv_pivots=s._inv_pivots())
+        xs = np.empty(s.plan.n)
+        xs[s.plan.perm] = x
+        assert s.residual(b, xs) <= 1e-10
+        assert s.fplan.key() in pallas_solve._RUNTIME_FAILED
+        # later routing decisions skip frames for this plan
+        assert not pallas_solve.wanted(s.fplan, s.panels)
+    finally:
+        pallas_solve._RUNTIME_FAILED.discard(s.fplan.key())
