@@ -133,6 +133,12 @@ def main(argv=None) -> int:
         # multi-slice (DCN-aware) placement: --slices S [--devices S*C]
         from cholesky_tpu.parallel.mesh import make_multislice_mesh
 
+        if opts["devices"] > 1 and opts["devices"] % opts["slices"]:
+            # mirror make_multislice_mesh's inferred-case ValueError instead
+            # of silently truncating to slices*(devices//slices) devices
+            print(f"Error: --devices {opts['devices']} is not divisible by "
+                  f"--slices {opts['slices']}")
+            return 2
         per = (opts["devices"] // opts["slices"]) if opts["devices"] > 1 \
             else None
         mesh = make_multislice_mesh(opts["slices"], per)

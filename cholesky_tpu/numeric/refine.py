@@ -208,15 +208,30 @@ def solve_refined_df(fp, factors: Sequence, b64: np.ndarray, ell,
                    jnp.asarray(a_hi), jnp.asarray(a_lo), bs,
                    jnp.int32(max_iter), np.float32(tol * bnorm),
                    bool(trace_hist), inner)
-    except Exception:
+        # JAX execution is async: block HERE so an execution-time failure
+        # (not just a trace/compile one) still lands in this try and takes
+        # the fallback below instead of escaping at the readback
+        out = jax.block_until_ready(out)
+    except Exception as frames_err:  # noqa: BLE001 — see fallback note
         # the frames program can be refused by Mosaic at compile/run time
         # (scoped-VMEM overflow usable()'s estimate missed); the banded
         # chain solves the identical padded-basis problem, so fall back
-        # and pin this plan off the frames path for later solves
+        # and pin this plan off the frames path for later solves. The
+        # catch stays broad deliberately (Mosaic surfaces failures as
+        # XlaRuntimeError, JaxRuntimeError, or plain RuntimeError
+        # depending on phase) but is diagnosed: any swallowed exception is
+        # warned about so a genuine frames-path bug is never silent.
         if inner != "frames":
             raise
+        import warnings
+
         from cholesky_tpu.numeric import pallas_solve
 
+        warnings.warn(
+            "frames solve failed at compile/run time; falling back to the "
+            f"banded chain and pinning this plan off the frames path: "
+            f"{type(frames_err).__name__}: {frames_err}",
+            RuntimeWarning, stacklevel=2)
         pallas_solve._RUNTIME_FAILED.add(fp.key())
         inner = "banded"
         out = _run(fp.key(), tuple(factors), inv, jnp.asarray(idx),
