@@ -10,22 +10,38 @@ through positional maps instead of scattering into a global vector — and
 fuses each level's whole step into ONE Pallas kernel per direction:
 
   forward  (leaves -> root), per front at level l:
-      u_in  = select(children u_out, inv_child)   [summed over the pair]
+      u_in  = select(children u_out)        [summed over the child pair]
       y     = L_d^{-1} (b_band - u_in[:W])
       u_out = X y + u_in[W:]
   backward (root -> leaves), per front:
-      z_bnd = select(parent [x | z_bnd], fwd_child)
+      z_bnd = select(parent [x | z_bnd])
       x     = L_d^{-T} (y - X^T z_bnd)
 
-The selections have STATIC index vectors, but Mosaic's dynamic_gather
-does not compile on this chip (tpu_compile_helper 500, measured) — so
-each selection runs as a ONE-HOT MATMUL whose 0/1 matrix is generated
-in-kernel from a broadcasted_iota compare (VPU) and contracted on the
-MXU at HIGHEST precision (exact for 0/1 x f32: every output has exactly
-one contributing product). The global vector appears only at entry
-(per-level band slices of the padded rhs) and exit (band concatenation),
-mirroring frontal._banded_maps' basis. The root level runs in plain XLA
-(one front; its [W0, W0] inverse exceeds a comfortable VMEM block).
+Design (v2 — the round-3 kernels were gated off at the 50^3 design target
+by a Mosaic scoped-VMEM overflow, VERDICT r3):
+
+* Frames are COLUMN vectors [B, M, 1]: every select source window is a
+  dynamic SUBLANE slice (supported with traced offsets, unlike lane-dim
+  dynamic slicing), every product is a plain [m, k] @ [k, 1] MXU dot with
+  no in-kernel relayouts, and outputs store as columns directly.
+* The selections have STATIC index vectors but Mosaic's dynamic_gather
+  does not compile on this chip, so each select runs as a one-hot
+  contraction — built WINDOWED: the extend-add maps are monotone
+  bijections onto the child boundary (frontal.build_frontal_plan asserts
+  full coverage), so a `chunk`-wide output block reads a source window of
+  at most `chunk` consecutive rows in the forward direction (exactly the
+  #hits), and a per-plan measured hull in the backward direction. The
+  one-hot compare is therefore [chunk, O(chunk)] instead of the round-3
+  [K, chunk] with K the FULL frame width — the 103.8 MB scoped-VMEM
+  demand at B=2, W=1256 that pinned v1 off becomes ~1 MB.
+* Chunk loops run as lax.fori_loop over a VMEM scratch accumulator, so
+  Mosaic allocates ONE chunk's temporaries instead of one set per
+  unrolled chunk (the other half of the round-3 overflow).
+
+The global vector appears only at entry (per-level band slices of the
+padded rhs) and exit (band concatenation), mirroring frontal._banded_maps'
+basis. The root level runs in plain XLA (one front; its [W0, W0] inverse
+exceeds a comfortable VMEM block).
 
 Numerics: identical operands and products as the inv_pivots path (the
 same L_d^{-1} panels and X blocks, f32 HIGHEST-precision dots), so
@@ -38,8 +54,9 @@ factorization (mmat.rg:1364-1481); this keeps ours one too.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,10 +67,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 _FRAME_CACHE = {}
 
-# Scoped-VMEM ceiling for the level kernels. The default 16 MB limit
-# rejects the small-B/large-W levels (their double-buffered X block alone
-# is ~25 MB at 50^3 lvl1); this chip (v5e) accepts raised limits to ~60 MB
-# (probed: 60 MB OK, 90 MB compile failure).
+# Scoped-VMEM ceiling for the level kernels (probed on this v5e: 60 MB OK,
+# 90 MB compile failure). v2's windowed selects keep real demand far below.
 _VMEM_LIMIT = 56 * (1 << 20)
 
 # interpret-mode switch for CPU tests (pl.pallas_call(interpret=True)
@@ -62,260 +77,399 @@ _INTERPRET = False
 
 _HI = lax.Precision.HIGHEST
 
+_CHUNK = 256              # select output block (sublane rows per one-hot)
+_SUB = 8                  # f32 sublane granularity (window alignment)
+_BIG = np.int32(1 << 30)  # sentinel index: outside every window -> selects 0
 
-def _round128(x: int) -> int:
-    return max(((x + 127) // 128) * 128, 128)
+
+def _rup(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
-def frame_maps(fp):
-    """Host-side static structures for the frame-propagation solve.
+@dataclasses.dataclass
+class _SelMaps:
+    """One level's select maps, one direction. idx* are [B, C, chunk]
+    int32 window-rebased source positions (sentinel _BIG), lane-major so
+    the VMEM block stays packed; lo* are [B, C] int32 8-aligned window
+    row offsets into the source frame; S is the static window height
+    (rows) the kernel loads per chunk."""
+    C: int
+    S: int
+    idx0: np.ndarray
+    lo0: np.ndarray
+    idx1: Optional[np.ndarray] = None     # forward only (second child)
+    lo1: Optional[np.ndarray] = None
 
-    Per level l (0 = root): M[l] — padded width of the level-l forward
-    u_out frames (>= bndK_l + 1 so the extend sentinel addresses a zero
-    column); Mb[l] — padded width of the backward zfull frames
-    (>= F[l] + 1); asm_idx[l] [B_l, F_{l-1}] int32 — for each level-l
-    child front, where each parent-frame position sits in that child's
-    u_out (sentinel bndK_l -> zero pad column); sel_idx[l] [B_l, bndK_l]
-    int32 — for each child front, the parent-frame position of each of
-    its boundary rows (sentinel F_{l-1} -> the parent's zero pad column).
-    Cached by fp.key()."""
-    key = fp.key()
+
+@dataclasses.dataclass
+class FrameMaps:
+    """Host-side static structures for the frame-propagation solve,
+    cached by fp.key(). Mu[l]: padded column height of the level-l u_out
+    frames (zero rows above bndK_l feed sentinels/windows); Mz[l]: padded
+    height of the level-l zfull frames (layout [x (W rows) | z_bnd
+    (bndK rows) | zero pad]); fwd[l]: child->parent assembly selects for
+    the level-l forward kernel (sources = level l+1 u_out, outputs = the
+    [piv | bnd] chunk sequence, Cp piv chunks then Cb bnd chunks);
+    bwd[l]: parent-frame selects for the level-l backward kernel;
+    root_asm: XLA take_along_axis indices for the root assembly."""
+    chunk: int
+    Mu: Tuple[int, ...]
+    Mz: Tuple[int, ...]
+    Cp: Tuple[int, ...]
+    fwd: List[Optional[_SelMaps]]
+    bwd: List[Optional[_SelMaps]]
+    root_asm: Optional[np.ndarray]
+
+
+def _window_maps(vals: np.ndarray, chunk: int, M_src: int,
+                 S: Optional[int] = None):
+    """vals [B, L]: source positions (>= _BIG = sentinel). Returns
+    (idx [B, C, chunk] rebased lane-major, lo [B, C] 8-aligned clamped,
+    C, S). S (window rows) is computed from the max per-chunk hull when
+    not given; M_src must be >= S so clamped windows stay in range."""
+    B, L = vals.shape
+    C = max(_rup(L, chunk) // chunk, 1)
+    vpad = np.full((B, C * chunk), _BIG, dtype=np.int64)
+    vpad[:, :L] = vals
+    v3 = vpad.reshape(B, C, chunk)
+    real = v3 < _BIG
+    any_real = real.any(axis=2)
+    vmin = np.where(any_real, np.where(real, v3, np.iinfo(np.int64).max)
+                    .min(axis=2), 0)
+    vmax = np.where(any_real, np.where(real, v3, -1).max(axis=2), 0)
+    lo = (vmin // _SUB) * _SUB
+    hull = int((vmax - lo + 1).max()) if any_real.any() else 1
+    if S is None:
+        S = _rup(hull, _SUB)
+    else:
+        assert hull <= S, (hull, S)
+    assert M_src >= S, (M_src, S)
+    lo = np.minimum(lo, M_src - S)
+    idx = np.where(real, v3 - lo[:, :, None], _BIG).astype(np.int64)
+    # rebased real indices lie inside the window by construction
+    assert ((idx < S) | (idx >= _BIG)).all()
+    return idx.astype(np.int32), lo.astype(np.int32), C, int(S)
+
+
+def frame_maps(fp, chunk: int = _CHUNK) -> FrameMaps:
+    key = (fp.key(), chunk)
     hit = _FRAME_CACHE.get(key)
     if hit is not None:
         return hit
     levels = fp.levels
-    M = [0] * levels
-    Mb = [0] * levels
-    asm_idx: List[Optional[np.ndarray]] = [None] * levels
-    sel_idx: List[Optional[np.ndarray]] = [None] * levels
-    for lvl in range(levels):
-        M[lvl] = _round128(fp.F[lvl] - fp.W[lvl] + 1)
-        Mb[lvl] = _round128(fp.F[lvl] + 1)
-    for lvl in range(1, levels):
-        asm_idx[lvl] = fp.inv_child[lvl].astype(np.int32)   # [B, F_parent]
-        sel_idx[lvl] = fp.fwd_child[lvl].astype(np.int32)   # [B, bndK]
-    maps = (tuple(M), tuple(Mb), asm_idx, sel_idx)
+    W, F = fp.W, fp.F
+    bndK = [F[l] - W[l] for l in range(levels)]
+
+    # --- pass 1: window heights (raw hulls; clamping needs Mu/Mz last) ---
+    # forward: level-l kernel (l <= levels-2) assembles from the two
+    # level-(l+1) children; source positions = inv_child[l+1] values.
+    # Guaranteed hull <= chunk (the map is a monotone bijection onto the
+    # child boundary), so S_fwd = chunk + _SUB always suffices.
+    S_fwd = [None] * levels
+    for l in range(1, levels - 1):
+        S_fwd[l] = chunk + _SUB
+    # backward: level-l kernel (l >= 1) selects this front's boundary
+    # values from the parent zfull at remapped positions; hull measured.
+    S_bwd = [None] * levels
+    bwd_vals = [None] * levels
+    for l in range(1, levels):
+        if bndK[l] == 0:
+            continue
+        p = fp.fwd_child[l].astype(np.int64)          # [B, bndK_l]
+        Wp = W[l - 1]
+        sent = p >= F[l - 1]
+        rp = np.where(p < Wp, p, Wp + (p - Wp))       # x-region | z-region
+        # (z region starts at Wz = W (already a multiple of 8))
+        bwd_vals[l] = np.where(sent, _BIG, rp)
+
+    # --- frame heights ---
+    Mu = [0] * levels
+    Mz = [0] * levels
+    for l in range(levels - 1, -1, -1):
+        need = S_fwd[l - 1] if l >= 2 and S_fwd[l - 1] else 0
+        Mu[l] = max(_rup(bndK[l] + 1, _SUB), need, _SUB)
+    # Mz needs S_bwd of the child level, which depends on hulls only
+    # (computed inside _window_maps); do a measuring pass first
+    S_bwd_req = [0] * levels
+    for l in range(1, levels):
+        if bwd_vals[l] is None:
+            continue
+        _, _, _, S = _window_maps(bwd_vals[l], chunk,
+                                  np.iinfo(np.int32).max)
+        S_bwd_req[l] = S
+    for l in range(levels):
+        base = W[l] + _rup(bndK[l] + 1, _SUB) if bndK[l] else W[l] + _SUB
+        need = S_bwd_req[l + 1] if l + 1 < levels else 0
+        Mz[l] = max(base, need, _SUB)
+
+    # --- pass 2: final maps with clamped windows ---
+    fwd: List[Optional[_SelMaps]] = [None] * levels
+    Cp = [0] * levels
+    for l in range(1, levels - 1):
+        B = fp.front_rows[l].shape[0]
+        inv = fp.inv_child[l + 1].astype(np.int64)    # [2B, F_l]
+        sent_v = bndK[l + 1]
+        v = np.where(inv >= sent_v, _BIG, inv)
+        # piv chunk sequence then bnd chunk sequence, each padded to a
+        # whole number of chunks so the kernel's scratch slices stay static
+        Cp[l] = max(_rup(W[l], chunk) // chunk, 1)
+        Cb = max(_rup(bndK[l], chunk) // chunk, 1) if bndK[l] else 0
+        L = (Cp[l] + Cb) * chunk
+
+        def seq(row):
+            out = np.full(L, _BIG, dtype=np.int64)
+            out[:W[l]] = row[:W[l]]
+            if bndK[l]:
+                out[Cp[l] * chunk:Cp[l] * chunk + bndK[l]] = \
+                    row[W[l]:W[l] + bndK[l]]
+            return out
+
+        v0 = np.stack([seq(v[2 * i]) for i in range(B)])
+        v1 = np.stack([seq(v[2 * i + 1]) for i in range(B)])
+        S = S_fwd[l]
+        idx0, lo0, C, _ = _window_maps(v0, chunk, Mu[l + 1], S)
+        idx1, lo1, _, _ = _window_maps(v1, chunk, Mu[l + 1], S)
+        # child-1 window stacks below child-0's in the kernel: offset its
+        # rebased indices so one [chunk, 2S] compare serves both
+        idx1 = np.where(idx1 < S, idx1 + S, _BIG).astype(np.int32)
+        fwd[l] = _SelMaps(C, S, idx0, lo0, idx1, lo1)
+
+    bwd: List[Optional[_SelMaps]] = [None] * levels
+    for l in range(1, levels):
+        if bwd_vals[l] is None:
+            continue
+        idx, lo, C, S = _window_maps(bwd_vals[l], chunk, Mz[l - 1],
+                                     S_bwd_req[l])
+        bwd[l] = _SelMaps(C, S, idx, lo)
+
+    root_asm = None
+    if levels > 1:
+        # sentinel bndK_1 addresses a zero pad row of the child frame
+        # (Mu[1] > bndK_1 by construction)
+        root_asm = fp.inv_child[1].astype(np.int32)
+    maps = FrameMaps(chunk, tuple(Mu), tuple(Mz), tuple(Cp), fwd, bwd,
+                     root_asm)
     _FRAME_CACHE[key] = maps
     return maps
 
 
-# cap one-hot temporaries (the [K, fc] one-hot + its index broadcast,
-# ~2-3 live at once) under the raised _VMEM_LIMIT. Small caps fragment
-# the selection into many serialized tiny MXU ops (measured: 128-column
-# chunks cost ~10 ms/solve of issue overhead at 50^3); full-width chunks
-# collapse each front's assembly to ~6 ops.
-_OH_CHUNK_ELEMS = 1 << 20
+# ---------------------------------------------------------------------------
+# Kernels
 
 
-def _onehot_select(vals2d, idx2d, out_len):
-    """Rows of one-hot selection: out[r, f] = vals2d[r, idx2d[r, f]], any
-    idx addressing vals2d's zero padding selects 0. vals2d [R, K], idx2d
-    [R, >= round128(out_len)], out [R, out_len]. Implemented as a
-    generated one-hot [K, Fc] per row contracted on the MXU,
-    column-chunked to bound the VMEM temporary — exact for 0/1 x f32
-    since each output column has exactly one contributing product.
+def _sel_loop(pid, C, S, chunk, nsrc, win_of, idx_refs, lo_refs, scr):
+    """Windowed one-hot select: for chunk c, load each source's [S, 1]
+    window (dynamic sublane slice at lo[pid, c]), stack to [nsrc*S, 1],
+    build the one-hot [nsrc*S, chunk] from the rebased index rows
+    (child j's indices pre-offset by j*S on the host), contract on the
+    MXU, and store the [chunk, 1] result into the scratch accumulator.
+    One set of temporaries serves every chunk (fori_loop body — Mosaic
+    allocates a single set instead of one per unrolled chunk, the
+    round-3 scoped-VMEM overflow).
 
-    Mosaic on this chip cannot broadcast a [1, N] vector along sublanes
-    ("Invalid input layout"), so the index row is spread to [K, Fc] as an
-    MXU outer product ones[K,1] @ idx[1,Fc] at HIGHEST precision (exact
-    for integer values < 2^24) and compared against an f32 iota."""
-    R, K = vals2d.shape
-    Fp = _round128(out_len)
-    chunk = max(128, min(Fp,
-                         (_OH_CHUNK_ELEMS // max(K, 1)) // 128 * 128))
-    ones_col = jnp.ones((K, 1), jnp.float32)
-    outs = []
-    for r in range(R):
-        row = vals2d[r:r + 1, :]                               # [1, K]
-        cols = []
-        for c0 in range(0, Fp, chunk):
-            fc = min(chunk, Fp - c0)
-            idxf = idx2d[r:r + 1, c0:c0 + fc].astype(jnp.float32)
-            idxb = jnp.dot(ones_col, idxf,
+    Mosaic on this chip cannot broadcast a [1, N] row along sublanes
+    ("Invalid input layout"), so the index row is spread to [K, chunk]
+    as an MXU outer product ones[K,1] @ idx[1,chunk] at HIGHEST
+    precision (exact for integer values < 2^24; the _BIG sentinel
+    rounds in f32 but stays far outside [0, K)) and compared against an
+    f32 iota (tpu iota is integer-only; converted)."""
+    K = nsrc * S
+    kk = lax.broadcasted_iota(jnp.int32, (K, chunk), 0).astype(jnp.float32)
+    ones = jnp.ones((K, 1), jnp.float32)
+
+    def body(c, carry):
+        wins = [win_of(j, lo_refs[j][pid, c], S) for j in range(nsrc)]
+        win = wins[0] if nsrc == 1 else jnp.concatenate(wins, axis=0)
+        oh = jnp.zeros((K, chunk), jnp.float32)
+        for j in range(nsrc):
+            ii = idx_refs[j][0, pl.ds(c, 1), :]
+            idxb = jnp.dot(ones, ii.astype(jnp.float32),
                            preferred_element_type=jnp.float32,
-                           precision=_HI)                      # [K, fc]
-            # tpu.iota is integer-only; convert for the f32 compare
-            kk = lax.broadcasted_iota(jnp.int32, (K, fc), 0).astype(
-                jnp.float32)
-            oh = (kk == idxb).astype(jnp.float32)              # [K, fc]
-            cols.append(jnp.dot(row, oh,
-                                preferred_element_type=jnp.float32,
-                                precision=_HI))                # [1, fc]
-        out_r = (jnp.concatenate(cols, axis=1) if len(cols) > 1
-                 else cols[0])
-        outs.append(out_r[:, :out_len])
-    return jnp.concatenate(outs, axis=0) if R > 1 else outs[0]
-
-
-def _onehot_select_sum2(vals2d, idx2d, out_len):
-    """Summed two-row selection in ONE contraction:
-    out[f] = vals2d[0, i0] + vals2d[1, i1] where idx2d's second row is
-    PRE-OFFSET by K on the host (see _pad_idx_dev offset), so both
-    children's one-hots live in a single [2K, Fc] matrix and the pair-sum
-    falls out of the dot. ~6 MXU/VPU ops per front instead of ~6 per
-    (row x 128-column chunk)."""
-    R, K = vals2d.shape
-    assert R == 2
-    K2 = 2 * K
-    Fp = _round128(out_len)
-    chunk = max(128, min(Fp,
-                         (_OH_CHUNK_ELEMS // max(K2, 1)) // 128 * 128))
-    vcat = jnp.concatenate([vals2d[0:1, :], vals2d[1:2, :]], axis=1)
-    ones_col = jnp.ones((K2, 1), jnp.float32)
-    kk = None
-    cols = []
-    for c0 in range(0, Fp, chunk):
-        fc = min(chunk, Fp - c0)
-        if kk is None or kk.shape[1] != fc:
-            kk = lax.broadcasted_iota(jnp.int32, (K2, fc), 0).astype(
-                jnp.float32)
-        oh = jnp.zeros((K2, fc), jnp.float32)
-        for r in range(2):
-            idxf = idx2d[r:r + 1, c0:c0 + fc].astype(jnp.float32)
-            idxb = jnp.dot(ones_col, idxf,
-                           preferred_element_type=jnp.float32,
-                           precision=_HI)
+                           precision=_HI)                  # [K, chunk]
             oh = oh + (kk == idxb).astype(jnp.float32)
-        cols.append(jnp.dot(vcat, oh, preferred_element_type=jnp.float32,
-                            precision=_HI))
-    out = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
-    return out[:, :out_len]
+        out = lax.dot_general(oh, win, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=_HI)               # [chunk, 1]
+        scr[pl.ds(c * chunk, chunk), :] = out
+        return carry
+
+    lax.fori_loop(0, C, body, 0)
 
 
-def _fwd_leaf_kernel(W, Fb, Ml, inv_ref, x_ref, b_ref, y_ref, u_ref):
-    y = jnp.dot(inv_ref[0], b_ref[0].reshape(W, 1),
-                preferred_element_type=jnp.float32, precision=_HI)
-    y_ref[0] = y.reshape(1, W)
-    u = jnp.dot(x_ref[0], y, preferred_element_type=jnp.float32,
+def _fwd_leaf_kernel(W, Fb, Mu, inv_ref, x_ref, b_ref, y_ref, u_ref):
+    y = jnp.dot(inv_ref[0], b_ref[0], preferred_element_type=jnp.float32,
+                precision=_HI)                             # [W, 1]
+    y_ref[0] = y
+    if Fb:
+        u = jnp.dot(x_ref[0], y, preferred_element_type=jnp.float32,
+                    precision=_HI)                         # [Fb, 1]
+        u_ref[0] = jnp.pad(u, ((0, Mu - Fb), (0, 0)))
+    else:
+        u_ref[0] = jnp.zeros((Mu, 1), jnp.float32)
+
+
+def _fwd_mid_kernel(W, Fb, Mu, Cp, C, S, chunk, inv_ref, x_ref, b_ref,
+                    uc_ref, i0_ref, i1_ref, lo0_ref, lo1_ref,
+                    y_ref, u_ref, scr):
+    """One interior front's whole forward step: windowed child assembly,
+    pivot solve, boundary matvec, pass-through of deeper contributions."""
+    pid = pl.program_id(0)
+
+    def win_of(j, lo, s):
+        return uc_ref[j, pl.ds(lo, s), :]
+
+    _sel_loop(pid, C, S, chunk, 2, win_of, (i0_ref, i1_ref),
+              (lo0_ref, lo1_ref), scr)
+    u_piv = scr[0:W, :]
+    r = b_ref[0] - u_piv
+    y = jnp.dot(inv_ref[0], r, preferred_element_type=jnp.float32,
                 precision=_HI)
-    u_ref[0] = jnp.pad(u.reshape(1, Fb), ((0, 0), (0, Ml - Fb)))
-
-
-def _fwd_mid_kernel(W, Fb, F, Ml, Mc, inv_ref, x_ref, b_ref, uc_ref,
-                    ai_ref, y_ref, u_ref):
-    """One interior front's whole forward step: assemble the two
-    children's contributions (one-hot selection), pivot solve, boundary
-    matvec, pass-through of deeper contributions."""
-    u_in = _onehot_select_sum2(uc_ref[:, 0, :], ai_ref[:, 0, :], F)
-    r = b_ref[0].reshape(1, W) - u_in[:, :W]
-    y = jnp.dot(inv_ref[0], r.reshape(W, 1),
-                preferred_element_type=jnp.float32, precision=_HI)
-    y_ref[0] = y.reshape(1, W)
+    y_ref[0] = y
     if Fb:
         u = jnp.dot(x_ref[0], y, preferred_element_type=jnp.float32,
                     precision=_HI)
-        u_out = u.reshape(1, Fb) + u_in[:, W:W + Fb]
-        u_ref[0] = jnp.pad(u_out, ((0, 0), (0, Ml - Fb)))
+        u_out = u + scr[Cp * chunk:Cp * chunk + Fb, :]
+        u_ref[0] = jnp.pad(u_out, ((0, Mu - Fb), (0, 0)))
     else:
-        u_ref[0] = jnp.zeros((1, Ml), jnp.float32)
+        u_ref[0] = jnp.zeros((Mu, 1), jnp.float32)
 
 
-def _bwd_kernel(W, Fb, F, Mbp, Mbl, inv_ref, x_ref, y_ref, zp_ref,
-                si_ref, z_ref):
+def _bwd_kernel(W, Fb, Mz, C, S, chunk, inv_ref, x_ref, y_ref, zp_ref,
+                si_ref, lo_ref, z_ref, scr):
     """One front's whole backward step: select this front's boundary
     solution values from the parent's zfull frame, subtract X^T z from
     the forward y, apply L_d^{-T}, emit this front's zfull = [x | z]."""
-    rhs = y_ref[0].reshape(1, W)
+    rhs = y_ref[0]
+    zb = None
     if Fb:
-        zb = _onehot_select(zp_ref[0], si_ref[0], Fb)          # [1, Fb]
+        pid = pl.program_id(0)
+
+        def win_of(j, lo, s):
+            return zp_ref[0, pl.ds(lo, s), :]
+
+        _sel_loop(pid, C, S, chunk, 1, win_of, (si_ref,), (lo_ref,), scr)
+        zb = scr[0:Fb, :]
         # X^T z without materializing a transpose (contract dim 0 of X)
-        xtz = lax.dot_general(x_ref[0], zb.reshape(Fb, 1),
-                              (((0,), (0,)), ((), ())),
+        xtz = lax.dot_general(x_ref[0], zb, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32,
-                              precision=_HI)
-        rhs = rhs - xtz.reshape(1, W)
-    x = lax.dot_general(inv_ref[0], rhs.reshape(W, 1),
-                        (((0,), (0,)), ((), ())),
+                              precision=_HI)               # [W, 1]
+        rhs = rhs - xtz
+    x = lax.dot_general(inv_ref[0], rhs, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=_HI)                          # inv^T rhs
+                        precision=_HI)                     # inv^T rhs
     if Fb:
-        zfull = jnp.concatenate([x.reshape(1, W), zb], axis=1)
+        zfull = jnp.concatenate(
+            [x, zb, jnp.zeros((Mz - W - Fb, 1), jnp.float32)], axis=0)
     else:
-        zfull = x.reshape(1, W)
-    z_ref[0] = jnp.pad(zfull, ((0, 0), (0, Mbl - F)))
+        zfull = jnp.pad(x, ((0, Mz - W), (0, 0)))
+    z_ref[0] = zfull
 
 
-def _fwd_level_call(fp, lvl, inv_l, X_l, band, u_child, M, asm_l):
+# ---------------------------------------------------------------------------
+# Level drivers
+
+
+def _params(interpret):
+    return None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def _fwd_level_call(fp, maps, lvl, inv_l, X_l, band, u_child):
     levels = fp.levels
     B = fp.front_rows[lvl].shape[0]
     W, F = fp.W[lvl], fp.F[lvl]
     Fb = F - W
-    Ml = M[lvl]
-    out_shape = [jax.ShapeDtypeStruct((B, 1, W), jnp.float32),
-                 jax.ShapeDtypeStruct((B, 1, Ml), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, 1, W), lambda i: (i, 0, 0)),
-                 pl.BlockSpec((1, 1, Ml), lambda i: (i, 0, 0))]
+    Mu = maps.Mu[lvl]
+    chunk = maps.chunk
+    out_shape = [jax.ShapeDtypeStruct((B, W, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((B, Mu, 1), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, W, 1), lambda i: (i, 0, 0)),
+                 pl.BlockSpec((1, Mu, 1), lambda i: (i, 0, 0))]
     if lvl == levels - 1:
-        kern = functools.partial(_fwd_leaf_kernel, W, Fb, Ml)
-        in_specs = [pl.BlockSpec((1, W, W), lambda i: (i, 0, 0)),
-                    pl.BlockSpec((1, Fb, W), lambda i: (i, 0, 0)),
-                    pl.BlockSpec((1, 1, W), lambda i: (i, 0, 0))]
-        args = (inv_l, X_l, band)
-    else:
-        Mc = M[lvl + 1]
+        kern = functools.partial(_fwd_leaf_kernel, W, Fb, Mu)
         in_specs = [pl.BlockSpec((1, W, W), lambda i: (i, 0, 0))]
         args = [inv_l]
         if Fb:
-            kern = functools.partial(_fwd_mid_kernel, W, Fb, F, Ml, Mc)
             in_specs.append(pl.BlockSpec((1, Fb, W), lambda i: (i, 0, 0)))
             args.append(X_l)
         else:
-            def kern(inv_ref, b_ref, uc_ref, ai_ref, y_ref, u_ref):
-                _fwd_mid_kernel(W, 0, F, Ml, Mc, inv_ref, None, b_ref,
-                                uc_ref, ai_ref, y_ref, u_ref)
-        in_specs += [pl.BlockSpec((1, 1, W), lambda i: (i, 0, 0)),
-                     pl.BlockSpec((2, 1, Mc), lambda i: (i, 0, 0)),
-                     pl.BlockSpec((2, 1, _round128(F)),
-                                  lambda i: (i, 0, 0))]
-        args += [band, u_child, asm_l]
-    return pl.pallas_call(
-        kern, grid=(B,), in_specs=in_specs, out_specs=out_specs,
-        out_shape=out_shape, interpret=_INTERPRET,
-        compiler_params=None if _INTERPRET else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT))(*args)
+            kern = functools.partial(
+                lambda W_, Mu_, inv_ref, b_ref, y_ref, u_ref:
+                _fwd_leaf_kernel(W_, 0, Mu_, inv_ref, None, b_ref,
+                                 y_ref, u_ref), W, Mu)
+        in_specs.append(pl.BlockSpec((1, W, 1), lambda i: (i, 0, 0)))
+        args.append(band)
+        return pl.pallas_call(
+            kern, grid=(B,), in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape, interpret=_INTERPRET,
+            compiler_params=_params(_INTERPRET))(*args)
 
-
-def _bwd_level_call(fp, lvl, inv_l, X_l, y_l, zfull_parent, Mb, sel_l):
-    B = fp.front_rows[lvl].shape[0]
-    W, F = fp.W[lvl], fp.F[lvl]
-    Fb = F - W
-    Mbp, Mbl = Mb[lvl - 1], Mb[lvl]
+    sel = maps.fwd[lvl]
+    Cp = maps.Cp[lvl]
+    Mc = maps.Mu[lvl + 1]
+    scr = [pltpu.VMEM((sel.C * chunk, 1), jnp.float32)]
+    kern = functools.partial(_fwd_mid_kernel, W, Fb, Mu, Cp, sel.C, sel.S,
+                             chunk)
     in_specs = [pl.BlockSpec((1, W, W), lambda i: (i, 0, 0))]
     args = [inv_l]
     if Fb:
-        kern = functools.partial(_bwd_kernel, W, Fb, F, Mbp, Mbl)
         in_specs.append(pl.BlockSpec((1, Fb, W), lambda i: (i, 0, 0)))
         args.append(X_l)
     else:
-        def kern(inv_ref, y_ref, zp_ref, si_ref, z_ref):
-            _bwd_kernel(W, 0, F, Mbp, Mbl, inv_ref, None, y_ref, zp_ref,
-                        si_ref, z_ref)
-    in_specs += [pl.BlockSpec((1, 1, W), lambda i: (i, 0, 0)),
-                 pl.BlockSpec((1, 1, Mbp), lambda i: (i // 2, 0, 0)),
-                 pl.BlockSpec((1, 1, _round128(max(Fb, 1))),
-                              lambda i: (i, 0, 0))]
-    args += [y_l, zfull_parent, sel_l]
+        kern = functools.partial(
+            lambda W_, Mu_, Cp_, C_, S_, ch_, inv_ref, b_ref, uc_ref,
+            i0, i1, l0, l1, y_ref, u_ref, s_:
+            _fwd_mid_kernel(W_, 0, Mu_, Cp_, C_, S_, ch_, inv_ref, None,
+                            b_ref, uc_ref, i0, i1, l0, l1, y_ref, u_ref,
+                            s_), W, Mu, Cp, sel.C, sel.S, chunk)
+    in_specs += [pl.BlockSpec((1, W, 1), lambda i: (i, 0, 0)),
+                 pl.BlockSpec((2, Mc, 1), lambda i: (i, 0, 0)),
+                 pl.BlockSpec((1, sel.C, chunk), lambda i: (i, 0, 0)),
+                 pl.BlockSpec((1, sel.C, chunk), lambda i: (i, 0, 0)),
+                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                 pl.BlockSpec(memory_space=pltpu.SMEM)]
+    args += [band, u_child, jnp.asarray(sel.idx0), jnp.asarray(sel.idx1),
+             jnp.asarray(sel.lo0), jnp.asarray(sel.lo1)]
+    return pl.pallas_call(
+        kern, grid=(B,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, scratch_shapes=scr, interpret=_INTERPRET,
+        compiler_params=_params(_INTERPRET))(*args)
+
+
+def _bwd_level_call(fp, maps, lvl, inv_l, X_l, y_l, zfull_parent):
+    B = fp.front_rows[lvl].shape[0]
+    W, F = fp.W[lvl], fp.F[lvl]
+    Fb = F - W
+    Mz, Mzp = maps.Mz[lvl], maps.Mz[lvl - 1]
+    chunk = maps.chunk
+    sel = maps.bwd[lvl]
+    C = sel.C if sel else 0
+    S = sel.S if sel else _SUB
+    scr = [pltpu.VMEM((max(C, 1) * chunk, 1), jnp.float32)]
+    kern = functools.partial(_bwd_kernel, W, Fb, Mz, C, S, chunk)
+    in_specs = [pl.BlockSpec((1, W, W), lambda i: (i, 0, 0))]
+    args = [inv_l]
+    if Fb:
+        in_specs += [pl.BlockSpec((1, Fb, W), lambda i: (i, 0, 0)),
+                     pl.BlockSpec((1, W, 1), lambda i: (i, 0, 0)),
+                     pl.BlockSpec((1, Mzp, 1), lambda i: (i // 2, 0, 0)),
+                     pl.BlockSpec((1, C, chunk), lambda i: (i, 0, 0)),
+                     pl.BlockSpec(memory_space=pltpu.SMEM)]
+        args += [X_l, y_l, zfull_parent, jnp.asarray(sel.idx0),
+                 jnp.asarray(sel.lo0)]
+    else:
+        kern = functools.partial(
+            lambda W_, Mz_, C_, S_, ch_, inv_ref, y_ref, z_ref, s_:
+            _bwd_kernel(W_, 0, Mz_, C_, S_, ch_, inv_ref, None, y_ref,
+                        None, None, None, z_ref, s_), W, Mz, C, S, chunk)
+        in_specs.append(pl.BlockSpec((1, W, 1), lambda i: (i, 0, 0)))
+        args.append(y_l)
     return pl.pallas_call(
         kern, grid=(B,), in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, Mbl), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, 1, Mbl), jnp.float32),
-        interpret=_INTERPRET,
-        compiler_params=None if _INTERPRET else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT))(*args)
-
-
-def _pad_idx_dev(a, width, sentinel, pair_offset=0):
-    """[B, K] int32 host idx -> [B, 1, width] device array, padded with
-    the map's sentinel (which addresses a zero column of its operand).
-    With pair_offset, odd rows (the second child of each front pair) are
-    shifted by it so _onehot_select_sum2 can treat the stacked children
-    as one 2K-wide operand."""
-    B, K = a.shape
-    out = np.full((B, 1, width), sentinel, dtype=np.int32)
-    out[:, 0, :K] = a
-    if pair_offset:
-        out[1::2] += pair_offset
-    return jnp.asarray(out)
+        out_specs=pl.BlockSpec((1, Mz, 1), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Mz, 1), jnp.float32),
+        scratch_shapes=scr, interpret=_INTERPRET,
+        compiler_params=_params(_INTERPRET))(*args)
 
 
 def solve_frames(fp, factors, inv_pivots, g):
@@ -326,29 +480,13 @@ def solve_frames(fp, factors, inv_pivots, g):
 
     levels = fp.levels
     n_pad, offs, _, _, _ = frontal._banded_maps(fp)
-    M, Mb, asm_idx, sel_idx = frame_maps(fp)
-    asm_dev = [None] * levels
-    sel_dev = [None] * levels
-    for lvl in range(1, levels):
-        # asm_idx[lvl] maps level-lvl children to parent (lvl-1) frame
-        # positions; its sentinel (bndK_lvl) addresses the child u_out's
-        # zero padding. sel_idx[lvl]'s sentinel (F_{lvl-1}) addresses the
-        # parent zfull's zero padding.
-        asm_dev[lvl] = _pad_idx_dev(asm_idx[lvl],
-                                    _round128(fp.F[lvl - 1]),
-                                    fp.F[lvl] - fp.W[lvl],
-                                    pair_offset=M[lvl])
-        Fb = fp.F[lvl] - fp.W[lvl]
-        sel_dev[lvl] = _pad_idx_dev(
-            sel_idx[lvl] if Fb else np.zeros((asm_idx[lvl].shape[0], 0),
-                                             np.int32),
-            _round128(max(Fb, 1)), fp.F[lvl - 1])
+    maps = frame_maps(fp)
 
     bands = []
     for lvl in range(levels):
         B, W = fp.front_rows[lvl].shape[0], fp.W[lvl]
         bands.append(lax.slice(g, (offs[lvl],),
-                               (offs[lvl] + B * W,)).reshape(B, 1, W))
+                               (offs[lvl] + B * W,)).reshape(B, W, 1))
 
     # ---- forward: leaves -> root ----
     ys = [None] * levels
@@ -356,35 +494,38 @@ def solve_frames(fp, factors, inv_pivots, g):
     for lvl in range(levels - 1, 0, -1):
         W = fp.W[lvl]
         X_l = factors[lvl][:, W:, :]
-        ys[lvl], u = _fwd_level_call(
-            fp, lvl, inv_pivots[lvl], X_l, bands[lvl], u, M,
-            asm_dev[lvl + 1] if lvl + 1 < levels else None)
+        ys[lvl], u = _fwd_level_call(fp, maps, lvl, inv_pivots[lvl], X_l,
+                                     bands[lvl], u)
     # root in XLA: one front; its inverse exceeds a comfortable VMEM block
-    W0, F0 = fp.W[0], fp.F[0]
+    W0 = fp.W[0]
     if levels > 1:
-        uc = u[:, 0, :]                                   # [2, M1]
-        ai = jnp.asarray(asm_idx[1])                      # [2, F0]
+        uc = u[:, :, 0]                                   # [2, Mu_1]
+        ai = jnp.asarray(maps.root_asm)                   # [2, F0]
         u_in0 = jnp.take_along_axis(uc, ai, axis=1).sum(axis=0)  # [F0]
-        r0 = bands[0][:, 0, :] - u_in0[None, :W0]
+        r0 = bands[0][:, :, 0] - u_in0[None, :W0]
     else:
-        r0 = bands[0][:, 0, :]
+        r0 = bands[0][:, :, 0]
     y0 = jnp.einsum("bij,bj->bi", inv_pivots[0], r0,
                     preferred_element_type=jnp.float32)
-    ys[0] = y0.reshape(1, 1, W0)
+    ys[0] = y0.reshape(1, W0, 1)
 
     # ---- backward: root -> leaves ----
     x0 = jnp.einsum("bji,bj->bi", inv_pivots[0], y0,
                     preferred_element_type=jnp.float32)
-    zfull = jnp.pad(x0, ((0, 0), (0, Mb[0] - W0))).reshape(1, 1, Mb[0])
+    zfull = jnp.pad(x0, ((0, 0), (0, maps.Mz[0] - W0)))[:, :, None]
     xs = [x0.reshape(-1)]
     for lvl in range(1, levels):
         W = fp.W[lvl]
         X_l = factors[lvl][:, W:, :]
-        zfull = _bwd_level_call(fp, lvl, inv_pivots[lvl], X_l, ys[lvl],
-                                zfull, Mb, sel_dev[lvl])
-        xs.append(zfull[:, 0, :W].reshape(-1))
+        zfull = _bwd_level_call(fp, maps, lvl, inv_pivots[lvl], X_l,
+                                ys[lvl], zfull)
+        xs.append(zfull[:, :W, 0].reshape(-1))
     # bands are laid out leaves-first in the padded basis
     return jnp.concatenate(list(reversed(xs)) + [jnp.zeros(1, g.dtype)])
+
+
+# ---------------------------------------------------------------------------
+# Routing
 
 
 def wanted(fp, factors) -> bool:
@@ -404,8 +545,12 @@ def wanted(fp, factors) -> bool:
 
 def usable(fp, factors) -> bool:
     """Pallas frame solve preconditions: a TPU backend (or interpret
-    mode), f32 panels, >= 2 levels, and per-front blocks that fit VMEM
-    comfortably."""
+    mode), f32 panels, >= 2 levels, and per-level VMEM that fits the
+    56 MB scoped budget. v2's windowed selects put the per-level demand
+    at 2x(inv + X blocks) + ~4 one-hot temporaries of
+    [chunk, nsrc*S] — the design-target levels (B=2, W=1256, F=3760)
+    now fit with >2x headroom where v1's full-width one-hots demanded
+    103.8 MB and were pinned off (VERDICT r3)."""
     if not _INTERPRET:
         try:
             plat = jax.devices()[0].platform
@@ -420,28 +565,62 @@ def usable(fp, factors) -> bool:
             return False
     except Exception:  # noqa: BLE001
         return False
-    M, Mb, _, _ = frame_maps(fp)
+    maps = frame_maps(fp)
     for lvl in range(1, fp.levels):
-        W, F = fp.W[lvl], fp.F[lvl]
-        Fb = F - W
-        # double-buffered per-front blocks + the chunked one-hot temps.
-        # Mosaic's real stack allocation runs well past this operand
-        # estimate (measured 103.8 MB scoped demand at B=2, W=1256,
-        # F=2504 where the estimate said ~41 MB — the in-kernel one-hot
-        # matmul temps and sublane padding are not operand-shaped), so
-        # demand 2.5x headroom; a level past this routes the whole solve
-        # to the XLA banded chain, and refine() additionally falls back
-        # at runtime if Mosaic still refuses (_RUNTIME_FAILED below).
-        per_front = (W * W + Fb * W + M[lvl] + Mb[lvl] + 2 * W
-                     + _round128(F) + Mb[lvl - 1]) * 4
-        if 2.5 * (2 * per_front + 8 * _OH_CHUNK_ELEMS) > \
-                _VMEM_LIMIT - (4 << 20):
+        if max(_fwd_vmem_bytes(fp, maps, lvl),
+               _bwd_vmem_bytes(fp, maps, lvl)) > _VMEM_LIMIT - (4 << 20):
             return False
     return True
 
 
+def _col_bytes(m: int) -> int:
+    """VMEM footprint of an [m, 1] f32 column block: the (8, 128) vreg
+    tiling pads the single lane to 128, so each row group of 8 costs a
+    full 4 KB vreg."""
+    return _rup(m, _SUB) // _SUB * 4096
+
+
+def _mat_bytes(r: int, c: int) -> int:
+    return _rup(r, _SUB) * _rup(c, 128) * 4
+
+
+def _fwd_vmem_bytes(fp, maps, lvl) -> int:
+    """Scoped-VMEM model of the level-lvl forward kernel: double-buffered
+    operand/output blocks + the fori_loop select temporaries (allocated
+    once) + the scratch accumulator."""
+    W, F = fp.W[lvl], fp.F[lvl]
+    Fb = F - W
+    chunk = maps.chunk
+    blocks = (_mat_bytes(W, W) + (_mat_bytes(Fb, W) if Fb else 0)
+              + 2 * _col_bytes(W) + _col_bytes(maps.Mu[lvl]))
+    sel = maps.fwd[lvl] if lvl < fp.levels - 1 else None
+    temps = 0
+    if sel is not None:
+        blocks += 2 * _col_bytes(maps.Mu[lvl + 1]) \
+            + 2 * _mat_bytes(sel.C, chunk)
+        K = 2 * sel.S
+        temps = 3 * _mat_bytes(K, chunk) + 2 * _col_bytes(K) \
+            + _col_bytes(sel.C * chunk)
+    return 2 * blocks + temps
+
+
+def _bwd_vmem_bytes(fp, maps, lvl) -> int:
+    W, F = fp.W[lvl], fp.F[lvl]
+    Fb = F - W
+    chunk = maps.chunk
+    blocks = (_mat_bytes(W, W) + (_mat_bytes(Fb, W) if Fb else 0)
+              + _col_bytes(W) + _col_bytes(maps.Mz[lvl]))
+    sel = maps.bwd[lvl]
+    temps = 0
+    if sel is not None:
+        blocks += _col_bytes(maps.Mz[lvl - 1]) + _mat_bytes(sel.C, chunk)
+        temps = 3 * _mat_bytes(sel.S, chunk) + 2 * _col_bytes(sel.S) \
+            + _col_bytes(sel.C * chunk)
+    return 2 * blocks + temps
+
+
 # FrontalPlan keys whose frames program failed at run/compile time (e.g. a
-# Mosaic scoped-VMEM overflow the usable() estimate missed): refine()
-# records them here after falling back to the banded chain so later solves
-# skip the doomed compile.
+# Mosaic refusal usable()'s estimate missed): refine() records them here
+# after falling back to the banded chain so later solves skip the doomed
+# compile.
 _RUNTIME_FAILED: set = set()

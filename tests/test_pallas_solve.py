@@ -77,16 +77,65 @@ def test_env_override(monkeypatch):
     assert pallas_solve.wanted(s.fplan, s.panels)
 
 
-def test_frame_maps_sentinels():
-    """Assembly/selection sentinels must address zero pad columns."""
+def test_frame_maps_windows():
+    """Window maps invariants: rebased indices lie inside [0, S) or are
+    the out-of-window sentinel; window offsets are 8-aligned and in
+    range; the forward hull never exceeds chunk + 8 (the monotone-
+    bijection guarantee the kernel design rests on); frame heights cover
+    every window and the root-assembly sentinel addresses a zero row."""
     s, _ = _setup((25, 25), 5)
     fp = s.fplan
-    M, Mb, asm_idx, sel_idx = pallas_solve.frame_maps(fp)
+    m = pallas_solve.frame_maps(fp)
     for lvl in range(1, fp.levels):
         bndK = fp.F[lvl] - fp.W[lvl]
-        assert asm_idx[lvl].max() <= bndK < M[lvl]
-        if bndK:
-            assert sel_idx[lvl].max() <= fp.F[lvl - 1] < Mb[lvl - 1]
+        assert m.Mu[lvl] > bndK
+        for sel, src_M in (((m.fwd[lvl], m.Mu[lvl + 1])
+                            if lvl < fp.levels - 1 else (None, 0)),
+                           (m.bwd[lvl], m.Mz[lvl - 1])):
+            if sel is None:
+                continue
+            for idx, lo in ((sel.idx0, sel.lo0), (sel.idx1, sel.lo1)):
+                if idx is None:
+                    continue
+                real = idx < 2 * sel.S          # fwd child-1 offset by S
+                assert idx[real].min() >= 0
+                assert (lo % 8 == 0).all()
+                assert lo.min() >= 0 and lo.max() + sel.S <= src_M
+        if lvl < fp.levels - 1 and m.fwd[lvl] is not None:
+            assert m.fwd[lvl].S == pallas_solve._CHUNK + 8
+    # root assembly sentinel -> zero pad row of the level-1 u frame
+    bnd1 = fp.F[1] - fp.W[1]
+    assert m.root_asm.max() <= bnd1 < m.Mu[1]
+
+
+def test_frames_engaged_at_design_target():
+    """VERDICT r3 #1's gate: the frames path must be USABLE (not VMEM-
+    gated off) at the 50^3 / 8-level design target's level shapes — the
+    exact configuration where the round-3 kernels demanded 103.8 MB of
+    scoped VMEM and were pinned off. Structure-only: builds the real
+    FrontalPlan and checks the routing predicate plus the per-level VMEM
+    model against the 56 MB budget."""
+    from cholesky_tpu.numeric import frontal
+    from cholesky_tpu.symbolic.plan import build_plan
+    from cholesky_tpu.utils.laplacian import generate_problem
+
+    n, r, c, v, o, cl, b = generate_problem((50, 50, 50), 8)
+    plan = build_plan(o, cl)
+    fp = frontal.build_frontal_plan(plan, r, c)
+    assert (fp.front_rows[1].shape[0], fp.W[1], fp.F[1]) == (2, 1256, 3760)
+
+    class _F32:                      # factors stand-in: dtype is all
+        dtype = np.float32           # usable() reads from them
+
+    factors = [_F32()] * fp.levels
+    assert pallas_solve.usable(fp, factors)
+    assert pallas_solve.wanted(fp, factors)
+    m = pallas_solve.frame_maps(fp)
+    for lvl in range(1, fp.levels):
+        fb = pallas_solve._fwd_vmem_bytes(fp, m, lvl)
+        bb = pallas_solve._bwd_vmem_bytes(fp, m, lvl)
+        assert max(fb, bb) < pallas_solve._VMEM_LIMIT - (4 << 20), (
+            lvl, fb / 2**20, bb / 2**20)
 
 
 def test_runtime_fallback_to_banded(monkeypatch):
