@@ -451,6 +451,7 @@ def main(argv=None):
     # execution model and the wall is long enough to time directly.
     t_factor_device = None
     R_dev = 0
+    compile_s = {}                 # compile+first-run seconds per program
     if not use_stream and not big and not args.no_extras:
         from jax import lax
 
@@ -469,7 +470,8 @@ def main(argv=None):
             lfn = jax.jit(_factor_loop)
             t0 = time.time()
             float(lfn(fronts))
-            print(f"# device-series compile+first {time.time()-t0:.1f}s "
+            compile_s["series"] = round(time.time() - t0, 1)
+            print(f"# device-series compile+first {compile_s['series']}s "
                   f"(R={R_dev})", file=sys.stderr)
             ts = []
             for _ in range(2):
@@ -505,7 +507,9 @@ def main(argv=None):
             print(f"# compile attempt {attempt} failed ({type(e).__name__}); "
                   f"retrying", file=sys.stderr)
             time.sleep(20)
-    print(f"# factor compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
+    compile_s["factor"] = round(time.time() - t0, 1)
+    print(f"# factor compile+first run {compile_s['factor']}s",
+          file=sys.stderr)
     if donate and not big:
         fronts = None              # consumed by the first call
         # (big keeps `fronts`: the LazyFronts is not consumed — each timed
@@ -581,33 +585,44 @@ def main(argv=None):
                 bs_dev = jnp.asarray(np.stack([bh, bl]))
                 bnorm_g = float(np.linalg.norm(b))
                 tol_abs = np.float32(1e-10 / 3.0 * bnorm_g)
-                R_solve = 30
 
-                def _solve_series(facs, bs):
-                    def body(i, carry):
-                        b2 = bs + jnp.asarray(1e-12, bs.dtype) * (i + 1)
-                        out = refmod._run.__wrapped__(
-                            fp.key(), facs, inv_s, idx_e, a_hi_e, a_lo_e,
-                            b2, jnp.int32(40), tol_abs, False, inner_s)
-                        return carry + jnp.sum(out[0])
-                    return lax.fori_loop(0, R_solve, body, jnp.float32(0))
+                def _solve_series_fn(R):
+                    def _series(facs, bs):
+                        def body(i, carry):
+                            b2 = bs + jnp.asarray(1e-12, bs.dtype) * (i + 1)
+                            out = refmod._run.__wrapped__(
+                                fp.key(), facs, inv_s, idx_e, a_hi_e,
+                                a_lo_e, b2, jnp.int32(40), tol_abs, False,
+                                inner_s)
+                            return carry + jnp.sum(out[0])
+                        return lax.fori_loop(0, R, body, jnp.float32(0))
+                    return jax.jit(_series)
 
-                try:
-                    sfn = jax.jit(_solve_series)
-                    t0 = time.time()
-                    float(sfn(tuple(factors0), bs_dev))
-                    print(f"# solve series compile+first "
-                          f"{time.time()-t0:.1f}s (R={R_solve})",
-                          file=sys.stderr)
-                    ts = []
-                    for _ in range(2):
-                        t0 = time.perf_counter()
+                # R=10 x 3 calls instead of round-3's R=30 single program:
+                # the 30-solve HLO exceeded the tunnel compile service's
+                # request-size limit (HTTP 413) and the field came back
+                # EMPTY; smaller chains retry at R=5 on any failure so a
+                # t_solve_device number always lands (VERDICT r3 #3)
+                for R_solve in (10, 5):
+                    try:
+                        sfn = _solve_series_fn(R_solve)
+                        t0 = time.time()
                         float(sfn(tuple(factors0), bs_dev))
-                        ts.append(time.perf_counter() - t0)
-                    t_solve_device = min(ts) / R_solve
-                except Exception as e:  # noqa: BLE001 — tunnel flakes
-                    print(f"# solve series skipped: {type(e).__name__}: "
-                          f"{e}", file=sys.stderr)
+                        compile_s["solve_series"] = round(time.time() - t0,
+                                                          1)
+                        print(f"# solve series compile+first "
+                              f"{compile_s['solve_series']}s (R={R_solve})",
+                              file=sys.stderr)
+                        ts = []
+                        for _ in range(3):
+                            t0 = time.perf_counter()
+                            float(sfn(tuple(factors0), bs_dev))
+                            ts.append(time.perf_counter() - t0)
+                        t_solve_device = min(ts) / R_solve
+                        break
+                    except Exception as e:  # noqa: BLE001 — tunnel flakes
+                        print(f"# solve series (R={R_solve}) failed: "
+                              f"{type(e).__name__}: {e}", file=sys.stderr)
 
                 # The production pair as ONE program: factor + pivot
                 # inversion + refined solve in a single dispatch
@@ -629,8 +644,9 @@ def main(argv=None):
                         pfn = jax.jit(_pair_fn)
                         t0 = time.time()
                         jax.block_until_ready(pfn(fronts, bs_dev))
+                        compile_s["pair"] = round(time.time() - t0, 1)
                         print(f"# pair program compile+first "
-                              f"{time.time()-t0:.1f}s", file=sys.stderr)
+                              f"{compile_s['pair']}s", file=sys.stderr)
                         ts = []
                         for _ in range(3):
                             t0 = time.perf_counter()
@@ -713,6 +729,13 @@ def main(argv=None):
                             f"fori_loop program")
     if t_solve is not None:
         result["solve_wall_s"] = round(t_solve, 4)
+    if t_solve_device is not None:
+        result["t_solve_device"] = round(t_solve_device, 4)
+    # compile+first-run seconds per program (VERDICT r3 #3: an 11-minute
+    # compile for a 62 ms factorization is a real product cost — make it
+    # a gated artifact field instead of stderr chatter)
+    for k_, v_ in compile_s.items():
+        result[f"compile_{k_}_s"] = v_
     if gate_error:
         result["gate_error"] = gate_error
 

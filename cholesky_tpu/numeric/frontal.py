@@ -1131,11 +1131,15 @@ def _effective_root_mesh(fp: "FrontalPlan", root_mesh):
         return root_mesh
     dist_min = int(_os.environ.get("CHOLESKY_TPU_ROOT_DIST_MIN",
                                    ROOT_DIST_MIN))
+    block = int(_os.environ.get("CHOLESKY_TPU_ROOT_BLOCK", "256"))
     if fp.W[0] < dist_min:
-        return None
+        # root too small to amortize the per-step collectives: the spec
+        # still travels (scheme "off") so NARROW mid-tree levels can
+        # distribute (parallel/dist_level) — only the lvl-0 collective is
+        # gated off
+        return _RootSpec(root_mesh, "off", block)
     from cholesky_tpu.parallel.dist_cholesky import _pick_scheme
 
-    block = int(_os.environ.get("CHOLESKY_TPU_ROOT_BLOCK", "256"))
     ndev = int(root_mesh.devices.size)
     return _RootSpec(root_mesh, _pick_scheme(fp.W[0], ndev, block, root_mesh),
                      block)
@@ -1166,6 +1170,23 @@ def _update_dtype_for(dtype, u_bytes: int = 0):
     if mode == "auto" and u_bytes > _UPDATE_BF16_BYTES:
         return jnp.bfloat16
     return dtype
+
+
+
+def _mesh_for_level(fp: "FrontalPlan", lvl: int, root_mesh):
+    """Forward the mesh spec to a level's program when that level USES it:
+    the collective root (lvl 0) or an eligible narrow mid-tree level
+    (parallel/dist_level.eligible). Keeping it None elsewhere preserves
+    the mesh-free programs' trace-cache keys."""
+    if root_mesh is None:
+        return None
+    if lvl == 0:
+        return root_mesh if root_mesh.scheme != "off" else None
+    from cholesky_tpu.parallel import dist_level
+
+    if dist_level.eligible(fp, lvl, 1 << lvl, root_mesh.mesh):
+        return root_mesh
+    return None
 
 
 def _factor_level(fp: FrontalPlan, lvl: int, piv, U, extadd: str,
@@ -1220,6 +1241,19 @@ def _factor_level(fp: FrontalPlan, lvl: int, piv, U, extadd: str,
             return fac, ("xxt", X.astype(update_dtype))
         return Ld, (None if lvl == 0 else u_empty())
 
+    if root_mesh is not None and lvl >= 1:
+        # NARROW mid-tree levels (1 < B < ndev): factor each front over a
+        # subgroup of ndev/B chips instead of replicating — the level's
+        # extend-add temps, slab, and Schur output all shard ~1/G
+        # (parallel/dist_level.py; closes VERDICT r3 missing-item #1).
+        # The sharded path owns its extend-add, so it replaces this whole
+        # body for eligible levels.
+        from cholesky_tpu.parallel import dist_level
+
+        if dist_level.eligible(fp, lvl, B, root_mesh.mesh):
+            return dist_level.factor_level_sharded(
+                fp, lvl, piv, U, root_mesh.mesh, update_dtype)
+
     if (extadd in ("gathermm", "hybrid3")
             and B * Fl * Fl * 4 > _TWO_PIECE_BYTES):
         # two-piece path for levels whose square fronts are large: the
@@ -1237,7 +1271,8 @@ def _factor_level(fp: FrontalPlan, lvl: int, piv, U, extadd: str,
                                                 cap=gm_cap,
                                                 t_dtype=update_dtype,
                                                 defer_T=True)
-        if lvl == 0 and root_mesh is not None and B == 1:
+        if (lvl == 0 and root_mesh is not None and B == 1
+                and root_mesh.scheme != "off"):
             # collective root-front factorization over the ICI mesh
             # (root_mesh is a _RootSpec pre-resolved by _effective_root_mesh:
             # 1-D column-cyclic vs 2-D block-cyclic routed by F and ndev)
@@ -1299,7 +1334,8 @@ def _factor_level(fp: FrontalPlan, lvl: int, piv, U, extadd: str,
             full = _apply_child_updates_fused(fp, full, U, lvl + 1)
         else:
             full = full - expand(fp, U, lvl + 1).astype(full.dtype)
-    if lvl == 0 and root_mesh is not None and B == 1:
+    if (lvl == 0 and root_mesh is not None and B == 1
+            and root_mesh.scheme != "off"):
         # collective root-front factorization over the ICI mesh
         # (root_mesh is a _RootSpec pre-resolved by _effective_root_mesh:
         # 1-D column-cyclic vs 2-D block-cyclic routed by F and ndev)
@@ -1473,7 +1509,7 @@ def _top_fused_jit(fp: "FrontalPlan", start_lvl: int, utag: str, extadd: str,
             fac, U = _factor_level(
                 fp, lvl, pivs[i], U, extadd, gm_cap,
                 _update_dtype_for(jnp.dtype(front_dtype), _u_bytes(fp, lvl)),
-                root_mesh if lvl == 0 else None)
+                _mesh_for_level(fp, lvl, root_mesh))
             if store_dtype is not None and fac.dtype != jnp.dtype(store_dtype):
                 fac = fac.astype(store_dtype)
             outs.append(fac)
@@ -1760,7 +1796,7 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
         fn = _level_step_jit(fp, lvl, utag, extadd, gm_cap,
                              _update_dtype_for(jnp.dtype(front_dtype),
                                                _u_bytes(fp, lvl)),
-                             root_mesh if lvl == 0 else None, donate,
+                             _mesh_for_level(fp, lvl, root_mesh), donate,
                              store_dtype=store_dtype)
         work = (fronts.nbytes_of(lvl) if lazy else
                 int(np.prod(fronts[lvl].shape)) * fronts[lvl].dtype.itemsize)

@@ -81,12 +81,21 @@ def slot_axes(mesh: Mesh):
 
 
 def panel_sharding(mesh: Mesh, level: int) -> NamedSharding:
-    """Sharding for a level's [2^L, H, W] panel array: slot-sharded when the
-    level is wide enough, replicated otherwise."""
+    """Sharding for a level's [2^L, H, W] panel array: slot-sharded when
+    the level is wide enough; NARROW mid-tree levels (1 < 2^L < ndev)
+    shard rows over a per-front subgroup, matching the layout
+    parallel/dist_level.factor_level_sharded emits (each of the B fronts
+    owned by ndev/B chips along its row axis); replicated otherwise."""
     ndev = int(mesh.devices.size)
     nslots = 1 << level
     if nslots >= ndev and nslots % ndev == 0:
         return NamedSharding(mesh, P(slot_axes(mesh), None, None))
+    if 1 < nslots < ndev and ndev % nslots == 0:
+        from cholesky_tpu.parallel.dist_level import FB_AXIS, RG_AXIS
+
+        view = Mesh(mesh.devices.reshape(nslots, ndev // nslots),
+                    (FB_AXIS, RG_AXIS))
+        return NamedSharding(view, P(FB_AXIS, RG_AXIS, None))
     return NamedSharding(mesh, P(None, None, None))
 
 

@@ -52,7 +52,12 @@ def test_sharding_policy_multislice(msmesh):
     boundary)."""
     s3 = panel_sharding(msmesh, 3)    # 8 slots on 2x4 devices
     assert s3.spec == P((DCN_AXIS, TREE_AXIS), None, None)
-    assert panel_sharding(msmesh, 1).spec == P(None, None, None)
+    # narrow level: each front owned by one slice's chips (fb = slice
+    # axis under slice-major flattening), rows over its ICI subgroup
+    s1 = panel_sharding(msmesh, 1)
+    assert s1.spec == P("fb", "rg", None)
+    fb_groups = s1.mesh.devices          # [2, 4]
+    assert set(fb_groups[0].flat) == set(msmesh.devices[0].flat)
     assert rhs_sharding(msmesh, 4).spec == P((DCN_AXIS, TREE_AXIS), None)
     # slot -> device map: slots [0..3] on slice 0, [4..7] on slice 1
     arr = jax.device_put(np.zeros((8, 4, 4)), s3)

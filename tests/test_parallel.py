@@ -21,11 +21,13 @@ def test_sharding_policy(mesh):
     from cholesky_tpu.io.ordering import Ordering
     from cholesky_tpu.symbolic.plan import build_plan
 
-    # wide levels shard over the tree axis, narrow levels replicate
+    # wide levels shard over the tree axis; NARROW mid-tree levels shard
+    # rows over per-front subgroups (dist_level layout)
     s3 = panel_sharding(mesh, 3)   # 8 slots on 8 devices
     assert s3.spec == jax.sharding.PartitionSpec(TREE_AXIS, None, None)
-    s1 = panel_sharding(mesh, 1)   # 2 slots < 8 devices -> replicated
-    assert s1.spec == jax.sharding.PartitionSpec(None, None, None)
+    s1 = panel_sharding(mesh, 1)   # 2 slots < 8 devices -> (fb, rg) rows
+    assert s1.spec == jax.sharding.PartitionSpec("fb", "rg", None)
+    assert len(s1.mesh.devices.reshape(-1)) == 8
     s5 = panel_sharding(mesh, 5)   # 32 slots, divisible
     assert s5.spec == jax.sharding.PartitionSpec(TREE_AXIS, None, None)
     assert rhs_sharding(mesh, 4).spec == jax.sharding.PartitionSpec(TREE_AXIS, None)
@@ -48,6 +50,50 @@ def test_distributed_matches_single_device(mesh):
     xD = sD.solve(b)
     # distributed execution must be numerically identical work
     np.testing.assert_allclose(x1, xD, rtol=1e-12, atol=1e-12)
+
+
+def test_narrow_level_distribution(mesh, monkeypatch):
+    """Narrow mid-tree levels (1 < B < ndev) factor over per-front chip
+    subgroups (parallel/dist_level) instead of replicating — VERDICT r3
+    missing-item #1. Asserts engagement via a spy, output shardings that
+    span the full mesh, numerical identity with the single-chip path,
+    and the 1e-10 contract; CHOLESKY_TPU_DIST_MID=0 must disable."""
+    from cholesky_tpu.parallel import dist_level
+
+    calls = []
+    orig = dist_level.factor_level_sharded
+
+    def spy(fp, lvl, piv, U, m, update_dtype):
+        calls.append(lvl)
+        return orig(fp, lvl, piv, U, m, update_dtype)
+
+    monkeypatch.setattr(dist_level, "factor_level_sharded", spy)
+    n, r, c, v, o, cl, b = generate_problem((24, 24), 5)
+    sD = SparseCholesky.from_coo(n, r, c, v, o, cl, mesh=mesh,
+                                 dtype=np.float32)
+    sD.factorize()
+    assert sorted(set(calls)) == [1, 2]       # B=2, B=4 < ndev=8
+    for lvl in (1, 2):
+        assert len(sD.panels[lvl].sharding.device_set) == 8
+    xD = sD.solve(b)
+    assert sD.residual(b, xD) <= 1e-10
+    # identical operations -> identical factor values vs single chip
+    s1 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    s1.factorize()
+    for lvl in (1, 2):
+        np.testing.assert_allclose(np.asarray(sD.panels[lvl]),
+                                   np.asarray(s1.panels[lvl]),
+                                   rtol=1e-6, atol=1e-6)
+    # env kill switch
+    calls.clear()
+    monkeypatch.setenv("CHOLESKY_TPU_DIST_MID", "0")
+    from cholesky_tpu.numeric import frontal as _fr
+
+    _fr._LEVEL_JIT_CACHE.clear()
+    s2 = SparseCholesky.from_coo(n, r, c, v, o, cl, mesh=mesh,
+                                 dtype=np.float32)
+    s2.factorize()
+    assert calls == []
 
 
 def test_dryrun_multichip():
