@@ -448,9 +448,10 @@ def _truncate_dofs(dofs: Dict[int, np.ndarray],
 def nested_dissection_graph(n: int, rows: np.ndarray, cols: np.ndarray,
                             levels: Optional[int] = None,
                             leaf_target: int = 96,
-                            native: Optional[bool] = None
+                            native: Optional[bool] = None,
+                            method: str = "auto"
                             ) -> Tuple[Ordering, ClusterHierarchy]:
-    """Compute a nested-dissection Ordering for an arbitrary symmetric
+    """Compute a fill-reducing Ordering for an arbitrary symmetric
     sparsity structure. `levels=None` picks depth so leaves are around
     `leaf_target` dofs (utils.py:6's heuristic).
 
@@ -460,7 +461,18 @@ def nested_dissection_graph(n: int, rows: np.ndarray, cols: np.ndarray,
     across each depth's disjoint parts on many-core hosts with
     bit-identical output, CHOLESKY_TPU_ND_THREADS); `native=False`
     forces the Python path (the parity oracle), `native=None` auto-selects,
-    env CHOLESKY_TPU_NATIVE_ND=0 disables."""
+    env CHOLESKY_TPU_NATIVE_ND=0 disables.
+
+    method: "auto" (default) additionally builds a MINIMUM-DEGREE
+    candidate tree (symbolic/mdtree: MD ordering -> elimination tree ->
+    legal binary separator tree with exactly MD's fill) when
+    n <= CHOLESKY_TPU_MD_MAX (default 16384 — the Python MD's practical
+    range) and keeps whichever ordering has fewer exact symbolic-
+    elimination FLOPs. Mesh-like graphs keep deep ND (which beats MD in
+    3-D); irregular graphs (expanders, hub graphs, unbalanced clusters)
+    get minimum-degree quality through the same engine — the rebuild's
+    answer to the reference's professional offline orderings (mnd.c:22).
+    "nd" / "md" force a single candidate."""
     import os
 
     rows = np.asarray(rows, dtype=np.int64)
@@ -499,6 +511,32 @@ def nested_dissection_graph(n: int, rows: np.ndarray, cols: np.ndarray,
             levels = best + 1
             nsep = (1 << levels) - 1
             dofs = _truncate_dofs(dofs, levels)
+
+    # Minimum-degree candidate (symbolic/mdtree): an MD ordering converted
+    # into a legal binary separator tree with exactly MD's fill. ND keeps
+    # its 3-D win; irregular graphs (expanders, hub graphs) get MD quality
+    # through the same engine. Selection = exact symbolic elimination
+    # FLOPs of each candidate's induced permutation.
+    md_max = int(os.environ.get("CHOLESKY_TPU_MD_MAX", "16384"))
+    if method == "md" or (method == "auto" and 1 < n <= md_max
+                          and levels > 1):
+        from cholesky_tpu.symbolic import mdtree
+        from cholesky_tpu.symbolic.quality import permuted_cost
+
+        md_perm = mdtree.min_degree_perm(n, rows, cols)
+        md_dofs = mdtree.tree_from_elimination(n, rows, cols, md_perm,
+                                               levels)
+        if method == "md":
+            dofs = md_dofs
+        else:
+            def perm_of(d):
+                return np.concatenate(
+                    [d[h] for h in range(nsep, 0, -1)])
+
+            f_nd, _ = permuted_cost(n, rows, cols, perm_of(dofs))
+            f_md, _ = permuted_cost(n, rows, cols, perm_of(md_dofs))
+            if f_md < f_nd:
+                dofs = md_dofs
 
     ordering = Ordering(
         levels=levels, num_separators=nsep,
