@@ -148,19 +148,31 @@ def bench_fixture(fixture_dir, mtx, ordf, clustf, rhs, dtype="float32"):
 
     solver = SparseCholesky.from_files(
         os.path.join(fixture_dir, mtx), os.path.join(fixture_dir, ordf),
-        os.path.join(fixture_dir, clustf), dtype=np.dtype(dtype),
-        precision="default")   # factor timed below runs one-pass; keep the
-    #                            solve applying at the same precision
+        os.path.join(fixture_dir, clustf), dtype=np.dtype(dtype))
+    # AUTO precision — the same ladder the flagship production solver
+    # resolves (at 3375 dofs it picks the multi-pass f32 factor, whose
+    # deeper factor accuracy takes the refined residual from ~2e-11 to
+    # the production 1e-12 class — VERDICT r3 #7); the factor series
+    # below times the SAME configuration so the row stays a consistent
+    # (factor, solve) pair.
     b = mmio.read_array(os.path.join(fixture_dir, rhs)).reshape(-1)
     fa = fillmod.analyze_fill(solver.plan, solver.rows, solver.cols,
                               solver.vals)
     useful = schedmod.schedule_flops(schedmod.generate_schedule(fa))
 
+    # resolve the AUTO ladder BEFORE the factor exists (the property pins
+    # itself once factored) and run the raw frontal timing calls under
+    # the same matmul-precision context the api methods apply
+    from cholesky_tpu.api import _precision_ctx
+
+    prec = solver.precision
+
     fp = solver.fplan
     fronts = tuple(frontal.FrontAssembler(fp, solver.rows, solver.cols)(
         solver.vals, dtype=np.dtype(dtype)))
     def _factor_cs(fs):
-        out = frontal.frontal_factor(fp, fs)
+        with _precision_ctx(prec):
+            out = frontal.frontal_factor(fp, fs)
         return out, sum(jnp.sum(p.astype(jnp.float32)) for p in out)
 
     cs_fn = jax.jit(_factor_cs)
@@ -186,7 +198,8 @@ def bench_fixture(fixture_dir, mtx, ordf, clustf, rhs, dtype="float32"):
     def _factor_loop(fs):
         def body(i, carry):
             eps = jnp.asarray(1e-12, fs[0].dtype) * (i + 1)
-            out = frontal.frontal_factor(fp, tuple(f + eps for f in fs))
+            with _precision_ctx(prec):
+                out = frontal.frontal_factor(fp, tuple(f + eps for f in fs))
             return carry + jnp.sum(out[0].astype(jnp.float32))
         return lax.fori_loop(0, R, body, jnp.float32(0))
 
@@ -208,6 +221,7 @@ def bench_fixture(fixture_dir, mtx, ordf, clustf, rhs, dtype="float32"):
             "factor_gflops": round(useful / t_factor / 1e9, 1),
             "factor_device_s": round(t_factor, 5),
             "solve_wall_s": round(t_solve, 4),
+            "precision": f"{prec or 'default'} (auto)",
             "residual": float(f"{residual:.3e}"),
             "residual_ok": bool(residual <= 1e-10)}
 
