@@ -247,3 +247,25 @@ def nd_order(n: int, rows: np.ndarray, cols: np.ndarray,
     if rc != 0:
         raise RuntimeError(f"nd_order failed: rc={rc}")
     return sep_of
+
+
+_lib.md_order.restype = _i64
+_lib.md_order.argtypes = [_i64, _i64, _i64p, _i64p, _i64p]
+
+
+def md_order(n: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    """Native minimum-degree ordering core (statement-level mirror of
+    symbolic/mdtree.min_degree_perm — see mndio.cc md_order). Returns
+    perm [n] with perm[k] = original dof eliminated k-th; output is
+    identical to the Python implementation (the lazy (deg, v) heap makes
+    pop order container-independent)."""
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    perm = np.zeros(int(n), dtype=np.int64)
+    rc = _lib.md_order(_i64(int(n)), _i64(len(rows)), rows, cols, perm)
+    if rc == 2:
+        raise IndexError("rows/cols contain dof indices outside [0, n) — "
+                         "COO indices must be 0-based")
+    if rc != 0:
+        raise RuntimeError(f"md_order failed: rc={rc}")
+    return perm

@@ -890,3 +890,131 @@ int64_t nd_order(int64_t n, int64_t nnz, const int64_t* rows,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Minimum-degree ordering (native mirror of symbolic/mdtree.min_degree_perm).
+//
+// The hybrid ordering generator (symbolic/nd.py method="auto") lifts a
+// minimum-degree ordering to a legal binary separator tree via the
+// elimination tree; this is the MD core in C++ — quotient graph
+// (variables + elements), aggressive element absorption, edge pruning
+// under element coverage, Amestoy-Davis-Duff approximate external degrees
+// with the one-sweep |L_e \ L_p| counters, lazy heap, clique-tail cutoff.
+// A STATEMENT-LEVEL mirror of the Python implementation: the (deg, v)
+// heap with lazy invalidation makes pop order independent of container
+// iteration order, so the output permutation is IDENTICAL
+// (tests/test_mdtree.py::test_native_md_matches_python). Keep in sync.
+
+extern "C" int64_t md_order(int64_t n, int64_t nnz, const int64_t* rows,
+                            const int64_t* cols, int64_t* perm_out) {
+  using std::vector;
+  vector<vector<int32_t>> adj((size_t)n);
+  for (int64_t k = 0; k < nnz; ++k) {
+    int64_t r = rows[k], c = cols[k];
+    if (r == c) continue;
+    if (r < 0 || r >= n || c < 0 || c >= n) return 2;
+    adj[(size_t)r].push_back((int32_t)c);
+    adj[(size_t)c].push_back((int32_t)r);
+  }
+  for (auto& a : adj) {  // Python set semantics: unique neighbors
+    std::sort(a.begin(), a.end());
+    a.erase(std::unique(a.begin(), a.end()), a.end());
+  }
+  vector<vector<int32_t>> elems((size_t)n);  // element ids touching v
+  vector<vector<int32_t>> evert;             // element id -> member vars
+  vector<char> alive;                        // per element
+  vector<int64_t> deg((size_t)n);
+  typedef std::pair<int64_t, int64_t> P;     // (deg, v)
+  std::priority_queue<P, vector<P>, std::greater<P>> heap;
+  for (int64_t v = 0; v < n; ++v) {
+    deg[(size_t)v] = (int64_t)adj[(size_t)v].size();
+    heap.push({deg[(size_t)v], v});
+  }
+  vector<char> done((size_t)n, 0);
+  vector<int32_t> lv_stamp((size_t)n, 0);
+  int32_t stamp = 0;
+  vector<int64_t> wval;                      // per element, stamped
+  vector<int32_t> wstamp;
+  vector<int32_t> Lv, touched, kept;
+  int64_t remaining = n, np = 0;
+  while (!heap.empty()) {
+    P top = heap.top();
+    heap.pop();
+    int64_t d = top.first, v = top.second;
+    if (done[(size_t)v] || d != deg[(size_t)v]) continue;
+    if (d >= remaining - 1) {
+      // clique tail: one more elimination makes everyone full
+      vector<P> tail;
+      for (int64_t u = 0; u < n; ++u)
+        if (!done[(size_t)u]) tail.push_back({deg[(size_t)u], u});
+      std::sort(tail.begin(), tail.end());
+      for (auto& t : tail) perm_out[np++] = t.second;
+      break;
+    }
+    // form element L_v = adj(v) u (union of v's live elements), minus v
+    ++stamp;
+    Lv.clear();
+    auto add = [&](int32_t u) {
+      if (!done[(size_t)u] && (int64_t)u != v &&
+          lv_stamp[(size_t)u] != stamp) {
+        lv_stamp[(size_t)u] = stamp;
+        Lv.push_back(u);
+      }
+    };
+    for (int32_t u : adj[(size_t)v]) add(u);
+    for (int32_t e : elems[(size_t)v])
+      if (alive[(size_t)e]) {
+        for (int32_t u : evert[(size_t)e]) add(u);
+        alive[(size_t)e] = 0;                // absorbed by the pivot
+      }
+    done[(size_t)v] = 1;
+    --remaining;
+    perm_out[np++] = v;
+    // one sweep: w[e] = |L_e \ L_v| for every live element touching L_v;
+    // fully covered elements (w == 0) absorb
+    wval.resize(evert.size());
+    wstamp.resize(evert.size(), 0);
+    touched.clear();
+    for (int32_t u : Lv)
+      for (int32_t e : elems[(size_t)u])
+        if (alive[(size_t)e]) {
+          if (wstamp[(size_t)e] != stamp) {
+            wstamp[(size_t)e] = stamp;
+            wval[(size_t)e] = (int64_t)evert[(size_t)e].size();
+            touched.push_back(e);
+          }
+          --wval[(size_t)e];
+        }
+    for (int32_t e : touched)
+      if (wval[(size_t)e] <= 0) alive[(size_t)e] = 0;
+    int32_t eid = (int32_t)evert.size();
+    evert.push_back(Lv);
+    alive.push_back(1);
+    int64_t lsz = (int64_t)Lv.size();
+    for (int32_t u : Lv) {
+      // adj[u] \ (L_v u {v}): covered by the new element
+      kept.clear();
+      for (int32_t w : adj[(size_t)u])
+        if ((int64_t)w != v && lv_stamp[(size_t)w] != stamp)
+          kept.push_back(w);
+      adj[(size_t)u].swap(kept);
+      // live elements only, plus the new one
+      kept.clear();
+      for (int32_t e : elems[(size_t)u])
+        if (alive[(size_t)e]) kept.push_back(e);
+      kept.push_back(eid);
+      elems[(size_t)u].swap(kept);
+      int64_t ext = 0;
+      for (int32_t e : elems[(size_t)u])
+        if (e != eid)
+          ext += (wstamp[(size_t)e] == stamp)
+                     ? wval[(size_t)e]
+                     : (int64_t)evert[(size_t)e].size();
+      int64_t du = (int64_t)adj[(size_t)u].size() + (lsz - 1) + ext;
+      if (du > remaining - 1) du = remaining - 1;
+      deg[(size_t)u] = du;
+      heap.push({du, (int64_t)u});
+    }
+  }
+  return np == n ? 0 : 1;
+}

@@ -43,7 +43,8 @@ import numpy as np
 
 
 def min_degree_perm(n: int, rows: np.ndarray, cols: np.ndarray,
-                    exact: bool = False) -> np.ndarray:
+                    exact: bool = False,
+                    native: bool = None) -> np.ndarray:
     """Minimum-degree ordering of the symmetric pattern (quotient graph:
     variables + elements, aggressive element absorption, edge pruning
     under element coverage, lazy heap). Degrees use the Amestoy-Davis-
@@ -57,7 +58,25 @@ def min_degree_perm(n: int, rows: np.ndarray, cols: np.ndarray,
     exact-degree recomputation). Once the minimum degree reaches
     remaining-1 the residual graph is (about to be) a clique and the
     tail is ordered by current degree — identical fill. Returns perm
-    with perm[k] = original dof eliminated k-th."""
+    with perm[k] = original dof eliminated k-th.
+
+    The core also exists in the native library (mndio.cc md_order, a
+    statement-level mirror with IDENTICAL output — the lazy (deg, v)
+    heap makes pop order container-independent); native=None
+    auto-selects it for the default approximate-degree mode,
+    CHOLESKY_TPU_NATIVE_MD=0 disables."""
+    import os
+
+    if native is None:
+        native = (not exact
+                  and os.environ.get("CHOLESKY_TPU_NATIVE_MD", "1") == "1")
+    if native and not exact:
+        try:
+            from cholesky_tpu.native import ext
+
+            return ext.md_order(n, rows, cols)
+        except (ImportError, AttributeError):
+            pass
     adj: List[set] = [set() for _ in range(n)]
     for r, c in zip(np.asarray(rows), np.asarray(cols)):
         if r != c:

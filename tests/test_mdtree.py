@@ -93,3 +93,15 @@ def test_auto_selection_policy(monkeypatch):
     md3 = mdtree.min_degree_perm(n3, r3, c3)
     f3_md, _ = permuted_cost(n3, r3, c3, md3)
     assert f3 <= f3_md                   # 3-D: ND retained
+
+
+def test_native_md_matches_python():
+    """mndio.cc md_order is a statement-level mirror whose lazy (deg, v)
+    heap makes pop order container-independent — output must be
+    IDENTICAL to the Python implementation (14-41x faster measured)."""
+    pytest.importorskip("cholesky_tpu.native.ext")
+    for name in ("random", "circuit", "imbalanced"):
+        n, r, c, v = problems.GALLERY[name]()
+        pn = mdtree.min_degree_perm(n, r, c, native=True)
+        pp = mdtree.min_degree_perm(n, r, c, native=False)
+        assert np.array_equal(pn, pp), name
