@@ -1,13 +1,20 @@
 """Frame-propagation triangular solve as per-level Pallas TPU kernels.
 
-The refinement loop's inner solve is kernel-count-bound on this backend:
-every dependent kernel in a compiled program costs ~140-250 us of chain
-latency (tools/prof_scatter.py), so the XLA banded level chain
-(frontal._solve_banded_core) pays ~70 kernels ~= 17 ms per solve at 50^3
-while its arithmetic is microseconds. This module re-expresses the solve
-as MULTIFRONTAL FRAME PROPAGATION — contributions hop parent<->child
-through positional maps instead of scattering into a global vector — and
-fuses each level's whole step into ONE Pallas kernel per direction:
+STATUS (round 4, measured): an ALTERNATE inner engine, OPT-IN — the
+round-3 premise that the XLA banded chain is kernel-count-bound
+(~70 kernels x 140-250 us ~= 17 ms/solve) did not reproduce when
+measured amortized: the banded chain runs 6.2 ms/solve at 50^3 (per-
+kernel cost ~40-60 us) vs 13.1 ms for these kernels, whose windowed
+in-kernel selects cost more than the chain latency they remove. The v2
+kernels DO fit the design-target VMEM budget and pass parity at the
+50^3 shapes (closing the round-3 gap); routing defaults to the banded
+chain (wanted()), with CHOLESKY_TPU_FRAMES_SOLVE=1 opting in — see
+tools/prof_frames.py for the per-level numbers.
+
+The design: the solve is re-expressed as MULTIFRONTAL FRAME
+PROPAGATION — contributions hop parent<->child through positional maps
+instead of scattering into a global vector — and each level's whole
+step fuses into ONE Pallas kernel per direction:
 
   forward  (leaves -> root), per front at level l:
       u_in  = select(children u_out)        [summed over the child pair]
@@ -529,8 +536,23 @@ def solve_frames(fp, factors, inv_pivots, g):
 
 
 def wanted(fp, factors) -> bool:
-    """usable() plus the CHOLESKY_TPU_FRAMES_SOLVE=0/1 override — the
-    production routing predicate for the refinement loop's inner solve."""
+    """Production routing predicate for the refinement loop's inner
+    solve. CHOLESKY_TPU_FRAMES_SOLVE=1 opts the frames engine in (gated
+    by usable()); the DEFAULT is the XLA banded chain.
+
+    Measured honestly (round 4, v5e through the tunnel, amortized
+    fori_loop series at 50^3/8-level): the banded chain runs 6.2 ms per
+    solve at one-pass matmul precision vs 13.1 ms for the frames kernels
+    — the round-3 premise that the banded chain pays ~70 x 140-250 us of
+    kernel-chain latency (~17 ms) did not reproduce; its per-kernel cost
+    measures ~40-60 us and the frames kernels' windowed selects spend
+    more in-kernel time than the chain latency they remove (also 1.52 vs
+    1.30 ms at 12^3; 139 vs 113 ms wall at the production highest-factor
+    config). The v2 kernels DO now fit the design-target VMEM budget and
+    pass parity + refinement tests at 50^3 shapes (the round-3 gap), so
+    the engine stays available for routing experiments and for backends
+    where dispatch latency dominates — but the default is the measured
+    winner."""
     import os
 
     flag = os.environ.get("CHOLESKY_TPU_FRAMES_SOLVE")
@@ -540,7 +562,7 @@ def wanted(fp, factors) -> bool:
         return False
     if flag == "1":
         return True
-    return usable(fp, factors)
+    return False
 
 
 def usable(fp, factors) -> bool:

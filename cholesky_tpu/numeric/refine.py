@@ -42,6 +42,8 @@ _HIST_CAP = 128     # trace_hist buffer size (max recorded iterations)
 
 _BS_CACHE = {}      # (fp_key, banded, rhs digest) -> resident [2, n] planes
 
+_ELL_DEV_CACHE = {}  # (fp_key, banded) -> (host tuple ref, device planes)
+
 
 def _two_sum(a, b):
     """Knuth TwoSum: s + e == a + b exactly (6 flops, branch-free)."""
@@ -191,14 +193,10 @@ def solve_refined_df(fp, factors: Sequence, b64: np.ndarray, ell,
         if ell_pad is None:
             ell_pad = pad_ell(fp, ell)
         idx, a_hi, a_lo = ell_pad
-        n = b64.shape[0]
         _, _, inv_map, pad_of, _ = frontal._banded_maps(fp)
-        b_ext = np.concatenate([b64, [0.0]])
-        b_pad = b_ext[np.concatenate([inv_map, [n]])]  # [n_pad + 1], sent 0
-        b_hi, b_lo = split_f64(b_pad)
     else:
         idx, a_hi, a_lo = ell
-        b_hi, b_lo = split_f64(b64)
+        pad_of = None
     if trace_hist:
         # the history buffer is a fixed _HIST_CAP entries; clamp so the
         # while_loop can never scatter out of bounds (silently dropped
@@ -209,27 +207,68 @@ def solve_refined_df(fp, factors: Sequence, b64: np.ndarray, ell,
     # top of the execute RPC (measured: host-arg call 59.6 ms vs
     # resident-arg 33.2 ms at n=140k), and repeat solves against the
     # same right-hand side — time stepping, benchmarking, refinement
-    # ladders — would pay it every call. Keyed by (plan, rhs bytes);
-    # tiny LRU so long-lived solvers don't pin stale vectors.
+    # ladders — would pay it every call. Keyed by (plan, rhs bytes); a
+    # HIT also skips the host-side relabel/split (~3-4 ms at 125k).
+    # Tiny LRU so long-lived solvers don't pin stale vectors.
     import hashlib
 
     bkey = (fp.key(), banded,
             hashlib.blake2b(b64.tobytes(), digest_size=16).digest())
     bs = _BS_CACHE.get(bkey)
     if bs is None:
+        if banded:
+            n = b64.shape[0]
+            b_ext = np.concatenate([b64, [0.0]])
+            b_pad = b_ext[np.concatenate([inv_map, [n]])]   # sentinel 0
+            b_hi, b_lo = split_f64(b_pad)
+        else:
+            b_hi, b_lo = split_f64(b64)
         bs = jnp.asarray(np.stack([b_hi, b_lo]))      # ONE upload
         _BS_CACHE[bkey] = bs
         while len(_BS_CACHE) > 8:
             _BS_CACHE.pop(next(iter(_BS_CACHE)))
+    # Device-resident ELL planes, identity-cached per plan: jnp.asarray on
+    # the host planes re-uploaded ~23 MB PER SOLVE at 50^3 (~25-45 ms of
+    # the measured wall through the tunnel). The api caches the host
+    # tuple, so identity is a stable key; holding the host ref in the
+    # entry keeps id() collisions impossible.
+    ekey = (fp.key(), banded)
+    hit = _ELL_DEV_CACHE.get(ekey)
+    if hit is not None and hit[0] is (ell_pad if banded else ell):
+        idx_d, a_hi_d, a_lo_d = hit[1]
+    else:
+        idx_d, a_hi_d, a_lo_d = (jnp.asarray(idx), jnp.asarray(a_hi),
+                                 jnp.asarray(a_lo))
+        _ELL_DEV_CACHE[ekey] = ((ell_pad if banded else ell),
+                                (idx_d, a_hi_d, a_lo_d))
+        while len(_ELL_DEV_CACHE) > 8:
+            _ELL_DEV_CACHE.pop(next(iter(_ELL_DEV_CACHE)))
+    import os
+
+    demote = os.environ.get("CHOLESKY_TPU_APPLY_PRECISION",
+                            "one_pass") != "ambient"
+    # device-side padded->permuted gather: the result comes back [2, n+1]
+    # instead of [2, n_pad+1] (one less host gather, ~12% less payload on
+    # a ~14-50 MB/s tunnel readback)
+    pad_of_d = None
+    if banded:
+        pkey = (fp.key(), "pad_of")
+        pad_of_d = _ELL_DEV_CACHE.get(pkey)
+        if pad_of_d is None:
+            pad_of_d = jnp.asarray(pad_of.astype(np.int32))
+            _ELL_DEV_CACHE[pkey] = pad_of_d
     try:
-        out = _run(fp.key(), tuple(factors), inv, jnp.asarray(idx),
-                   jnp.asarray(a_hi), jnp.asarray(a_lo), bs,
-                   jnp.int32(max_iter), np.float32(tol * bnorm),
-                   bool(trace_hist), inner)
-        # JAX execution is async: block HERE so an execution-time failure
-        # (not just a trace/compile one) still lands in this try and takes
-        # the fallback below instead of escaping at the readback
-        out = jax.block_until_ready(out)
+        out = _run(fp.key(), tuple(factors), inv, idx_d, a_hi_d, a_lo_d,
+                   bs, jnp.int32(max_iter), np.float32(tol * bnorm),
+                   bool(trace_hist), inner, demote, pad_of_d)
+        # the np.asarray readback IS the sync point: an execution-time
+        # failure (not just a trace/compile one) surfaces here, inside
+        # the try, and takes the fallback below. (A separate
+        # block_until_ready before the readback cost a SECOND sequential
+        # tunnel round trip — measured ~30-50 ms per solve.)
+        if trace_hist:
+            out, hist = out
+        arr = np.asarray(out, np.float64)             # ONE readback
     except Exception as frames_err:  # noqa: BLE001 — see fallback note
         # the frames program can be refused by Mosaic at compile/run time
         # (scoped-VMEM overflow usable()'s estimate missed); the banded
@@ -252,16 +291,13 @@ def solve_refined_df(fp, factors: Sequence, b64: np.ndarray, ell,
             RuntimeWarning, stacklevel=2)
         pallas_solve._RUNTIME_FAILED.add(fp.key())
         inner = "banded"
-        out = _run(fp.key(), tuple(factors), inv, jnp.asarray(idx),
-                   jnp.asarray(a_hi), jnp.asarray(a_lo), bs,
-                   jnp.int32(max_iter), np.float32(tol * bnorm),
-                   bool(trace_hist), inner)
-    if trace_hist:
-        out, hist = out
-    arr = np.asarray(out, np.float64)                 # ONE readback
+        out = _run(fp.key(), tuple(factors), inv, idx_d, a_hi_d, a_lo_d,
+                   bs, jnp.int32(max_iter), np.float32(tol * bnorm),
+                   bool(trace_hist), inner, demote, pad_of_d)
+        if trace_hist:
+            out, hist = out
+        arr = np.asarray(out, np.float64)
     x = arr[0, :-1] + arr[1, :-1]
-    if banded:
-        x = x[pad_of]                                 # padded -> permuted
     iters = int(arr[1, -1])
     rn_rel = float(arr[0, -1]) / bnorm if bnorm else 0.0
     if trace_hist:
@@ -276,9 +312,10 @@ def _residual_df(idx, a_hi, a_lo, b_hi, b_lo, x_hi, x_lo):
     return _df_add(b_hi, b_lo, -y_hi, -y_lo)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 9, 10))
+@functools.partial(jax.jit, static_argnums=(0, 9, 10, 11))
 def _run(key, factors, inv_pivots, idx, a_hi, a_lo, bs, max_iter,
-         tol_abs, trace_hist=False, inner="plain"):
+         tol_abs, trace_hist=False, inner="plain", demote_apply=True,
+         pad_of=None):
     """max_iter is a TRACED operand (while_loop bound), not static — one
     compiled program serves every iteration budget (large-program compiles
     through the tunnel are minutes-long and intermittently crash the
@@ -296,14 +333,34 @@ def _run(key, factors, inv_pivots, idx, a_hi, a_lo, bs, max_iter,
     b_hi, b_lo = bs[0], bs[1]
 
     def solve(rhs):
-        if inner == "frames":
-            from cholesky_tpu.numeric import pallas_solve
+        # The inner solve APPLICATION runs one-pass even under a raised
+        # ambient matmul precision (the api ladder's "highest" factor):
+        # convergence is carried by the FACTOR's accuracy plus the
+        # double-float residual (pure VPU, precision-context-free), while
+        # the apply's own rounding only needs f32-class matvecs — the
+        # 6-pass emulation tripled every solve einsum for no sweep saved
+        # (measured at 50^3: banded chain 6.2 ms one-pass vs ~18 ms under
+        # "highest", same 2 refinement sweeps either way).
+        # demote_apply is STATIC (resolved from
+        # CHOLESKY_TPU_APPLY_PRECISION by the caller) so flipping the env
+        # retraces instead of silently reusing the cached program.
+        import contextlib
 
-            return pallas_solve.solve_frames(fp, factors, inv_pivots, rhs)
-        if inner == "banded":
-            return frontal._solve_banded_core(fp, factors, inv_pivots, rhs)
-        return frontal.frontal_solve(fp, factors, rhs,
-                                     inv_pivots=inv_pivots)
+        import jax as _jax
+
+        ctx = (_jax.default_matmul_precision("bfloat16") if demote_apply
+               else contextlib.nullcontext())
+        with ctx:
+            if inner == "frames":
+                from cholesky_tpu.numeric import pallas_solve
+
+                return pallas_solve.solve_frames(fp, factors, inv_pivots,
+                                                 rhs)
+            if inner == "banded":
+                return frontal._solve_banded_core(fp, factors, inv_pivots,
+                                                  rhs)
+            return frontal.frontal_solve(fp, factors, rhs,
+                                         inv_pivots=inv_pivots)
 
     def resid(x_hi, x_lo):
         if banded:
@@ -347,7 +404,11 @@ def _run(key, factors, inv_pivots, idx, a_hi, a_lo, bs, max_iter,
     st = (jnp.int32(0), x_hi, x_lo, r_hi, r_lo, rn0,
           jnp.float32(jnp.inf), hist)
     i, x_hi, x_lo, r_hi, r_lo, rn, _, hist = lax.while_loop(cond, body, st)
-    # pack (x_hi | rn), (x_lo | iters) into one [2, n+1] readback
+    if pad_of is not None:
+        # padded -> permuted on DEVICE: smaller readback, no host gather
+        x_hi = x_hi[pad_of]
+        x_lo = x_lo[pad_of]
+    # pack (x_hi | rn), (x_lo | iters) into one [2, n(+pad)+1] readback
     extra = jnp.stack([rn, i.astype(jnp.float32)])
     out = jnp.concatenate([jnp.stack([x_hi, x_lo]), extra[:, None]], axis=1)
     if trace_hist:

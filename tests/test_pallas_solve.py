@@ -129,7 +129,15 @@ def test_frames_engaged_at_design_target():
 
     factors = [_F32()] * fp.levels
     assert pallas_solve.usable(fp, factors)
-    assert pallas_solve.wanted(fp, factors)
+    # the engine ENGAGES at these shapes when opted in (default routing
+    # is the banded chain — measured faster; see wanted()'s docstring)
+    import os
+
+    os.environ["CHOLESKY_TPU_FRAMES_SOLVE"] = "1"
+    try:
+        assert pallas_solve.wanted(fp, factors)
+    finally:
+        del os.environ["CHOLESKY_TPU_FRAMES_SOLVE"]
     m = pallas_solve.frame_maps(fp)
     for lvl in range(1, fp.levels):
         fb = pallas_solve._fwd_vmem_bytes(fp, m, lvl)
