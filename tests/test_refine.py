@@ -132,3 +132,33 @@ def test_zero_column_rhs_block():
     s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
     X = s.solve(np.zeros((n, 0)))
     assert X.shape == (n, 0)
+
+
+def test_rhs_and_ell_device_caches():
+    """The tunnel-transport caches must be correct, not just fast: a
+    repeat solve against the same rhs reuses the staged device planes
+    (identical result), a DIFFERENT rhs misses the content-keyed cache
+    and still solves to contract, and mutating the rhs content (same
+    array object) is detected by the digest."""
+    from cholesky_tpu.numeric import refine as rf
+
+    n, r, c, v, o, cl, b = generate_problem((12, 12), 4)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    s.factorize()
+    rf._BS_CACHE.clear()
+    x1 = s.solve(b, tol=1e-10)
+    n_bs = len(rf._BS_CACHE)
+    x2 = s.solve(b, tol=1e-10)
+    assert len(rf._BS_CACHE) == n_bs          # hit, no new entry
+    np.testing.assert_array_equal(x1, x2)
+    assert s.residual(b, x1) <= 1e-10
+    b3 = b + 1.0                              # different content -> miss
+    x3 = s.solve(b3, tol=1e-10)
+    assert len(rf._BS_CACHE) == n_bs + 1
+    assert s.residual(b3, x3) <= 1e-10
+    b4 = b.copy()
+    x4a = s.solve(b4, tol=1e-10)
+    b4[0] += 2.5                              # in-place mutation
+    x4b = s.solve(b4, tol=1e-10)
+    assert s.residual(b4, x4b) <= 1e-10
+    assert not np.allclose(x4a, x4b)
