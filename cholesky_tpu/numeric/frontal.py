@@ -1064,6 +1064,12 @@ _TWO_PIECE_BYTES = int(_os.environ.get(
 _HBM_BUDGET = int(_os.environ.get(
     "CHOLESKY_TPU_HBM_BUDGET", int(14.5 * (1 << 30))))
 
+# offload-mode spill threshold for a chunked level's EMITTED child-update
+# pieces (see the chunked streamed driver): levels whose full update
+# exceeds this leave the device between levels
+_U_OFFLOAD_BYTES = int(_os.environ.get(
+    "CHOLESKY_TPU_U_OFFLOAD_BYTES", str(2 << 30)))
+
 
 def _effective_gathermm_cap(total_front_bytes: int) -> int:
     """Scale the gathermm intermediate cap to what the chip can actually
@@ -1752,7 +1758,24 @@ def frontal_factor_streamed(fp: FrontalPlan, fronts: Sequence[jax.Array],
                     del u_c
                 del piv_c
                 fac_c, nxt = res
-                new_pieces.append(nxt)
+                # Past ~2.74M dofs the ACCUMULATED child-update pieces are
+                # the HBM killer the per-chunk floor cannot see: the level
+                # boundary holds u_in (being consumed) + u_out (being
+                # emitted) at 6-7 GB EACH in bf16 at 140^3, on top of the
+                # running chunk's working set (OOMed the first 140^3
+                # attempt). In offload mode big emitted pieces spill to
+                # host like the factors do; the consumer's chunk slicing
+                # re-uploads only its rows (CHOLESKY_TPU_U_OFFLOAD_BYTES
+                # gates, default 2 GiB per level's emitted update).
+                if (offload and nxt is not None
+                        and not isinstance(nxt, tuple)
+                        and nc * int(np.prod(nxt.shape))
+                        * jnp.dtype(nxt.dtype).itemsize
+                        > _U_OFFLOAD_BYTES):
+                    new_pieces.append(jax.device_get(nxt))
+                else:
+                    new_pieces.append(nxt)
+                del nxt
                 if offload:
                     fac_pieces.append(jax.device_get(fac_c))
                 else:

@@ -318,6 +318,28 @@ def test_chunked_levels_match_unchunked():
                                        rtol=1e-12, atol=1e-12)
 
 
+def test_chunked_update_spill_matches(monkeypatch):
+    """The offload-mode spill of big emitted child-update pieces to host
+    (the 140^3 HBM fix: u_in + u_out at the level boundary were the OOM)
+    must be numerically invisible — force the spill for every chunked
+    level via a 1-byte threshold and compare against the unchunked run."""
+    monkeypatch.setattr(frontal, "_U_OFFLOAD_BYTES", 1)
+    n, r, c, v, o, cl, b = generate_problem((12, 12, 12), 6)
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl)
+    fp = s.fplan
+    asm = frontal.FrontAssembler(fp, s.rows, s.cols)
+    fronts = tuple(asm(s.vals, dtype=np.float64))
+    ref = frontal.frontal_factor_streamed(fp, fronts, donate=False,
+                                          chunks={})
+    lz = frontal.LazyFronts(asm, s.vals, dtype=np.float64)
+    out = frontal.frontal_factor_streamed(fp, lz, donate=True,
+                                          offload=True,
+                                          chunks={5: 4, 4: 2, 3: 2})
+    for a_, b_ in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-12, atol=1e-12)
+
+
 def test_chunk_assembly_matches_slab_slice():
     """Per-chunk lazy assembly produces exactly the corresponding slice of
     the full level slab (incl. padded-diagonal ones)."""
