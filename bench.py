@@ -46,6 +46,49 @@ def parse_shape(s):
     return tuple(int(x) for x in s.split(","))
 
 
+def _solve_series_builder(fp, inner_s, tol_abs, R):
+    """R full refined solves inside ONE fori_loop program (device solve
+    time without the per-call dispatch floor). All device operands ride as
+    jit ARGUMENTS — jit bakes closures into the HLO as constants, and that
+    (not the rolled trip count) is what blew round 3's compile request
+    past the tunnel body limit (HTTP 413)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from cholesky_tpu.numeric import refine as refmod
+
+    def _series(facs, bs, inv_a, idx_a, ahi_a, alo_a):
+        def body(i, carry):
+            b2 = bs + jnp.asarray(1e-12, bs.dtype) * (i + 1)
+            out = refmod._run.__wrapped__(
+                fp.key(), facs, inv_a, idx_a, ahi_a, alo_a, b2,
+                jnp.int32(40), tol_abs, False, inner_s)
+            return carry + jnp.sum(out[0])
+        return lax.fori_loop(0, R, body, jnp.float32(0))
+    return jax.jit(_series)
+
+
+def _compile_canary() -> float:
+    """Seconds to compile one tiny FRESH program (unique constant, so the
+    persistent cache can never serve it). The tunnel's remote compile
+    service degrades episodically (2-10 s good hour, 300-770 s bad one);
+    recording the canary next to the big-program compile times is what
+    lets a reader distinguish service weather from a program-size
+    regression (VERDICT r4 weak #2)."""
+    import random as _random
+
+    import jax
+    import jax.numpy as jnp
+
+    k = float(_random.random()) + 1.5
+    f = jax.jit(lambda x: jnp.tanh(x @ x * k).sum())
+    x = jnp.ones((128, 128), jnp.float32)
+    t0 = time.perf_counter()
+    float(f(x))
+    return time.perf_counter() - t0
+
+
 def _mxu_rates(include_potrf=False, iters=4):
     """Shared large-front kernel-rate harness: the chip's matmul peak proxy
     (4096^2 fp32 matmuls), the root-front SYRK rate at the 50^3 root Schur
@@ -489,6 +532,12 @@ def main(argv=None):
     t_factor_device = None
     R_dev = 0
     compile_s = {}                 # compile+first-run seconds per program
+    try:
+        compile_s["canary_fresh"] = round(_compile_canary(), 1)
+        print(f"# compile canary (tiny fresh program) "
+              f"{compile_s['canary_fresh']}s", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — never blocks the bench
+        print(f"# compile canary failed: {type(e).__name__}", file=sys.stderr)
     if not use_stream and not big and not args.no_extras:
         from jax import lax
 
@@ -623,27 +672,10 @@ def main(argv=None):
                 bnorm_g = float(np.linalg.norm(b))
                 tol_abs = np.float32(1e-10 / 3.0 * bnorm_g)
 
-                def _solve_series_fn(R):
-                    # the pivot inverses (~432 MB at 50^3) and ELL planes
-                    # are ARGUMENTS, not closed-over device arrays — jit
-                    # bakes closures in as HLO constants, and THAT (not
-                    # the trip count: fori_loop is rolled) is what blew
-                    # the compile request past the tunnel's body limit
-                    # (HTTP 413) and emptied round 3's t_solve_device
-                    def _series(facs, bs, inv_a, idx_a, ahi_a, alo_a):
-                        def body(i, carry):
-                            b2 = bs + jnp.asarray(1e-12, bs.dtype) * (i + 1)
-                            out = refmod._run.__wrapped__(
-                                fp.key(), facs, inv_a, idx_a, ahi_a,
-                                alo_a, b2, jnp.int32(40), tol_abs, False,
-                                inner_s)
-                            return carry + jnp.sum(out[0])
-                        return lax.fori_loop(0, R, body, jnp.float32(0))
-                    return jax.jit(_series)
-
                 for R_solve in (10, 5):
                     try:
-                        sfn = _solve_series_fn(R_solve)
+                        sfn = _solve_series_builder(fp, inner_s, tol_abs,
+                                                    R_solve)
                         t0 = time.time()
                         float(sfn(tuple(factors0), bs_dev, inv_s, idx_e,
                                   a_hi_e, a_lo_e))
@@ -815,6 +847,55 @@ def main(argv=None):
                 result["residual_production"] = float(f"{rres:.3e}")
                 result["residual_ok"] = bool(result["residual_ok"]
                                              and rres <= 1e-10)
+                # Production-ladder solve DEVICE series (VERDICT r4 weak
+                # #6: only the default config had t_solve_device; the
+                # headline solve_wall_s lacked a device-time twin). Same
+                # fori series, TRACED under the production precision
+                # context with the production factor set.
+                if not use_stream and not big:
+                    from cholesky_tpu.api import _precision_ctx
+                    from cholesky_tpu.numeric import refine as refmod
+
+                    inv_pp = (tuple(prod._inv_pivots())
+                              if prod._want_inv_pivots() else None)
+                    inner_pp = "banded" if inv_pp is not None else "plain"
+                    if inv_pp is not None:
+                        idx_pp, ahi_pp, alo_pp = prod._ell_padded()
+                        _, _, inv_map_p, _, _ = frontal._banded_maps(fp)
+                        b_ext_p = np.concatenate(
+                            [b[plan.perm].astype(np.float64), [0.0]])
+                        bh_p, bl_p = refmod.split_f64(
+                            b_ext_p[np.concatenate([inv_map_p, [plan.n]])])
+                    else:
+                        idx_pp, ahi_pp, alo_pp = [
+                            jnp.asarray(t) for t in prod._ell_perm()]
+                        bh_p, bl_p = refmod.split_f64(
+                            b[plan.perm].astype(np.float64))
+                    bs_pp = jnp.asarray(np.stack([bh_p, bl_p]))
+                    tol_pp = np.float32(1e-10 / 3.0 * np.linalg.norm(b))
+                    for R_p in (10, 5):
+                        try:
+                            sfn_p = _solve_series_builder(fp, inner_pp,
+                                                          tol_pp, R_p)
+                            pargs = (tuple(prod.panels), bs_pp, inv_pp,
+                                     idx_pp, ahi_pp, alo_pp)
+                            with _precision_ctx(prod.precision):
+                                t0 = time.time()
+                                float(sfn_p(*pargs))
+                            compile_s["solve_series_production"] = round(
+                                time.time() - t0, 1)
+                            tsp = []
+                            for _ in range(3):
+                                t0 = time.perf_counter()
+                                float(sfn_p(*pargs))
+                                tsp.append(time.perf_counter() - t0)
+                            result["t_solve_device_production"] = round(
+                                min(tsp) / R_p, 4)
+                            break
+                        except Exception as e:  # noqa: BLE001
+                            print(f"# production solve series (R={R_p}) "
+                                  f"failed: {type(e).__name__}: {e}",
+                                  file=sys.stderr)
             except Exception as e:  # noqa: BLE001 — tunnel compiler flakes
                 result["production_solve_error"] = type(e).__name__
         # fold the >=60%-of-matmul-peak BASELINE gate and a second scale row

@@ -990,10 +990,18 @@ def _tri_solve(Ld, rhs, **kw):
     """
     B = Ld.shape[0]
     if B > _TRI_MAX_BATCH:
+        # cast INSIDE each chunk: a bf16 out-of-core factor level is
+        # multi-GiB, and promoting the whole level to f32 up front would
+        # transiently double it (2 GiB at 140^3's leaf level) — the
+        # chunk-local cast bounds the transient to one window. No-op for
+        # f32 factors (astype to the same dtype).
         return jnp.concatenate(
-            [lax.linalg.triangular_solve(Ld[i:i + _TRI_MAX_BATCH],
-                                         rhs[i:i + _TRI_MAX_BATCH], **kw)
+            [lax.linalg.triangular_solve(
+                Ld[i:i + _TRI_MAX_BATCH].astype(rhs.dtype),
+                rhs[i:i + _TRI_MAX_BATCH], **kw)
              for i in range(0, B, _TRI_MAX_BATCH)], axis=0)
+    if Ld.dtype != rhs.dtype:
+        Ld = Ld.astype(rhs.dtype)
     ch = _TRI_RHS_CHUNK
     z = jnp.int32(0)
     left = kw.get("left_side", False)
@@ -2024,7 +2032,8 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
         if inv_pivots is not None:
             return jnp.einsum("bij,bj->bi", inv_pivots[lvl], rhs,
                               preferred_element_type=rhs.dtype)
-        Ld = factors[lvl][:, :fp.W[lvl], :].astype(rhs.dtype)
+        # the f32 cast of a bf16 panel happens chunk-wise inside _tri_solve
+        Ld = factors[lvl][:, :fp.W[lvl], :]
         return _tri_solve(
             Ld, rhs[..., None], left_side=True, lower=True)[..., 0]
 
@@ -2032,10 +2041,26 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
         if inv_pivots is not None:
             return jnp.einsum("bji,bj->bi", inv_pivots[lvl], rhs,
                               preferred_element_type=rhs.dtype)
-        Ld = factors[lvl][:, :fp.W[lvl], :].astype(rhs.dtype)
+        Ld = factors[lvl][:, :fp.W[lvl], :]
         return _tri_solve(
             Ld, rhs[..., None], left_side=True, lower=True,
             transpose_a=True)[..., 0]
+
+    def x_apply(X, vec, forward):
+        """Boundary-block einsum with the f32 promotion chunked over the
+        batch axis (same rationale as _tri_solve's chunk-local cast: a
+        whole-level bf16->f32 promotion is a 2 GiB transient at 140^3's
+        leaf level). Identical arithmetic to the unchunked einsum."""
+        spec = "bij,bj->bi" if forward else "bij,bi->bj"
+        B = X.shape[0]
+        if X.dtype == vec.dtype or B <= _TRI_MAX_BATCH:
+            return jnp.einsum(spec, X.astype(vec.dtype), vec,
+                              preferred_element_type=vec.dtype)
+        return jnp.concatenate(
+            [jnp.einsum(spec, X[i:i + _TRI_MAX_BATCH].astype(vec.dtype),
+                        vec[i:i + _TRI_MAX_BATCH],
+                        preferred_element_type=vec.dtype)
+             for i in range(0, B, _TRI_MAX_BATCH)], axis=0)
 
     for lvl in range(levels - 1, -1, -1):
         Wl, Fl = fp.W[lvl], fp.F[lvl]
@@ -2044,19 +2069,15 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
         bg = bg.at[piv_idx[lvl]].set(y, mode="drop",
                                      indices_are_sorted=False)
         if Fl > Wl:
-            X = factors[lvl][:, Wl:, :]
-            contrib = jnp.einsum("bij,bj->bi", X, y,
-                                 preferred_element_type=y.dtype)
+            contrib = x_apply(factors[lvl][:, Wl:, :], y, True)
             bg = bg.at[bnd_idx[lvl]].add(-contrib)
 
     for lvl in range(levels):
         Wl, Fl = fp.W[lvl], fp.F[lvl]
         rhs = bg[piv_idx[lvl]]
         if Fl > Wl:
-            X = factors[lvl][:, Wl:, :]
             z = bg[bnd_idx[lvl]]                           # ancestor solutions
-            rhs = rhs - jnp.einsum("bij,bi->bj", X, z,
-                                   preferred_element_type=z.dtype)
+            rhs = rhs - x_apply(factors[lvl][:, Wl:, :], z, False)
         x = upper_solve(lvl, rhs)
         bg = bg.at[piv_idx[lvl]].set(x)
 
@@ -2421,6 +2442,28 @@ def solve_many_systems(fp: FrontalPlan, factors, b_perm,
 _STREAM_BYTES = int(_os.environ.get("CHOLESKY_TPU_STREAM_BYTES",
                                     str(5 << 30)))
 
+
+def _hbm_bytes() -> int:
+    """Device memory capacity in bytes. memory_stats()['bytes_limit'] when
+    the backend reports it; the tunneled v5e backend reports NO stats, so
+    TPU platforms fall back to the v5e's 16 GiB (a 12 GiB guess there made
+    every budget gate ~25% too timid — the round-4 140^3 solve OOM hid
+    behind one of those). Non-TPU (CPU test) backends keep the
+    conservative 12 GiB fallback. Override: CHOLESKY_TPU_HBM_BYTES."""
+    env = _os.environ.get("CHOLESKY_TPU_HBM_BYTES")
+    if env:
+        return int(env)
+    try:
+        d = jax.devices()[0]
+        stats = d.memory_stats() or {}
+        if "bytes_limit" in stats:
+            return int(stats["bytes_limit"])
+        if d.platform in ("tpu", "axon"):
+            return 16 << 30
+    except Exception:  # noqa: BLE001 — uninitialized/exotic backends
+        pass
+    return 12 << 30
+
 # past this many bytes of f32 fronts, neither the fronts nor the f32
 # factors can all reside in HBM alongside transition temps: stream front
 # uploads from host and store the factor compressed (bfloat16)
@@ -2435,6 +2478,14 @@ _OFFLOAD_BYTES = int(_os.environ.get("CHOLESKY_TPU_OFFLOAD_BYTES",
 # ceiling sits between those with headroom for the temps.
 _F32_STORE_BYTES = int(_os.environ.get("CHOLESKY_TPU_F32_STORE_BYTES",
                                        str(7 << 30)))
+
+# HBM the solve path needs ALONGSIDE a device-resident factor: the largest
+# level's f32 pivot-block cast + triangular-solve temps (~2x the root
+# pivot: 3.1 GiB at 140^3's 19.6k-wide root), ELL residual planes, and
+# the refinement loop's vectors. Used by the offload re-upload gate above
+# and api._want_inv_pivots.
+_SOLVE_HEADROOM_BYTES = int(_os.environ.get("CHOLESKY_TPU_SOLVE_HEADROOM",
+                                            str(3584 << 20)))
 
 
 def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
@@ -2500,12 +2551,17 @@ def factor(fp: FrontalPlan, fronts, extadd: Optional[str] = None,
                 from cholesky_tpu.parallel.mesh import panel_sharding
 
                 ndev = int(dist_mesh.devices.size)
-                if stored <= _F32_STORE_BYTES * ndev:
+                if stored + _SOLVE_HEADROOM_BYTES <= _hbm_bytes() * ndev:
                     out = tuple(
                         f if isinstance(f, jax.Array)
                         else jax.device_put(f, panel_sharding(dist_mesh, lvl))
                         for lvl, f in enumerate(out))
-            elif stored <= _F32_STORE_BYTES:
+            elif stored + _SOLVE_HEADROOM_BYTES <= _hbm_bytes():
+                # capacity-aware (NOT the old fixed 7 GiB _F32_STORE_BYTES
+                # gate, which left the 140^3 bf16 factor host-side and made
+                # every solve re-ship 11.9 GiB): the factor goes back once
+                # if it fits alongside the solve's working set — per-level
+                # f32 pivot casts + ELL planes + refinement vectors
                 out = tuple(f if isinstance(f, jax.Array)
                             else jax.device_put(f) for f in out)
         return out

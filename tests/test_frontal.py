@@ -286,7 +286,10 @@ def test_streamed_factor_offload(monkeypatch):
     x = s.solve(b)
     assert s.residual(b, x) <= 1e-10
 
-    monkeypatch.setattr(frontal, "_F32_STORE_BYTES", 0)
+    monkeypatch.setattr(frontal, "_F32_STORE_BYTES", 0)  # forces bf16 store
+    # the re-upload gate is now capacity-aware (stored + solve headroom vs
+    # _hbm_bytes); pin the capacity to zero to model "no headroom"
+    monkeypatch.setenv("CHOLESKY_TPU_HBM_BYTES", "1")
     s2 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
     s2.factorize()
     assert all(isinstance(p, np.ndarray) for p in s2.panels[1:])
