@@ -653,9 +653,7 @@ def main(argv=None):
                 inv_s = (tuple(solver._inv_pivots())
                          if solver._want_inv_pivots() else None)
                 banded = inv_s is not None
-                from cholesky_tpu.numeric import pallas_solve as _ps
-                inner_s = ("frames" if banded and _ps.wanted(fp, factors0)
-                           else ("banded" if banded else "plain"))
+                inner_s = "banded" if banded else "plain"
                 if banded:
                     idx_e, a_hi_e, a_lo_e = ell_pad
                     n_, _, inv_map_, pad_of_, _ = frontal._banded_maps(fp)

@@ -182,13 +182,14 @@ def solve_refined_df(fp, factors: Sequence, b64: np.ndarray, ell,
     bnorm = float(np.linalg.norm(b64))
     inv = tuple(inv_pivots) if inv_pivots is not None else None
     banded = inv is not None
-    inner = "plain"
-    if banded:
-        inner = "banded"
-        from cholesky_tpu.numeric import pallas_solve
-
-        if pallas_solve.wanted(fp, factors):
-            inner = "frames"
+    # inner triangular-solve engine: the XLA banded chain when pivot
+    # inverses are supplied, the permuted-basis frontal_solve otherwise.
+    # (A Pallas frame-propagation engine lived here through round 4; it
+    # measured slower than the banded chain at every scale it could
+    # compile for — 13.1 vs 6.2 ms at 50^3 — and its per-level VMEM
+    # demand exceeds the 52 MB scoped budget at >= 64^3 entirely
+    # (117-266 MB), so it was deleted per the repo's losing-path rule.)
+    inner = "banded" if banded else "plain"
     if banded:
         if ell_pad is None:
             ell_pad = pad_ell(fp, ell)
@@ -257,46 +258,15 @@ def solve_refined_df(fp, factors: Sequence, b64: np.ndarray, ell,
         if pad_of_d is None:
             pad_of_d = jnp.asarray(pad_of.astype(np.int32))
             _ELL_DEV_CACHE[pkey] = pad_of_d
-    try:
-        out = _run(fp.key(), tuple(factors), inv, idx_d, a_hi_d, a_lo_d,
-                   bs, jnp.int32(max_iter), np.float32(tol * bnorm),
-                   bool(trace_hist), inner, demote, pad_of_d)
-        # the np.asarray readback IS the sync point: an execution-time
-        # failure (not just a trace/compile one) surfaces here, inside
-        # the try, and takes the fallback below. (A separate
-        # block_until_ready before the readback cost a SECOND sequential
-        # tunnel round trip — measured ~30-50 ms per solve.)
-        if trace_hist:
-            out, hist = out
-        arr = np.asarray(out, np.float64)             # ONE readback
-    except Exception as frames_err:  # noqa: BLE001 — see fallback note
-        # the frames program can be refused by Mosaic at compile/run time
-        # (scoped-VMEM overflow usable()'s estimate missed); the banded
-        # chain solves the identical padded-basis problem, so fall back
-        # and pin this plan off the frames path for later solves. The
-        # catch stays broad deliberately (Mosaic surfaces failures as
-        # XlaRuntimeError, JaxRuntimeError, or plain RuntimeError
-        # depending on phase) but is diagnosed: any swallowed exception is
-        # warned about so a genuine frames-path bug is never silent.
-        if inner != "frames":
-            raise
-        import warnings
-
-        from cholesky_tpu.numeric import pallas_solve
-
-        warnings.warn(
-            "frames solve failed at compile/run time; falling back to the "
-            f"banded chain and pinning this plan off the frames path: "
-            f"{type(frames_err).__name__}: {frames_err}",
-            RuntimeWarning, stacklevel=2)
-        pallas_solve._RUNTIME_FAILED.add(fp.key())
-        inner = "banded"
-        out = _run(fp.key(), tuple(factors), inv, idx_d, a_hi_d, a_lo_d,
-                   bs, jnp.int32(max_iter), np.float32(tol * bnorm),
-                   bool(trace_hist), inner, demote, pad_of_d)
-        if trace_hist:
-            out, hist = out
-        arr = np.asarray(out, np.float64)
+    out = _run(fp.key(), tuple(factors), inv, idx_d, a_hi_d, a_lo_d,
+               bs, jnp.int32(max_iter), np.float32(tol * bnorm),
+               bool(trace_hist), inner, demote, pad_of_d)
+    # the np.asarray readback IS the sync point. (A separate
+    # block_until_ready before the readback cost a SECOND sequential
+    # tunnel round trip — measured ~30-50 ms per solve.)
+    if trace_hist:
+        out, hist = out
+    arr = np.asarray(out, np.float64)                 # ONE readback
     x = arr[0, :-1] + arr[1, :-1]
     iters = int(arr[1, -1])
     rn_rel = float(arr[0, -1]) / bnorm if bnorm else 0.0
@@ -321,15 +291,14 @@ def _run(key, factors, inv_pivots, idx, a_hi, a_lo, bs, max_iter,
     through the tunnel are minutes-long and intermittently crash the
     compile helper, so program-count hygiene matters). inner selects the
     triangular-solve engine: "plain" = permuted-basis frontal_solve;
-    "banded"/"frames" = frontal's padded basis (every operand is an
+    "banded" = frontal's padded basis (every operand is an
     [n_pad + 1] vector whose sentinel slot stays 0 by construction,
     pad_ell planes; no relabel gathers or concats in the loop body),
-    solved by the XLA banded chain or the Pallas frame-propagation
-    kernels (pallas_solve) respectively."""
+    solved by the XLA banded level chain."""
     from cholesky_tpu.numeric import frontal
 
     fp = frontal._FPLAN_CACHE[key]
-    banded = inner in ("banded", "frames")
+    banded = inner == "banded"
     b_hi, b_lo = bs[0], bs[1]
 
     def solve(rhs):
@@ -351,11 +320,6 @@ def _run(key, factors, inv_pivots, idx, a_hi, a_lo, bs, max_iter,
         ctx = (_jax.default_matmul_precision("bfloat16") if demote_apply
                else contextlib.nullcontext())
         with ctx:
-            if inner == "frames":
-                from cholesky_tpu.numeric import pallas_solve
-
-                return pallas_solve.solve_frames(fp, factors, inv_pivots,
-                                                 rhs)
             if inner == "banded":
                 return frontal._solve_banded_core(fp, factors, inv_pivots,
                                                   rhs)
