@@ -298,6 +298,69 @@ def _t(f):
     return time.perf_counter() - t0
 
 
+def bench_irregular(dtype="float32"):
+    """Irregular-matrix row (VERDICT r4 #5 — the BASELINE north star's
+    'SuiteSparse SPD families' slot, exercised on hardware instead of
+    only in the CPU suite): a 3-component vector-elasticity-type problem
+    (grid Laplacian ⊗ SPD coupling, ~255k dofs, vertex-block structure)
+    with NO precomputed ordering — from_matrix runs the auto ND/MD
+    selection (native cores), then factor + refined solve at the 1e-10
+    contract on the chip. Reports the same fields as the fixture row
+    plus the auto-ordering wall."""
+    import jax
+    import jax.numpy as jnp
+
+    from cholesky_tpu import SparseCholesky
+    from cholesky_tpu.symbolic import fill as fillmod
+    from cholesky_tpu.utils import problems
+    from cholesky_tpu.verify import schedule as schedmod
+
+    n, r, c, v = problems.vector_laplacian((44, 44, 44), 3)
+    b = np.random.default_rng(7).standard_normal(n)
+    t0 = time.time()
+    solver = SparseCholesky.from_matrix(n, r, c, v, dtype=np.dtype(dtype))
+    plan_s = solver.plan            # auto ordering + separator tree
+    t_order = time.time() - t0
+    fa = fillmod.analyze_fill(plan_s, solver.rows, solver.cols,
+                              solver.vals)
+    useful = schedmod.schedule_flops(schedmod.generate_schedule(fa))
+
+    @jax.jit
+    def rpc_floor_fn(x):
+        return jnp.sum(x)
+
+    small = jnp.ones((8, 8), dtype=jnp.float32)
+    float(rpc_floor_fn(small))
+    floor = min(_t(lambda: float(rpc_floor_fn(small))) for _ in range(5))
+
+    solver.factorize()              # compiles
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        solver.factorize()
+        ts.append(time.perf_counter() - t0)
+    t_factor = max(min(ts) - floor, 1e-9)
+    x = solver.solve(b, tol=1e-10)  # compiles the solve programs
+    tss = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = solver.solve(b, tol=1e-10)
+        tss.append(time.perf_counter() - t0)
+    t_solve = max(min(tss) - floor, 1e-9)
+    residual = solver.residual(b, x)
+    return {"problem": "vector_laplacian(44^3, 3) elasticity-type",
+            "n": n,
+            "ordering_wall_s": round(t_order, 2),
+            "levels": int(plan_s.levels),
+            "factor_wall_s": round(t_factor, 4),
+            "factor_gflops": round(useful / t_factor / 1e9, 1),
+            "useful_gflop": round(useful / 1e9, 1),
+            "solve_wall_s": round(t_solve, 4),
+            "precision": f"{solver.precision or 'default'} (auto)",
+            "residual": float(f"{residual:.3e}"),
+            "residual_ok": bool(residual <= 1e-10)}
+
+
 def kernel_rates():
     """Measure large-front kernel throughput vs the chip's matmul peak (the
     BASELINE 'large-front POTRF/GEMM >= 60% of TPU matmul peak' target),
@@ -913,6 +976,10 @@ def main(argv=None):
                     dtype=args.dtype)
             except Exception as e:  # noqa: BLE001
                 result["fixture_3375"] = {"error": type(e).__name__}
+        try:
+            result["irregular_elasticity"] = bench_irregular(args.dtype)
+        except Exception as e:  # noqa: BLE001 — never kills the primary
+            result["irregular_elasticity"] = {"error": type(e).__name__}
     # Field order = reading order: the honest gates (per-call wall GFLOP/s,
     # peak_fraction, residual) come right after the headline; the CPU-replay
     # ratio vs_baseline trails them (it compares against a NumPy schedule

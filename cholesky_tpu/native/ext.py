@@ -269,3 +269,26 @@ def md_order(n: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"md_order failed: rc={rc}")
     return perm
+
+
+_lib.col_counts.restype = _i64
+_lib.col_counts.argtypes = [_i64, _i64, _i64p, _i64p, _i64p]
+
+
+def col_counts(n: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    """Exact per-column factor nonzero counts (incl. diagonal) for the
+    symmetric pattern eliminated in natural order — the Gilbert-Ng-Peyton
+    O(nnz*alpha) core (mndio.cc col_counts). Relabel rows/cols by a
+    candidate permutation first to cost that ordering; bit-parity with the
+    Python symbolic elimination (symbolic/quality.fill_flops) is asserted
+    in tests/test_mdtree.py."""
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    cc = np.zeros(int(n), dtype=np.int64)
+    rc = _lib.col_counts(_i64(int(n)), _i64(len(rows)), rows, cols, cc)
+    if rc == 2:
+        raise IndexError("rows/cols contain dof indices outside [0, n) — "
+                         "COO indices must be 0-based")
+    if rc != 0:
+        raise RuntimeError(f"col_counts failed: rc={rc}")
+    return cc

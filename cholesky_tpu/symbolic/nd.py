@@ -466,9 +466,10 @@ def nested_dissection_graph(n: int, rows: np.ndarray, cols: np.ndarray,
     method: "auto" (default) additionally builds a MINIMUM-DEGREE
     candidate tree (symbolic/mdtree: MD ordering -> elimination tree ->
     legal binary separator tree with exactly MD's fill) when
-    n <= CHOLESKY_TPU_MD_MAX (default 16384 — the Python MD's practical
-    range) and keeps whichever ordering has fewer exact symbolic-
-    elimination FLOPs. Mesh-like graphs keep deep ND (which beats MD in
+    n <= CHOLESKY_TPU_MD_MAX (default 131072 with the native MD +
+    column-count cores; always below CHOLESKY_TPU_MD_SMALL = 16384,
+    above it only when the expander depth-collapse fired) and keeps
+    whichever ordering has fewer exact symbolic-elimination FLOPs. Mesh-like graphs keep deep ND (which beats MD in
     3-D); irregular graphs (expanders, hub graphs, unbalanced clusters)
     get minimum-degree quality through the same engine — the rebuild's
     answer to the reference's professional offline orderings (mnd.c:22).
@@ -500,6 +501,8 @@ def nested_dissection_graph(n: int, rows: np.ndarray, cols: np.ndarray,
         indptr, indices = _build_adjacency(n, rows, cols)
         dofs = _nd_dofs_python(n, indptr, indices, levels)
 
+    heur_levels = levels               # pre-collapse heuristic depth
+    collapsed = False
     if auto_depth and levels > 1:
         # expander-like graphs (huge non-shrinking separators) pay MORE for
         # every added tree level; shrink the tree when a shallower
@@ -511,32 +514,52 @@ def nested_dissection_graph(n: int, rows: np.ndarray, cols: np.ndarray,
             levels = best + 1
             nsep = (1 << levels) - 1
             dofs = _truncate_dofs(dofs, levels)
+            collapsed = True
 
     # Minimum-degree candidate (symbolic/mdtree): an MD ordering converted
     # into a legal binary separator tree with exactly MD's fill. ND keeps
     # its 3-D win; irregular graphs (expanders, hub graphs) get MD quality
     # through the same engine. Selection = exact symbolic elimination
-    # FLOPs of each candidate's induced permutation.
-    md_max = int(os.environ.get("CHOLESKY_TPU_MD_MAX", "16384"))
-    if method == "md" or (method == "auto" and 1 < n <= md_max
-                          and levels > 1):
+    # FLOPs of each candidate's induced permutation (native col_counts
+    # core, O(nnz*alpha)).
+    #
+    # Gating: the candidate always runs below MD_SMALL; past it, only on
+    # a HARD depth-collapse (to <= half the heuristic depth) — the cheap
+    # structural signal for exactly the irregular class where MD wins.
+    # Measured collapse depths: random/circuit expanders 9-11 -> 1,
+    # imbalanced 11 -> 4 (all hard); fill-heavy meshes collapse MILDLY
+    # (vector-elasticity 11 -> 7, aniso-3D 9 -> 7) and are spared the
+    # pure MD-candidate overhead (12 s at 64k / 40 s at 132k dofs on 3-D
+    # problems, where deep ND wins anyway). The MD tree is built at the
+    # PRE-collapse depth: the collapse models the PADDED cost of the ND
+    # tree's fat separators, not the MD tree's skinny chains (round-4's
+    # post-collapse `levels` both starved the MD tree of depth and
+    # skipped it entirely when the collapse went all the way to 1 —
+    # measured 6.7x worse than MMD at 24k random).
+    md_max = int(os.environ.get("CHOLESKY_TPU_MD_MAX", "131072"))
+    md_small = int(os.environ.get("CHOLESKY_TPU_MD_SMALL", "16384"))
+    hard_collapse = collapsed and levels <= heur_levels // 2
+    try_md = method == "md" or (
+        method == "auto" and 1 < n <= md_max and heur_levels > 1
+        and (hard_collapse or n <= md_small))
+    if try_md:
         from cholesky_tpu.symbolic import mdtree
         from cholesky_tpu.symbolic.quality import permuted_cost
 
+        md_levels = levels if method == "md" else max(heur_levels, 2)
+        md_nsep = (1 << md_levels) - 1
         md_perm = mdtree.min_degree_perm(n, rows, cols)
         md_dofs = mdtree.tree_from_elimination(n, rows, cols, md_perm,
-                                               levels)
-        if method == "md":
-            dofs = md_dofs
-        else:
-            def perm_of(d):
-                return np.concatenate(
-                    [d[h] for h in range(nsep, 0, -1)])
+                                               md_levels)
 
-            f_nd, _ = permuted_cost(n, rows, cols, perm_of(dofs))
-            f_md, _ = permuted_cost(n, rows, cols, perm_of(md_dofs))
-            if f_md < f_nd:
-                dofs = md_dofs
+        def perm_of(d, ns):
+            return np.concatenate([d[h] for h in range(ns, 0, -1)])
+
+        if method == "md" or (
+                permuted_cost(n, rows, cols,
+                              perm_of(md_dofs, md_nsep))[0]
+                < permuted_cost(n, rows, cols, perm_of(dofs, nsep))[0]):
+            dofs, levels, nsep = md_dofs, md_levels, md_nsep
 
     ordering = Ordering(
         levels=levels, num_separators=nsep,

@@ -105,3 +105,43 @@ def test_native_md_matches_python():
         pn = mdtree.min_degree_perm(n, r, c, native=True)
         pp = mdtree.min_degree_perm(n, r, c, native=False)
         assert np.array_equal(pn, pp), name
+
+
+def test_native_col_counts_match_python():
+    """mndio.cc col_counts (Gilbert-Ng-Peyton leaf counting) must be
+    BIT-identical to the Python set-merge symbolic elimination it
+    replaces as the ordering-selection oracle — exactness is what lets
+    the auto selector trust FLOP comparisons between candidates."""
+    pytest.importorskip("cholesky_tpu.native.ext")
+    from cholesky_tpu.native import ext
+    from cholesky_tpu.symbolic.quality import _fill_flops_python
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for _ in range(12):                       # random sparse patterns
+        n = int(rng.integers(4, 80))
+        m = int(rng.integers(n, 5 * n))
+        cases.append((n, rng.integers(0, n, m), rng.integers(0, n, m)))
+    for name in ("random", "circuit", "wathen", "imbalanced"):
+        n, r, c, v = problems.GALLERY[name]()
+        cases.append((n, r, c))
+    for n, r, c in cases:
+        cc = ext.col_counts(n, r, c)
+        f_py, z_py = _fill_flops_python(n, r, c)
+        assert float((cc.astype(np.float64) ** 2).sum()) == f_py
+        assert int(cc.sum()) == z_py
+
+
+def test_md_hybrid_band_scale3(monkeypatch):
+    """Scale-3 band (VERDICT r4 #4): with the native MD + col-counts
+    cores the hybrid reaches n ~ 24k irregular problems (the old 16,384
+    cap silently fell back to pure ND and its measured 1.7-2.3x FLOP
+    penalty there); hybrid/SuperLU-MMD must stay <= 1.35."""
+    pytest.importorskip("cholesky_tpu.native.ext")
+    pytest.importorskip("scipy")
+    from cholesky_tpu.symbolic.quality import nd_cost, superlu_cost
+
+    n, r, c, v = problems.random_spd(24576, 6, 0)
+    f_auto, _ = nd_cost(n, r, c)
+    f_mmd, _ = superlu_cost(n, r, c, v)
+    assert f_auto <= 1.35 * f_mmd, f_auto / f_mmd
