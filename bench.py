@@ -864,6 +864,10 @@ def main(argv=None):
         result["solve_wall_s"] = round(t_solve, 4)
     if t_solve_device is not None:
         result["t_solve_device"] = round(t_solve_device, 4)
+    if t_pair is not None:
+        # factor + pivot inversion + refined solve as ONE dispatch — the
+        # end-to-end latency a caller pays per (values, rhs) pair
+        result["t_pair_wall_s"] = round(t_pair, 4)
     # compile+first-run seconds per program (VERDICT r3 #3: an 11-minute
     # compile for a 62 ms factorization is a real product cost — make it
     # a gated artifact field instead of stderr chatter)
