@@ -1406,9 +1406,15 @@ class SparseCholesky:
             a = np.asarray(p)
             dtypes.append(str(a.dtype))
             if a.dtype.kind != "f" or a.dtype.itemsize < 4:
-                a = a.astype(np.float32)     # bfloat16 -> f32 is exact
-            arrays[f"panel_{i}"] = a
-        meta = {"version": 1, "engine": "frontal",
+                # sub-f32 float panels (bf16 out-of-core factors) store as
+                # BIT patterns: widening a 12 GiB bf16 factor to f32 both
+                # doubles the file and makes the loader's device-side
+                # downcast hold f32+bf16 copies concurrently (an OOM at
+                # 140^3); the uint16 view round-trips exactly
+                arrays[f"panel_{i}"] = a.view(np.uint16)
+            else:
+                arrays[f"panel_{i}"] = a
+        meta = {"version": 2, "engine": "frontal", "storage": "bits",
                 "n_panels": len(dtypes), "panel_dtypes": dtypes,
                 "fingerprint": self._factor_fingerprint(),
                 # the factor was built at this matmul precision; a loader
@@ -1418,7 +1424,9 @@ class SparseCholesky:
         arrays["meta"] = np.frombuffer(
             json.dumps(meta).encode(), dtype=np.uint8)
         path = self._npz_path(path)
-        np.savez_compressed(path, **arrays)
+        # uncompressed: factor panels are high-entropy floats (zlib gains
+        # ~nothing and costs many single-core minutes at 12 GiB)
+        np.savez(path, **arrays)
         return path
 
     def load_factor(self, path: str) -> None:
@@ -1439,8 +1447,16 @@ class SparseCholesky:
             panels = []
             for i in range(meta["n_panels"]):
                 a = data[f"panel_{i}"]
-                panels.append(jnp.asarray(a).astype(
-                    jnp.dtype(meta["panel_dtypes"][i])))
+                want = jnp.dtype(meta["panel_dtypes"][i])
+                if meta.get("storage") == "bits" and a.dtype == np.uint16:
+                    # bit-pattern storage (v2): device-side bitcast, no
+                    # widened intermediate
+                    import jax as _jax
+
+                    panels.append(_jax.lax.bitcast_convert_type(
+                        jnp.asarray(a), want))
+                else:
+                    panels.append(jnp.asarray(a).astype(want))
         if self.mesh is not None:
             from cholesky_tpu.parallel.mesh import distribute_panels
 

@@ -385,3 +385,27 @@ def test_solve_chunked_casts_match(monkeypatch):
     assert all(p.dtype == "bfloat16" for p in s.panels)
     x = s.solve(b)
     assert s.residual(b, x) <= 1e-10
+
+
+def test_save_load_bf16_factor(tmp_path, monkeypatch):
+    """bf16 (out-of-core) factors checkpoint as uint16 BIT patterns (v2
+    storage: no widened f32 intermediate on disk or at load) and solve to
+    the contract after a round trip through a fresh solver."""
+    from cholesky_tpu.numeric import frontal
+
+    monkeypatch.setenv("CHOLESKY_TPU_STREAM", "1")
+    monkeypatch.setattr(frontal, "_F32_STORE_BYTES", 0)   # force bf16 store
+    n, r, c, v, o, cl, b = _build()
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    s.factorize()
+    assert all(str(p.dtype) == "bfloat16" for p in s.panels)
+    p = s.save_factor(str(tmp_path / "ck140"))
+
+    s2 = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    s2.load_factor(p)
+    assert all(str(q.dtype) == "bfloat16" for q in s2.panels)
+    for a, q in zip(s.panels, s2.panels):
+        assert np.array_equal(np.asarray(a, np.float32),
+                              np.asarray(q, np.float32))
+    x = s2.solve(b)
+    assert s2.residual(b, x) <= 1e-10
