@@ -526,6 +526,8 @@ class SparseCholesky:
                 # the host loop (CSR matvec + batched device solves), which
                 # is memory-flat in k
                 ell = None
+            if ell is not None and not self._device_ir_fits():
+                ell = None      # see _device_ir_fits (cast hoisting)
             if ell is not None:
                 x_perm, _, rn_rel = refine.solve_refined_df_multi(
                     self.fplan, self.panels, b[self.plan.perm, :], ell,
@@ -547,6 +549,8 @@ class SparseCholesky:
             if not self.factored:
                 self.factorize()
             ell = self._ell_perm()
+            if ell is not None and not self._device_ir_fits():
+                ell = None      # see _device_ir_fits (cast hoisting)
             if ell is not None:
                 # device loop targets tol/3: the f32 residual-norm estimate
                 # can sit slightly above the true f64 residual, and a
@@ -577,6 +581,28 @@ class SparseCholesky:
                 break
             x = x + self._solve_once(r).astype(np.float64)
         return x
+
+    def _device_ir_fits(self) -> bool:
+        """Whether the device-resident refinement WHILE-LOOP program fits
+        HBM. With raw sub-f32 (bf16 out-of-core) panels and no pivot
+        inverses, the plain inner solve's per-level f32 promotions are
+        loop-invariant and XLA hoists every one of them out of the while
+        body — ~2x the stored factor bytes stay live across the whole
+        loop (measured at 140^3: 21.94 GB buffer assignment on the
+        15.75 GiB chip, RESOURCE_EXHAUSTED at compile; jax.checkpoint
+        does not help — forward-only remat is a no-op). When that cannot
+        fit, the caller falls to the host-driven refinement loop, whose
+        per-sweep solves are straight-line programs with transient
+        casts."""
+        if self._want_inv_pivots():
+            return True         # banded inner: f32 inverses, no casts
+        if not self.factored or self.panels is None:
+            return True
+        if all(np.dtype(getattr(p, "dtype", np.float32)).itemsize >= 4
+               for p in self.panels):
+            return True         # f32 panels: the casts are no-ops
+        stored = self._factor_bytes()
+        return 3 * stored + (2 << 30) <= self._hbm_budget(0.95)
 
     def _multi_ir_fits(self, ell_k: int, k: int) -> bool:
         """Whether the [n, k] device-resident refinement's residual

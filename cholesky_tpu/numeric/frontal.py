@@ -2459,7 +2459,9 @@ def _hbm_bytes() -> int:
         if "bytes_limit" in stats:
             return int(stats["bytes_limit"])
         if d.platform in ("tpu", "axon"):
-            return 16 << 30
+            # v5e usable HBM, read off a real OOM report through the
+            # stat-less tunnel: "Used 21.94G of 15.75G hbm"
+            return (63 << 30) // 4          # 15.75 GiB
     except Exception:  # noqa: BLE001 — uninitialized/exotic backends
         pass
     return 12 << 30

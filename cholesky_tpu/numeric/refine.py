@@ -364,18 +364,16 @@ def _run(key, factors, inv_pivots, idx, a_hi, a_lo, bs, max_iter,
         m = jnp.maximum(jnp.max(jnp.abs(r_hi)), jnp.float32(1e-30))
         return m * jnp.linalg.norm(r_hi / m)
 
-    if inner == "plain":
-        # The plain inner consumes RAW (possibly bf16 out-of-core)
-        # panels, so its per-level f32 pivot/X promotions are
-        # loop-invariant — and XLA's invariant-code motion hoists EVERY
-        # level's cast out of the while body, making them simultaneously
-        # live across the loop: at 140^3 that is ~10 GiB of f32 casts on
-        # top of the 11.9 GiB resident factor (measured 21.94 GB buffer
-        # assignment -> RESOURCE_EXHAUSTED at compile). checkpoint()
-        # pins the casts inside the body so they stay transient; the
-        # recompute is one extra bandwidth pass over the factor per
-        # sweep.
-        solve = jax.checkpoint(solve)
+    # NOTE (140^3 postmortem): with raw bf16 panels the plain inner's
+    # per-level f32 promotions are loop-invariant, and XLA hoists every
+    # one of them out of the while body — ~2x the stored factor bytes
+    # live across the whole loop (measured 21.94 GB buffer assignment on
+    # the 15.75 GiB chip). jax.checkpoint does NOT prevent this (it only
+    # affects the backward pass; forward-only it is a no-op — measured:
+    # identical 21.94 GB with and without). The api therefore routes
+    # around this while-loop entirely when the hoisted casts cannot fit
+    # (api._solve_impl: host-driven refinement over straight-line solve
+    # programs, whose casts are transient).
     x0 = solve(b_hi)
     x_hi, x_lo = _two_sum(x0, jnp.zeros_like(x0))
     r_hi, r_lo = resid(x_hi, x_lo)
@@ -497,11 +495,6 @@ def _run_multi(key, factors, inv_pivots, idx, a_hi, a_lo, bs, bnorms,
             lambda rc: frontal.frontal_solve(fp, factors, rc,
                                              inv_pivots=inv_pivots),
             in_axes=1, out_axes=1)(rhs)
-
-    if inv_pivots is None:
-        # same while-body cast-hoisting hazard as the single-RHS loop
-        # (see _run): keep the bf16->f32 panel promotions transient
-        solve = jax.checkpoint(solve)
 
     zrow = jnp.zeros((1, k), jnp.float32)
 

@@ -409,3 +409,35 @@ def test_save_load_bf16_factor(tmp_path, monkeypatch):
                               np.asarray(q, np.float32))
     x = s2.solve(b)
     assert s2.residual(b, x) <= 1e-10
+
+
+def test_device_ir_routing_bf16_capacity(monkeypatch):
+    """With raw bf16 panels and no inverses, the device-IR while loop's
+    hoisted f32 promotions hold ~2x the stored factor live across the
+    loop (the 140^3 21.94 GB OOM); when 3x stored cannot fit, the solve
+    must route to the host-driven loop — and still meet the contract."""
+    from cholesky_tpu.numeric import frontal
+
+    monkeypatch.setenv("CHOLESKY_TPU_STREAM", "1")
+    monkeypatch.setattr(frontal, "_F32_STORE_BYTES", 0)   # bf16 store
+    monkeypatch.setenv("CHOLESKY_TPU_INV_PIVOTS", "0")    # plain inner
+    n, r, c, v, o, cl, b = _build()
+    s = SparseCholesky.from_coo(n, r, c, v, o, cl, dtype=np.float32)
+    s.factorize()
+    assert all(str(p.dtype) == "bfloat16" for p in s.panels)
+    assert s._device_ir_fits()          # tiny factor: while-loop is fine
+
+    called = {"n": 0}
+    import cholesky_tpu.numeric.refine as refine
+    orig = refine.solve_refined_df
+
+    def spy(*a, **k):
+        called["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(refine, "solve_refined_df", spy)
+    monkeypatch.setenv("CHOLESKY_TPU_HBM_BYTES", str(1 << 20))
+    assert not s._device_ir_fits()
+    x = s.solve(b, tol=1e-10)           # host-driven loop
+    assert called["n"] == 0
+    assert s.residual(b, x) <= 1e-10
