@@ -1027,6 +1027,49 @@ def _tri_solve(Ld, rhs, **kw):
     return lax.fori_loop(jnp.int32(0), jnp.int32(nch), body, out0)
 
 
+def _tri_solve_lowprec(Ld, rhs, transpose=False):
+    """Blocked batched substitution against a SUB-F32 (bf16 out-of-core)
+    lower triangle, promoting only [B, ., 128] slices to f32: a
+    whole-level promotion of a big bf16 level is GiB-scale (the 140^3
+    root alone casts to 1.44 GB f32, and the forward/backward sweeps'
+    shared casts kept every level's promotion live across the whole
+    solve program — 20.4 GB buffer assignment on the 15.75 GiB chip).
+    Ld [B, W, W] sub-f32, rhs [B, W] f32 -> [B, W] f32. Same recurrence
+    as the LAPACK-style solve up to f32 rounding order; the refinement
+    loop absorbs the difference."""
+    B, W, _ = Ld.shape
+    bs = _CHOL_BS
+    x = rhs
+    if not transpose:
+        for j0 in range(0, W, bs):
+            w = min(bs, W - j0)
+            d = Ld[:, j0:j0 + w, j0:j0 + w].astype(rhs.dtype)
+            xj = _tri_solve(d, x[:, j0:j0 + w, None], left_side=True,
+                            lower=True)[..., 0]
+            x = lax.dynamic_update_slice(x, xj, (0, j0))
+            if j0 + w < W:
+                Lb = Ld[:, j0 + w:, j0:j0 + w].astype(rhs.dtype)
+                upd = jnp.einsum("bij,bj->bi", Lb, xj,
+                                 preferred_element_type=rhs.dtype)
+                x = lax.dynamic_update_slice(
+                    x, x[:, j0 + w:] - upd, (0, j0 + w))
+    else:
+        nb = -(-W // bs)
+        for k in range(nb - 1, -1, -1):
+            j0 = k * bs
+            w = min(bs, W - j0)
+            rj = x[:, j0:j0 + w]
+            if j0 + w < W:
+                Lb = Ld[:, j0 + w:, j0:j0 + w].astype(rhs.dtype)
+                rj = rj - jnp.einsum("bij,bi->bj", Lb, x[:, j0 + w:],
+                                     preferred_element_type=rhs.dtype)
+            d = Ld[:, j0:j0 + w, j0:j0 + w].astype(rhs.dtype)
+            xj = _tri_solve(d, rj[..., None], left_side=True, lower=True,
+                            transpose_a=True)[..., 0]
+            x = lax.dynamic_update_slice(x, xj, (0, j0))
+    return x
+
+
 _CHOL_BS = 128   # panel width of the blocked batched Cholesky (MXU native)
 
 
@@ -2028,20 +2071,26 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
     piv_idx = [jnp.asarray(fp.front_rows[l][:, :fp.W[l]]) for l in range(levels)]
     bnd_idx = [jnp.asarray(fp.front_rows[l][:, fp.W[l]:]) for l in range(levels)]
 
-    def lower_solve(lvl, rhs):
+    def lower_solve(lvl, pan, rhs):
         if inv_pivots is not None:
             return jnp.einsum("bij,bj->bi", inv_pivots[lvl], rhs,
                               preferred_element_type=rhs.dtype)
+        Ld = pan[:, :fp.W[lvl], :]
+        if jnp.dtype(Ld.dtype).itemsize < 4:
+            # sub-f32 panels: blocked substitution with slice-local
+            # promotion (a level-sized f32 cast is GiB-scale out of core)
+            return _tri_solve_lowprec(Ld, rhs)
         # the f32 cast of a bf16 panel happens chunk-wise inside _tri_solve
-        Ld = factors[lvl][:, :fp.W[lvl], :]
         return _tri_solve(
             Ld, rhs[..., None], left_side=True, lower=True)[..., 0]
 
-    def upper_solve(lvl, rhs):
+    def upper_solve(lvl, pan, rhs):
         if inv_pivots is not None:
             return jnp.einsum("bji,bj->bi", inv_pivots[lvl], rhs,
                               preferred_element_type=rhs.dtype)
-        Ld = factors[lvl][:, :fp.W[lvl], :]
+        Ld = pan[:, :fp.W[lvl], :]
+        if jnp.dtype(Ld.dtype).itemsize < 4:
+            return _tri_solve_lowprec(Ld, rhs, transpose=True)
         return _tri_solve(
             Ld, rhs[..., None], left_side=True, lower=True,
             transpose_a=True)[..., 0]
@@ -2065,7 +2114,7 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
     for lvl in range(levels - 1, -1, -1):
         Wl, Fl = fp.W[lvl], fp.F[lvl]
         bp = bg[piv_idx[lvl]]                              # [B, W]
-        y = lower_solve(lvl, bp)
+        y = lower_solve(lvl, factors[lvl], bp)
         bg = bg.at[piv_idx[lvl]].set(y, mode="drop",
                                      indices_are_sorted=False)
         if Fl > Wl:
@@ -2074,11 +2123,21 @@ def frontal_solve(fp: FrontalPlan, factors: Sequence[jax.Array],
 
     for lvl in range(levels):
         Wl, Fl = fp.W[lvl], fp.F[lvl]
+        pan = factors[lvl]
+        if jnp.dtype(pan.dtype).itemsize < 4:
+            # The backward sweep reads the SAME panel slices the forward
+            # sweep cast to f32; XLA CSE would share those converts and
+            # keep every level's promotion live from its forward use to
+            # its backward use — the whole factor in f32 (~2x stored
+            # bytes) mid-program (measured 20.4 GB assignment at 140^3).
+            # An optimization barrier makes the backward casts distinct
+            # ops, so each sweep's promotions die within the sweep.
+            pan = lax.optimization_barrier(pan)
         rhs = bg[piv_idx[lvl]]
         if Fl > Wl:
             z = bg[bnd_idx[lvl]]                           # ancestor solutions
-            rhs = rhs - x_apply(factors[lvl][:, Wl:, :], z, False)
-        x = upper_solve(lvl, rhs)
+            rhs = rhs - x_apply(pan[:, Wl:, :], z, False)
+        x = upper_solve(lvl, pan, rhs)
         bg = bg.at[piv_idx[lvl]].set(x)
 
     return bg[:n]
