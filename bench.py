@@ -984,6 +984,26 @@ def main(argv=None):
             result["irregular_elasticity"] = bench_irregular(args.dtype)
         except Exception as e:  # noqa: BLE001 — never kills the primary
             result["irregular_elasticity"] = {"error": type(e).__name__}
+        # warm-start: what a FRESH process pays against the persistent
+        # compile cache this run just filled (VERDICT r4 #3b — the cache
+        # was wired in r4 but its benefit never measured). Subprocess so
+        # the process boundary is real; device buffers freed first.
+        try:
+            import subprocess
+
+            cur = None
+            factors0 = None
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "warm_start.py"),
+                 str(args.shape[0]), str(args.levels)],
+                capture_output=True, text=True, timeout=900)
+            line = [l for l in proc.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            result["warm_start"] = json.loads(line)
+        except Exception as e:  # noqa: BLE001 — never kills the primary
+            result["warm_start"] = {"error": type(e).__name__}
     # Field order = reading order: the honest gates (per-call wall GFLOP/s,
     # peak_fraction, residual) come right after the headline; the CPU-replay
     # ratio vs_baseline trails them (it compares against a NumPy schedule
